@@ -1,0 +1,13 @@
+"""multigrid_poisson_solver_tpu — a TPU-native geometric-multigrid Poisson framework.
+
+A from-scratch JAX/XLA/Pallas re-architecture of the capability set of
+cindytsai/multigrid_poisson_solver (2D Poisson, Dirichlet boundary, scriptable
+V/W/FMG multigrid cycles): device-resident level hierarchies, fused Pallas
+stencil kernels, and ``shard_map`` grid partitioning with collective-permute
+halo exchange.
+"""
+
+__version__ = "0.1.0"
+
+from .grid import GridSpec, level_sizes  # noqa: F401
+from .models import Problem, REFERENCE_PROBLEM, BUILTIN_PROBLEMS  # noqa: F401

@@ -1,0 +1,29 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+In this environment jax is pre-imported at interpreter startup with a TPU
+plugin that ignores JAX_PLATFORMS, so plain env vars are too late. Instead we
+flip the platform with ``jax.config.update`` (honored post-import) and extend
+XLA_FLAGS before the lazily-created CPU client first initializes.
+
+float64 is enabled so oracle tests can compare against numpy references at
+full precision; library code never assumes x64.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1234)
