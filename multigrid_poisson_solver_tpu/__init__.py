@@ -11,3 +11,17 @@ __version__ = "0.1.0"
 
 from .grid import GridSpec, level_sizes  # noqa: F401
 from .models import Problem, REFERENCE_PROBLEM, BUILTIN_PROBLEMS  # noqa: F401
+from .schedule import (  # noqa: F401
+    Ascend,
+    CoarseSolve,
+    CycleProgram,
+    Descend,
+    fmg,
+    parse_cycle_file,
+    parse_cycle_path,
+    repeat,
+    to_cycle_file,
+    v_cycle,
+    w_cycle,
+)
+from .solver import MultigridSolver, SolveReport, SolverConfig, solve  # noqa: F401

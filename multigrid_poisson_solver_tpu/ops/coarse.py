@@ -98,7 +98,12 @@ def gauss_seidel_solve(
     """
     n = f.shape[0]
     denom = {"interior": (n - 2) * (n - 2), "full": n * n}[norm]
+    # zero interior start (reference memset, MG_solver_CPU.cpp:993); the border
+    # carries the Dirichlet data that ``f``'s identity rows hold (0 in the
+    # reference problem), kept fixed by the interior-only sweeps.
     u0 = jnp.zeros_like(f)
+    u0 = u0.at[0, :].set(f[0, :]).at[-1, :].set(f[-1, :]) \
+        .at[:, 0].set(f[:, 0]).at[:, -1].set(f[:, -1])
     tgt = jnp.asarray(target_error, f.dtype)
 
     def err_of(u):
