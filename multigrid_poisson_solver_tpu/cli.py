@@ -1,0 +1,114 @@
+"""Command-line entry point.
+
+Drop-in replacement for the reference binaries' invocation
+(``./MG_CPU N_THREADS_OMP cycle_file.txt``, README.md:130-139):
+
+    python -m multigrid_poisson_solver_tpu [N_THREADS] cycle_file.txt [options]
+
+The leading thread-count argument is accepted for compatibility and ignored
+(TPU execution is not OpenMP-threaded). Output: the reference's final-result
+block (mean |U − analytic| + wall ms, MG_solver_CPU.cpp:448-451) and a
+``Sol_TPU_<cyclefile>`` CSV that the reference's plot scripts read unchanged.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+from .models.problems import BUILTIN_PROBLEMS
+from .schedule import parse_cycle_path
+from .solver import MultigridSolver, SolverConfig
+from .utils.io import solution_filename, write_solution_csv
+
+DTYPES = {"f32": "float32", "f64": "float64", "bf16": "bfloat16"}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="multigrid_poisson_solver_tpu",
+        description="TPU-native geometric-multigrid Poisson solver",
+    )
+    p.add_argument("args", nargs="+",
+                   help="[N_THREADS] cycle_file.txt — thread count accepted for "
+                        "reference compatibility and ignored")
+    p.add_argument("--problem", default="reference", choices=sorted(BUILTIN_PROBLEMS),
+                   help="built-in problem family (default: the reference's "
+                        "manufactured solution)")
+    p.add_argument("--dtype", default="f32", choices=sorted(DTYPES),
+                   help="level-array precision (default f32; f64 is emulated on TPU)")
+    p.add_argument("--smoother", default="jacobi", choices=["jacobi", "rbgs"])
+    p.add_argument("--omega", type=float, default=1.0,
+                   help="Jacobi damping factor (reference: 1.0; 0.8 converges deeper)")
+    p.add_argument("--repeat", type=int, default=1,
+                   help="run the schedule this many times (warm restart chaining)")
+    p.add_argument("--trigger", type=float, default=0.01,
+                   help="error-trigger slope threshold (reference hardcodes 0.01)")
+    p.add_argument("--output", default=None,
+                   help="solution CSV path (default Sol_TPU_<cyclefile>)")
+    p.add_argument("--no-output", action="store_true", help="skip the CSV dump")
+    p.add_argument("--quiet", action="store_true", help="suppress per-node narration")
+    p.add_argument("--stats", action="store_true",
+                   help="print per-node reports (grid size, sweeps, error)")
+    return p
+
+
+def main(argv=None) -> int:
+    import jax.numpy as jnp
+
+    args = build_parser().parse_args(argv)
+
+    positional = list(args.args)
+    if len(positional) == 2 and positional[0].lstrip("-").isdigit():
+        print(f"OpenMP threads argument ({positional[0]}) ignored on TPU")
+        positional = positional[1:]
+    if len(positional) != 1:
+        print("[ ERROR ]: expected [N_THREADS] cycle_file.txt", file=sys.stderr)
+        return 1
+    cycle_path = positional[0]
+    print(f"Cycle structure file name = {cycle_path}")
+
+    try:
+        program = parse_cycle_path(cycle_path, trigger=args.trigger)
+    except OSError as e:
+        print(f"[ ERROR ]: Cannot open file {cycle_path}: {e}", file=sys.stderr)
+        return 1
+    except ValueError as e:
+        print(f"[ ERROR ]: Bad cycle file: {e}", file=sys.stderr)
+        return 1
+
+    if args.repeat > 1:
+        from .schedule import repeat as repeat_program
+
+        program = repeat_program(program, args.repeat)
+
+    if not args.quiet:
+        logging.basicConfig(level=logging.INFO, format="%(message)s")
+
+    config = SolverConfig(
+        dtype=jnp.dtype(DTYPES[args.dtype]),
+        smoother=args.smoother,
+        omega=args.omega,
+        trigger=args.trigger,
+        collect_node_stats=args.stats or not args.quiet,
+    )
+    problem = BUILTIN_PROBLEMS[args.problem]
+    report = MultigridSolver(problem, config).run(program)
+
+    if args.stats:
+        for node in report.nodes:
+            print(f"  {node.kind:<12} N={node.n:<6} steps={node.steps} error={node.error}")
+
+    print()
+    print(report.summary())
+
+    if not args.no_output:
+        out = args.output or solution_filename(cycle_path)
+        write_solution_csv(report.u, out)
+        print(f"Output file name = {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
