@@ -25,3 +25,4 @@ from .schedule import (  # noqa: F401
     w_cycle,
 )
 from .solver import MultigridSolver, SolveReport, SolverConfig, solve  # noqa: F401
+from .compiled import CompiledCycle, compile_program  # noqa: F401
