@@ -4,14 +4,23 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "GDoF/s", "vs_baseline": N}
 
 ``value`` is smoothed interior cells per second per chip for fp32 Jacobi
-sweeps at N=8193 (the BASELINE.json single-chip headline config).
-``vs_baseline`` is the fraction of the speed-of-light roofline for this chip:
-a Jacobi sweep moves at least 12 bytes/point of HBM traffic (read u, read f,
-write u in fp32), so roofline = HBM_BW / 12 points/s. The reference publishes
-no numbers (BASELINE.md), so the roofline fraction — with a ≥0.70 target —
-is the honest baseline comparison.
+sweeps at N=8193 (the BASELINE.json single-chip headline config), using the
+framework's hot path: the Pallas fused multi-sweep strip kernel on TPU, the
+XLA padded stencil elsewhere.
 
-Extra context (wall time of a full V-cycle, residual reduction) goes to
+``vs_baseline`` is the throughput relative to the *unfused* speed-of-light
+roofline for this chip: one Jacobi sweep re-reading u and f and writing u
+moves 12 bytes/point fp32, so roofline = HBM_BW / 12 points/s. The reference
+publishes no numbers (BASELINE.md), so this hardware roofline is the honest
+baseline; values > 1 mean the fused kernel beats what any unfused
+implementation (the reference's per-sweep kernel included) could reach.
+
+Timing protocol (see .claude/skills/verify/SKILL.md): the remote-device
+tunnel makes block_until_ready a no-op and costs ~0.6 s per scalar fetch, so
+sweeps are iterated *inside* one jitted fori_loop and timed between dependent
+scalar fetches, with the fetch latency measured and subtracted.
+
+Extra context (V-cycle wall time, compensated relative residual) goes to
 stderr; stdout carries exactly the one JSON line.
 """
 
@@ -26,7 +35,8 @@ import jax
 import jax.numpy as jnp
 
 import multigrid_poisson_solver_tpu as mg
-from multigrid_poisson_solver_tpu.ops import stencils
+from multigrid_poisson_solver_tpu.ops import layout
+from multigrid_poisson_solver_tpu.ops import padded as P
 
 
 # HBM bandwidth per chip (bytes/s) by device kind, for the roofline estimate.
@@ -51,17 +61,12 @@ def _hbm_bw(device) -> float:
 
 
 def _sync(x) -> float:
-    """Force completion of everything ``x`` depends on.
-
-    On the tunneled TPU platform ``block_until_ready`` returns before remote
-    execution finishes, so timing must anchor on a dependent *scalar* fetch
-    (large-array fetches are prohibitively slow over the tunnel).
-    """
+    """Force completion of everything ``x`` depends on (dependent-scalar
+    fetch; block_until_ready does not wait on the tunneled TPU platform)."""
     return float(jax.device_get(jnp.sum(x[:1, :1])))
 
 
 def _scalar_latency() -> float:
-    """Round-trip time of a scalar fetch, to subtract from timed sections."""
     x = jnp.ones((8, 8))
     _sync(x)
     t0 = time.perf_counter()
@@ -70,48 +75,51 @@ def _scalar_latency() -> float:
     return (time.perf_counter() - t0) / 3
 
 
-def bench_smoothing(n: int, sweeps: int, reps: int, dtype=jnp.float32):
-    """Time `sweeps` fused Jacobi sweeps on an (n, n) grid; returns GDoF/s."""
+def _smooth_step(on_tpu: bool, n: int, h: float, f, sweeps: int):
+    if on_tpu:
+        from multigrid_poisson_solver_tpu.ops.pallas_kernels import fused_jacobi_padded
+        return lambda u: fused_jacobi_padded(u, f, n, h, sweeps)
+    return lambda u: jax.lax.fori_loop(
+        0, sweeps, lambda _, v: P.jacobi_sweep_p(v, f, h, n), u)
+
+
+def bench_smoothing(n: int, sweeps: int, iters: int, on_tpu: bool,
+                    dtype=jnp.float32):
+    """GDoF/s for fused Jacobi sweeps on an (n, n) grid (padded layout)."""
     spec = mg.GridSpec(n)
-    h = spec.h
     problem = mg.REFERENCE_PROBLEM
-    f = problem.source_grid(spec, dtype) + problem.boundary_grid(spec, dtype)
-    u = problem.boundary_grid(spec, dtype)
+    f = layout.pad_grid(problem.source_grid(spec, dtype)
+                        + problem.boundary_grid(spec, dtype))
+    u = layout.pad_grid(problem.boundary_grid(spec, dtype))
 
-    @jax.jit
-    def run(u, f):
-        return jax.lax.fori_loop(
-            0, sweeps, lambda _, v: stencils.jacobi_sweep(v, f, h), u)
+    step = _smooth_step(on_tpu, n, spec.h, f, sweeps)
+    run = jax.jit(lambda u: jax.lax.fori_loop(0, iters, lambda i, v: step(v), u))
 
-    u = run(u, f)               # compile + warm
+    u = run(u)
     _sync(u)
     lat = _scalar_latency()
     t0 = time.perf_counter()
-    for _ in range(reps):
-        u = run(u, f)
+    u = run(u)
     _sync(u)
-    elapsed = time.perf_counter() - t0 - lat
-    per_call = elapsed / reps
-    cells = (n - 2) * (n - 2) * sweeps
-    return cells / per_call / 1e9, per_call
+    per_sweep = (time.perf_counter() - t0 - lat) / (iters * sweeps)
+    return (n - 2) * (n - 2) / per_sweep / 1e9, per_sweep
 
 
-def bench_vcycle(n: int, dtype=jnp.float32):
-    """Wall time of one compiled V-cycle + resulting relative residual."""
-    from multigrid_poisson_solver_tpu.compiled import compile_program
+def bench_vcycle(n: int, iters: int = 3, dtype=jnp.float32):
+    """Wall time of one compiled V-cycle + compensated relative residual."""
     program = mg.v_cycle(n, n_min=8, steps=3, coarse_target=1e-7)
-    cc = compile_program(program, mg.REFERENCE_PROBLEM, donate=False)
+    cc = mg.compile_program(program, mg.REFERENCE_PROBLEM, donate=False)
     u, f = cc.init()
     u1, _ = cc(u, f)            # compile + warm
     _sync(u1)
     lat = _scalar_latency()
-    reps = 3
     t0 = time.perf_counter()
-    for _ in range(reps):
+    for _ in range(iters):
         u1, _ = cc(u, f)
     _sync(u1)
-    dt = (time.perf_counter() - t0 - lat) / reps
-    rr = float(stencils.relative_residual_norm(u1, f, cc.finest_spec.h))
+    dt = (time.perf_counter() - t0 - lat) / iters
+    rr = float(jax.device_get(
+        P.relative_residual_norm_p(u1, f, cc.finest_spec.h, n)))
     return dt, rr
 
 
@@ -119,24 +127,24 @@ def main():
     dev = jax.devices()[0]
     on_tpu = dev.platform == "tpu"
     n = int(os.environ.get("BENCH_N", 8193 if on_tpu else 513))
-    sweeps = int(os.environ.get("BENCH_SWEEPS", 20))
-    reps = int(os.environ.get("BENCH_REPS", 5))
+    sweeps = int(os.environ.get("BENCH_SWEEPS", 8))
+    iters = int(os.environ.get("BENCH_ITERS", 40 if on_tpu else 3))
 
-    gdofs, best = bench_smoothing(n, sweeps, reps)
+    gdofs, per_sweep = bench_smoothing(n, sweeps, iters, on_tpu)
     bw = _hbm_bw(dev)
-    roofline_gdofs = bw / 12.0 / 1e9      # 12 B/point fp32 Jacobi
+    roofline_gdofs = bw / 12.0 / 1e9      # unfused 12 B/point fp32 Jacobi
     frac = gdofs / roofline_gdofs
 
     print(f"[bench] device={dev.device_kind} platform={dev.platform}", file=sys.stderr)
-    print(f"[bench] smoothing N={n}: {gdofs:.2f} GDoF/s "
-          f"({best*1e3:.2f} ms / {sweeps} sweeps), roofline {roofline_gdofs:.1f} "
-          f"GDoF/s -> {frac:.1%} of speed of light", file=sys.stderr)
+    print(f"[bench] smoothing N={n} ({sweeps}-sweep fused x{iters}): "
+          f"{gdofs:.2f} GDoF/s ({per_sweep*1e3:.3f} ms/sweep); unfused roofline "
+          f"{roofline_gdofs:.1f} GDoF/s -> {frac:.2f}x", file=sys.stderr)
 
     try:
         vn = int(os.environ.get("BENCH_VCYCLE_N", 4097 if on_tpu else 257))
         vdt, vrr = bench_vcycle(vn)
-        print(f"[bench] V-cycle N={vn}: {vdt*1e3:.2f} ms, rel residual {vrr:.3e}",
-              file=sys.stderr)
+        print(f"[bench] V-cycle N={vn}: {vdt*1e3:.2f} ms, "
+              f"compensated rel residual {vrr:.3e}", file=sys.stderr)
     except Exception as e:  # noqa: BLE001 — context only, never break the JSON line
         print(f"[bench] V-cycle bench skipped: {e}", file=sys.stderr)
 

@@ -51,13 +51,54 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--quiet", action="store_true", help="suppress per-node narration")
     p.add_argument("--stats", action="store_true",
                    help="print per-node reports (grid size, sweeps, error)")
+    p.add_argument("--engine", default="auto",
+                   choices=["auto", "interpreted", "compiled"],
+                   help="interpreted: per-node dispatch with live stats; "
+                        "compiled: the whole schedule as one fused XLA program "
+                        "(auto: compiled unless --stats/per-node narration is on)")
+    p.add_argument("--platform", default="auto", choices=["auto", "cpu", "tpu"],
+                   help="force the JAX backend (auto: whatever is available; "
+                        "cpu avoids initializing a remote TPU for small runs)")
     return p
 
 
-def main(argv=None) -> int:
-    import jax.numpy as jnp
+def _run_compiled(problem, program, config):
+    """Execute via the whole-cycle compiled engine (compiled.CompiledCycle)."""
+    import time
 
+    import jax
+
+    from .compiled import compile_program
+    from .ops.stencils import mean_abs_error
+    from .solver import SolveReport
+
+    cc = compile_program(program, problem, config, donate=False)
+    u, f = cc.init()
+    start = time.perf_counter()
+    u1, _ = cc(u, f)
+    u1 = cc.unpad(u1)
+    u1.block_until_ready()
+    wall = time.perf_counter() - start
+
+    err = None
+    if problem.analytic is not None:
+        ua = problem.analytic_grid(cc.finest_spec, config.dtype)
+        err = float(jax.device_get(mean_abs_error(u1, ua)))
+    return SolveReport(u=u1, spec=cc.finest_spec, wall_time_s=wall,
+                       nodes=[], error_vs_analytic=err)
+
+
+def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+
+    if args.platform != "auto":
+        # Must happen before any device use; JAX_PLATFORMS env is ignored in
+        # environments that pre-import jax with a TPU plugin, but the config
+        # update is honored (see .claude/skills/verify/SKILL.md).
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
 
     positional = list(args.args)
     if len(positional) == 2 and positional[0].lstrip("-").isdigit():
@@ -94,11 +135,19 @@ def main(argv=None) -> int:
         collect_node_stats=args.stats or not args.quiet,
     )
     problem = BUILTIN_PROBLEMS[args.problem]
-    report = MultigridSolver(problem, config).run(program)
 
-    if args.stats:
-        for node in report.nodes:
-            print(f"  {node.kind:<12} N={node.n:<6} steps={node.steps} error={node.error}")
+    engine = args.engine
+    if engine == "auto":
+        engine = "interpreted" if (args.stats or not args.quiet) else "compiled"
+
+    if engine == "compiled":
+        report = _run_compiled(problem, program, config)
+    else:
+        report = MultigridSolver(problem, config).run(program)
+        if args.stats:
+            for node in report.nodes:
+                print(f"  {node.kind:<12} N={node.n:<6} steps={node.steps} "
+                      f"error={node.error}")
 
     print()
     print(report.summary())

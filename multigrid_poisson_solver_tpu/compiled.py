@@ -12,12 +12,13 @@ levels — into a single XLA computation:
   * zero host round-trips inside a cycle (the reference GPU does several per
     *op*; its GS coarse solver syncs the host every iteration,
     MG_solver_GPU.cu:1507-1522);
-  * XLA fuses across op boundaries (residual+negate+restrict, prolong+add+
-    smooth) and schedules the whole cycle as one program;
+  * level arrays live in the padded TPU-tile layout (ops.layout) for the
+    whole cycle, so the Pallas strip smoother (ops.pallas_kernels) and the
+    MXU zoom matmuls run on aligned shapes with no repacking;
   * data-dependent pieces (error-trigger sweeps, coarse GS convergence) stay
     on device as ``lax.while_loop``s with scalar predicates;
   * multi-chip: per-level ``with_sharding_constraint`` annotations let GSPMD
-    partition every stencil over the row axis of a device mesh and insert the
+    partition every stencil over the row axis of a device mesh and insert
     halo collective-permutes / reduction psums itself — levels below the
     sharding threshold are replicated (coarse-level agglomeration).
 
@@ -39,11 +40,18 @@ from jax import lax
 from .grid import GridSpec
 from .models.problems import Problem
 from .ops import coarse as coarse_ops
-from .ops import stencils
-from .ops.zoom import zoom
+from .ops import padded as P
+from .ops.layout import pad_grid, padded_shape, unpad_grid
 from .parallel.mesh import ShardingPolicy
 from .schedule import Ascend, CoarseSolve, CycleProgram, Descend
 from .solver import SolverConfig
+
+
+def _use_pallas(config: SolverConfig) -> bool:
+    mode = getattr(config, "kernels", "auto")
+    if mode == "auto":
+        return jax.default_backend() == "tpu"
+    return mode == "pallas"
 
 
 @dataclasses.dataclass
@@ -57,13 +65,11 @@ class _TraceLevel:
 class CompiledCycle:
     """A CycleProgram compiled end-to-end into one XLA executable.
 
-    Call with ``(u0, f0)`` on the finest grid; returns ``(u, err)`` where
-    ``err`` is the last smoothing error observed at the finest level (a device
-    scalar usable as a convergence measure without extra passes). Invoking it
-    repeatedly iterates cycles with warm-restart semantics, since the finest
-    ``u`` flows through unreset on the first Descend (matching the
-    reference's init-flag behavior for chained cycles when the caller feeds
-    each cycle's output into the next).
+    Arrays flow in the padded tile layout: ``init()`` produces padded
+    ``(u0, f0)``; calling the object returns ``(u, err)`` with ``u`` padded
+    (chain it straight into the next call for warm-restarted cycles —
+    matching the reference's init-flag behavior, linkedlist.h:38-41);
+    ``unpad(u)`` recovers the true (n, n) grid.
     """
 
     def __init__(self, program: CycleProgram, problem: Problem,
@@ -85,33 +91,26 @@ class CompiledCycle:
     # -- data construction ----------------------------------------------------
 
     def init(self) -> tuple[jnp.ndarray, jnp.ndarray]:
-        """Device-resident (u0, f0) for the finest level, placed per policy."""
+        """Padded, device-resident (u0, f0) for the finest level."""
         cfg, spec = self.config, self.finest_spec
 
         def build():
-            f = (self.problem.source_grid(spec, cfg.dtype)
-                 + self.problem.boundary_grid(spec, cfg.dtype))
-            u = self.problem.boundary_grid(spec, cfg.dtype)
+            f = pad_grid(self.problem.source_grid(spec, cfg.dtype)
+                         + self.problem.boundary_grid(spec, cfg.dtype))
+            u = pad_grid(self.problem.boundary_grid(spec, cfg.dtype))
+            if self.policy is not None:
+                sh = self.policy.sharding(spec.n)
+                u = lax.with_sharding_constraint(u, sh)
+                f = lax.with_sharding_constraint(f, sh)
             return u, f
 
-        if self.policy is None:
-            return jax.jit(build)()
-        # Odd grid sizes (2^k + 1) don't divide power-of-two meshes, and jit
-        # boundaries reject uneven explicit shardings — but *internal*
-        # with_sharding_constraint annotations accept them (GSPMD pads the
-        # last shard). So init under the constraint inside one jit: the
-        # returned arrays are already laid out row-sharded.
-        sh = self.policy.sharding(spec.n)
-
-        def build_sharded():
-            u, f = build()
-            return (lax.with_sharding_constraint(u, sh),
-                    lax.with_sharding_constraint(f, sh))
-
-        return jax.jit(build_sharded)()
+        return jax.jit(build)()
 
     def __call__(self, u, f):
         return self.fn(u, f)
+
+    def unpad(self, u: jnp.ndarray) -> jnp.ndarray:
+        return unpad_grid(u, self.finest_spec.n)
 
     def lower_text(self) -> str:
         """StableHLO of the whole cycle (for inspection/tests)."""
@@ -125,13 +124,26 @@ def _constrain(x, policy: Optional[ShardingPolicy], n: int):
     return lax.with_sharding_constraint(x, policy.sharding(n))
 
 
-def _trigger_smooth_traced(u, f, h, cfg: SolverConfig):
+def _sweeps(u, f, h, n: int, steps: int, cfg: SolverConfig):
+    """``steps`` smoothing sweeps on padded arrays, Pallas-fused when enabled."""
+    if cfg.smoother == "jacobi":
+        if _use_pallas(cfg):
+            from .ops.pallas_kernels import fused_jacobi_padded
+            return fused_jacobi_padded(u, f, n, h, steps, omega=cfg.omega)
+        sweep = partial(P.jacobi_sweep_p, h=h, n=n, omega=cfg.omega)
+    else:
+        sweep = partial(P.redblack_gs_sweep_p, h=h, n=n)
+    return lax.fori_loop(0, steps, lambda _, v: sweep(v, f), u, unroll=True)
+
+
+def _trigger_smooth_traced(u, f, h, n: int, cfg: SolverConfig):
     """Device-side error-trigger loop (MG_solver_CPU.cpp:194-240): smooth one
     sweep at a time while |err_k − err_{k−1}| > trigger."""
-    sweep = {"jacobi": partial(stencils.jacobi_sweep, omega=cfg.omega),
-             "rbgs": stencils.redblack_gs_sweep}[cfg.smoother]
-    u = sweep(u, f, h)
-    err0 = stencils.smoothing_error(u, f, h, compat=cfg.compat_error)
+    def one(v):
+        return _sweeps(v, f, h, n, 1, cfg)
+
+    u = one(u)
+    err0 = P.smoothing_error_p(u, f, h, n, compat=cfg.compat_error)
 
     def cond(state):
         _, _, slope, k = state
@@ -139,8 +151,8 @@ def _trigger_smooth_traced(u, f, h, cfg: SolverConfig):
 
     def body(state):
         u, prev, _, k = state
-        u = sweep(u, f, h)
-        err = stencils.smoothing_error(u, f, h, compat=cfg.compat_error)
+        u = one(u)
+        err = P.smoothing_error_p(u, f, h, n, compat=cfg.compat_error)
         return u, err, jnp.abs(err - prev), k + 1
 
     init = (u, err0, jnp.asarray(cfg.trigger + 1.0, err0.dtype),
@@ -149,26 +161,52 @@ def _trigger_smooth_traced(u, f, h, cfg: SolverConfig):
     return u, err
 
 
-def _smooth_traced(u, f, h, steps: int, cfg: SolverConfig):
+def _smooth_traced(u, f, h, n: int, steps: int, cfg: SolverConfig,
+                   want_err: bool):
     if steps == -1:
-        return _trigger_smooth_traced(u, f, h, cfg)
-    sweep = {"jacobi": partial(stencils.jacobi_sweep, omega=cfg.omega),
-             "rbgs": stencils.redblack_gs_sweep}[cfg.smoother]
-    u = lax.fori_loop(0, steps, lambda _, v: sweep(v, f, h), u, unroll=True)
-    err = stencils.smoothing_error(u, f, h, compat=cfg.compat_error)
+        return _trigger_smooth_traced(u, f, h, n, cfg)
+    u = _sweeps(u, f, h, n, steps, cfg)
+    err = (P.smoothing_error_p(u, f, h, n, compat=cfg.compat_error)
+           if want_err else None)
     return u, err
+
+
+def _coarse_solve_traced(f_pad, h, n: int, ins: CoarseSolve, cfg: SolverConfig):
+    """Exact solve on the (tiny) coarsest level: unpad → solve → repad.
+
+    Coarse grids are far below the tile-alignment scales, so the slice/pad
+    round-trip is noise; the solvers themselves are unchanged
+    (doExactSolver options, MG_solver_CPU.cpp:627-638)."""
+    f = unpad_grid(f_pad, n)
+    if ins.option == 0:
+        u = coarse_ops.dense_solve(f, h)
+    else:
+        dt = jnp.float32 if ins.option == 2 else cfg.dtype
+        u, _, _ = coarse_ops.gauss_seidel_solve(
+            f.astype(dt), h, ins.target_error, norm=cfg.coarse_gs_norm)
+        u = u.astype(cfg.dtype)
+    return pad_grid(u)
 
 
 def _run_traced(u0, f0, *, program: CycleProgram, problem: Problem,
                 config: SolverConfig, policy: Optional[ShardingPolicy],
                 warm: bool):
-    """Trace the full instruction sequence; returns (u_finest, last_err)."""
+    """Trace the full instruction sequence on padded arrays.
+
+    Returns (u_finest_padded, last_err) where last_err is the most recent
+    finest-level smoothing error (device scalar, no extra passes)."""
     cfg = config
     finest_spec = GridSpec(program.n_max, program.length,
                            program.min_x, program.min_y)
     levels = [_TraceLevel(finest_spec, u0, f0)]
     warm_now = warm
     last_err = jnp.asarray(0.0, cfg.dtype)
+
+    def boundary_pad(spec):
+        return pad_grid(problem.boundary_grid(spec, cfg.dtype))
+
+    def zeros_pad(spec):
+        return jnp.zeros(padded_shape(spec.n), cfg.dtype)
 
     for ins in program.instructions:
         lvl = levels[-1]
@@ -178,62 +216,51 @@ def _run_traced(u0, f0, *, program: CycleProgram, problem: Problem,
             finest = len(levels) == 1
             if not (finest and warm_now) and not lvl.is_fmg:
                 # reference memset semantics (MG_solver_CPU.cpp:209-214)
-                if finest:
-                    lvl.u = _constrain(
-                        problem.boundary_grid(lvl.spec, cfg.dtype), policy, n)
-                else:
-                    lvl.u = jnp.zeros(lvl.spec.shape, cfg.dtype)
-                    lvl.u = _constrain(lvl.u, policy, n)
+                lvl.u = _constrain(
+                    boundary_pad(lvl.spec) if finest else zeros_pad(lvl.spec),
+                    policy, n)
 
             next_spec = lvl.spec.coarsened(ins.next_n)
+            m = ins.next_n
             if ins.steps == 0:
                 # FMG descent: restrict the full RHS, no smoothing
                 # (the reference's TODO branch, MG_solver_CPU.cpp:296-299).
-                f_c = zoom(lvl.f, ins.next_n, zero_boundary=True)
-                f_c = f_c + problem.boundary_grid(next_spec, cfg.dtype)
-                f_c = _constrain(f_c, policy, ins.next_n)
+                f_c = P.zoom_p(lvl.f, n, m, padded_shape(m), zero_boundary=True)
+                f_c = f_c + boundary_pad(next_spec)
                 levels.append(_TraceLevel(
-                    next_spec, _constrain(jnp.zeros(next_spec.shape, cfg.dtype),
-                                          policy, ins.next_n),
-                    f_c, is_fmg=True))
+                    next_spec, _constrain(zeros_pad(next_spec), policy, m),
+                    _constrain(f_c, policy, m), is_fmg=True))
                 continue
 
-            lvl.u, err = _smooth_traced(lvl.u, lvl.f, h, ins.steps, cfg)
+            lvl.u, err = _smooth_traced(lvl.u, lvl.f, h, n, ins.steps, cfg,
+                                        want_err=finest)
             lvl.u = _constrain(lvl.u, policy, n)
-            if finest:
+            if finest and err is not None:
                 last_err = err
-            d = stencils.residual(lvl.u, lvl.f, h)
-            f_c = _constrain(zoom(-d, ins.next_n, zero_boundary=True),
-                             policy, ins.next_n)
+            d = P.residual_p(lvl.u, lvl.f, h, n)
+            f_c = P.zoom_p(-d, n, m, padded_shape(m), zero_boundary=True)
             levels.append(_TraceLevel(
-                next_spec,
-                _constrain(jnp.zeros(next_spec.shape, cfg.dtype), policy, ins.next_n),
-                f_c))
+                next_spec, _constrain(zeros_pad(next_spec), policy, m),
+                _constrain(f_c, policy, m)))
 
         elif isinstance(ins, CoarseSolve):
-            if ins.option == 0:
-                lvl.u = coarse_ops.dense_solve(lvl.f, h)
-            else:
-                dt = jnp.float32 if ins.option == 2 else cfg.dtype
-                u, _, _ = coarse_ops.gauss_seidel_solve(
-                    lvl.f.astype(dt), h, ins.target_error,
-                    norm=cfg.coarse_gs_norm)
-                lvl.u = u.astype(cfg.dtype)
-            lvl.u = _constrain(lvl.u, policy, n)
+            lvl.u = _constrain(
+                _coarse_solve_traced(lvl.f, h, n, ins, cfg), policy, n)
 
         elif isinstance(ins, Ascend):
             child = levels.pop()
             lvl = levels[-1]
             n, h = lvl.spec.n, lvl.spec.h
-            corr = zoom(child.u, n)
-            lvl.u = lvl.u.at[1:-1, 1:-1].add(corr[1:-1, 1:-1])
-            lvl.u = _constrain(lvl.u, policy, n)
+            corr = P.zoom_p(child.u, child.spec.n, n, padded_shape(n))
+            lvl.u = _constrain(P.add_correction_p(lvl.u, corr, n), policy, n)
             if len(levels) == 1:
                 warm_now = True
             if ins.steps != 0:
-                lvl.u, err = _smooth_traced(lvl.u, lvl.f, h, ins.steps, cfg)
+                finest = len(levels) == 1
+                lvl.u, err = _smooth_traced(lvl.u, lvl.f, h, n, ins.steps,
+                                            cfg, want_err=finest)
                 lvl.u = _constrain(lvl.u, policy, n)
-                if len(levels) == 1:
+                if finest and err is not None:
                     last_err = err
         else:  # pragma: no cover
             raise TypeError(f"unknown instruction {ins!r}")

@@ -1,0 +1,169 @@
+"""Stencil / transfer ops on the padded TPU-tile layout (see ops.layout).
+
+Each op mirrors its ops.stencils / ops.zoom counterpart exactly on the true
+(n, n) corner of the padded array and preserves the layout invariant (pad
+cells zero, boundary ring frozen). Shapes are (R8(n), C128(n)); the true
+``n`` is a static argument. Neighbor access uses whole-array shifts
+(jnp.roll) + masks instead of interior slicing — slice-free code keeps every
+intermediate tile-aligned, which XLA maps onto clean VPU ops and which makes
+the same function body reusable inside Pallas kernels.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .layout import interior_mask
+from .zoom import _zoom_matrix_np
+
+
+def _shifts(u: jnp.ndarray):
+    """(north, south, west, east) neighbor arrays via rolls; wrap values are
+    masked away by interior_mask downstream (the interior never touches the
+    wrapped rows/cols because pad/boundary cells are excluded)."""
+    un = jnp.roll(u, 1, axis=0)     # row j−1
+    us = jnp.roll(u, -1, axis=0)    # row j+1
+    uw = jnp.roll(u, 1, axis=1)
+    ue = jnp.roll(u, -1, axis=1)
+    return un, us, uw, ue
+
+
+def residual_p(u: jnp.ndarray, f: jnp.ndarray, h: float, n: int) -> jnp.ndarray:
+    """Padded 5-point residual: r on the interior, 0 elsewhere (incl. pad)."""
+    inv_h2 = jnp.asarray(1.0 / (h * h), u.dtype)
+    un, us, uw, ue = _shifts(u)
+    r = inv_h2 * (un + us + uw + ue - 4.0 * u) - f
+    return jnp.where(interior_mask(n, u.shape), r, jnp.zeros_like(u))
+
+
+def jacobi_sweep_p(u: jnp.ndarray, f: jnp.ndarray, h: float, n: int,
+                   omega: float = 1.0) -> jnp.ndarray:
+    """Padded damped-Jacobi sweep; identical to stencils.jacobi_sweep on the
+    true grid (doSmoothing increment form, MG_solver_CPU.cpp:590-603)."""
+    h2 = jnp.asarray(h * h, u.dtype)
+    un, us, uw, ue = _shifts(u)
+    incr = 0.25 * (un + us + uw + ue - 4.0 * u - h2 * f)
+    new = u + jnp.asarray(omega, u.dtype) * incr
+    return jnp.where(interior_mask(n, u.shape), new, u)
+
+
+def redblack_gs_sweep_p(u: jnp.ndarray, f: jnp.ndarray, h: float, n: int) -> jnp.ndarray:
+    """Padded red-black Gauss-Seidel sweep (even half then odd half)."""
+    h2 = jnp.asarray(h * h, u.dtype)
+    r = jax.lax.broadcasted_iota(jnp.int32, u.shape, 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, u.shape, 1)
+    parity = (r + c) % 2
+    interior = interior_mask(n, u.shape)
+
+    def half(u, color):
+        un, us, uw, ue = _shifts(u)
+        val = 0.25 * (un + us + uw + ue - h2 * f)
+        take = jnp.logical_and(parity == color, interior)
+        return jnp.where(take, val, u)
+
+    return half(half(u, 0), 1)
+
+
+def smoothing_error_p(u, f, h: float, n: int, compat: bool = True) -> jnp.ndarray:
+    """Padded smoothing-error metric (reference-compat color bug preserved,
+    MG_solver_CPU.cpp:606-622; see stencils.smoothing_error)."""
+    res = residual_p(u, f, h, n)
+    if compat:
+        r = jax.lax.broadcasted_iota(jnp.int32, u.shape, 0)
+        c = jax.lax.broadcasted_iota(jnp.int32, u.shape, 1)
+        even = ((r + c) % 2 == 0).astype(u.dtype)
+        s = 2.0 * jnp.sum(jnp.abs(res) * even)
+    else:
+        s = jnp.sum(jnp.abs(res))
+    return s / (n * n)
+
+
+def mean_abs_interior_residual_p(u, f, h: float, n: int) -> jnp.ndarray:
+    res = residual_p(u, f, h, n)
+    return jnp.sum(jnp.abs(res)) / ((n - 2) * (n - 2))
+
+
+# --- compensated residual on the padded layout --------------------------------
+
+def residual_compensated_p(u: jnp.ndarray, f: jnp.ndarray, h: float, n: int) -> jnp.ndarray:
+    """Padded compensated residual (see ops.precision): immune to the fp32
+    eps/h² cancellation noise that dominates naive fp32 residuals at N ≥ 2049."""
+    from .precision import two_sum
+
+    un, us, uw, ue = _shifts(u)
+    hi, lo = two_sum(un, us)
+    hi, e = two_sum(hi, uw)
+    lo = lo + e
+    hi, e = two_sum(hi, ue)
+    lo = lo + e
+    for _ in range(4):
+        hi, e = two_sum(hi, -u)
+        lo = lo + e
+    hi, lo = two_sum(hi, lo)
+    inv_h2 = jnp.asarray(1.0 / (h * h), u.dtype)
+    r = (hi * inv_h2 - f) + lo * inv_h2
+    return jnp.where(interior_mask(n, u.shape), r, jnp.zeros_like(u))
+
+
+def relative_residual_norm_p(u, f, h: float, n: int) -> jnp.ndarray:
+    """Compensated ‖r‖₂/‖f‖₂ on the padded layout (benchmark metric)."""
+    r = residual_compensated_p(u, f, h, n)
+    num = jnp.linalg.norm(r)
+    den = jnp.linalg.norm(jnp.where(interior_mask(n, u.shape), f, jnp.zeros_like(f)))
+    return num / jnp.maximum(den, jnp.asarray(jnp.finfo(u.dtype).tiny, u.dtype))
+
+
+# --- padded zoom (restriction / prolongation) --------------------------------
+
+@lru_cache(maxsize=None)
+def _zoom_matrix_padded_np(n_src: int, n_dst: int, rows_pad: int, cols_pad: int,
+                           dtype_name: str) -> np.ndarray:
+    """1-D interpolation matrix extended with zero rows/cols to padded dims.
+
+    (rows_pad, cols_pad) ⊇ (n_dst, n_src); the zero extension makes
+    W_pad @ src_pad both MXU-aligned and exact (pad cells of src are zero,
+    pad rows of the output stay zero).
+    """
+    w = _zoom_matrix_np(n_src, n_dst, dtype_name)
+    out = np.zeros((rows_pad, cols_pad), dtype=w.dtype)
+    out[:n_dst, :n_src] = w
+    return out
+
+
+def zoom_p(src: jnp.ndarray, n_src: int, n_dst: int,
+           dst_shape: tuple[int, int], zero_boundary: bool = False) -> jnp.ndarray:
+    """Bilinear zoom between padded layouts: (R8(n_src), C128(n_src)) →
+    ``dst_shape`` = (R8(n_dst), C128(n_dst)). Two MXU matmuls with
+    fully-aligned operand shapes (the TPU-native ker_Zoom_GPU,
+    MG_solver_GPU.cu:913-958)."""
+    rp_d, cp_d = dst_shape
+    rp_s, cp_s = src.shape
+    dt = jnp.dtype(src.dtype).name
+    wy = jnp.asarray(_zoom_matrix_padded_np(n_src, n_dst, rp_d, rp_s, dt))
+    wx = jnp.asarray(_zoom_matrix_padded_np(n_src, n_dst, cp_d, cp_s, dt))
+    tmp = jnp.dot(wy, src, preferred_element_type=src.dtype)       # (rp_d, cp_s)
+    out = jnp.dot(tmp, wx.T, preferred_element_type=src.dtype)     # (rp_d, cp_d)
+    if zero_boundary:
+        out = jnp.where(interior_mask(n_dst, out.shape), out, jnp.zeros_like(out))
+    else:
+        # keep layout invariant: anything outside the true grid must be 0
+        from .layout import valid_mask
+        out = jnp.where(valid_mask(n_dst, out.shape), out, jnp.zeros_like(out))
+    return out
+
+
+def add_correction_p(u: jnp.ndarray, corr: jnp.ndarray, n: int) -> jnp.ndarray:
+    """u += corr on the interior only (doGridAddition + the scheduler's
+    interior-only application, MG_solver_CPU.cpp:350-368)."""
+    return jnp.where(interior_mask(n, u.shape), u + corr, u)
+
+
+def mean_abs_error_p(u, ref, n: int) -> jnp.ndarray:
+    """Mean |u − ref| over the true n² cells (final report metric)."""
+    from .layout import valid_mask
+    d = jnp.where(valid_mask(n, u.shape), jnp.abs(u - ref), jnp.zeros_like(u))
+    return jnp.sum(d) / (n * n)

@@ -1,0 +1,219 @@
+"""Pallas TPU kernels for the bandwidth-bound hot path.
+
+The reference's CUDA kernels (ker_Smoothing_GPU and friends,
+MG_solver_GPU.cu:502-958) are one-thread-per-point grid-stride loops that
+re-read U and F from device memory every sweep. The TPU-native replacement
+restructures the computation around the memory hierarchy instead:
+
+  * ``fused_jacobi_padded``: k Jacobi sweeps in ONE pass over HBM. The grid
+    is cut into full-width row strips; each strip is DMA'd into VMEM once
+    with an 8-row halo (trapezoidal/overlapped tiling), k ≤ 8 sweeps run
+    on-chip ping-ponging two VMEM buffers (the TPU form of the reference's
+    U/U0 ping-pong, MG_solver_GPU.cu:584-661), and only the strip's owned
+    rows are written back. HBM traffic drops from 12 bytes/point/sweep to
+    ~(12 + halo overhead)/k — fusion XLA cannot do across sweeps because
+    each sweep is a full data-dependency barrier.
+  * Strip loads are double-buffered: strip i+1's DMA issues before strip i's
+    compute begins, hiding DMA latency under sweep arithmetic. Result strips
+    DMA straight from the compute buffer; the only sync is a cheap
+    wait-before-slot-reuse two strips later.
+  * The per-sweep inner loop is pure fp32 vector arithmetic: the freeze mask
+    (cut edges + Dirichlet boundary + padding) and the ω/4·h²·f source term
+    are folded into two per-strip coefficient buffers A and C built once per
+    strip, so a sweep is 4 rolls + a handful of FMAs —
+    u' = u + A·(Σnb − 4u) − C, with A = mask·ω/4 and C = A·h²·f.
+    (Rebuilding int32 iota masks every sweep measurably halved throughput.)
+  * Everything operates on the padded tile layout (ops.layout): row offsets
+    are multiples of 8 and the lane dimension a multiple of 128 — Mosaic
+    hard-requires both for sliced DMAs, and its alignment prover needs
+    explicit pl.multiple_of hints to see through clip/mul arithmetic.
+
+Trapezoid correctness: a strip owning rows [r0, r0+R) loads [r0−8, r0−8+S),
+S = R + 16. After sweep s, rows within (k−s) of a *cut* edge are stale; rows
+adjacent to the true Dirichlet boundary are anchored by it (boundary rows are
+never updated and always correct). Owned rows sit ≥ 8 ≥ k rows from any cut
+edge, so after k ≤ 8 sweeps every owned row is exact.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .layout import SUBLANE, padded_shape
+
+HALO = 8                      # rows of halo per cut edge; also max fused sweeps
+MAX_FUSED_SWEEPS = HALO
+
+# VMEM budget for strip buffers (headroom under ~16 MB/core).
+_VMEM_BUDGET_BYTES = 13 * 1024 * 1024
+# Resident buffers: 2 u-load slots, 2 f-load slots (reused as the C
+# coefficient), 1 ping-pong work buffer, 1 A coefficient.
+_NUM_BUFFERS = 6
+
+
+def _strip_rows(cp: int, itemsize: int) -> int:
+    s = _VMEM_BUDGET_BYTES // (_NUM_BUFFERS * cp * itemsize)
+    s = (s // SUBLANE) * SUBLANE
+    return max(4 * HALO, min(s, 1024))
+
+
+def _mul8(x):
+    return pl.multiple_of(x, SUBLANE)
+
+
+def _fused_jacobi_kernel(u_hbm, f_hbm, out_hbm,
+                         u_slots, fc_slots, work, a_buf,
+                         load_sems, out_sems,
+                         *, n: int, rp: int, cp: int, steps: int,
+                         num_strips: int, strip: int, owned: int,
+                         h2: float, omega: float):
+    def load_start(i):
+        # owned, HALO, rp, strip are all multiples of 8, so the clip result
+        # is too — but Mosaic's alignment prover can't see through clip/mul,
+        # hence the explicit hints.
+        return _mul8(jnp.clip(i * owned - HALO, 0, rp - strip))
+
+    def write_start(i):
+        return _mul8(jnp.clip(i * owned, 0, rp - owned))
+
+    def load_copies(i, slot):
+        s = load_start(i)
+        return (pltpu.make_async_copy(u_hbm.at[pl.ds(s, strip), :],
+                                      u_slots.at[slot], load_sems.at[slot, 0]),
+                pltpu.make_async_copy(f_hbm.at[pl.ds(s, strip), :],
+                                      fc_slots.at[slot], load_sems.at[slot, 1]))
+
+    def out_copy(i, slot):
+        wstart = write_start(i)
+        wlo = _mul8(wstart - load_start(i))
+        return pltpu.make_async_copy(
+            u_slots.at[slot, pl.ds(wlo, owned), :],
+            out_hbm.at[pl.ds(wstart, owned), :],
+            out_sems.at[slot])
+
+    for cp_ in load_copies(0, 0):
+        cp_.start()
+
+    def body(i, _):
+        slot = jax.lax.rem(i, 2)
+        nxt = jax.lax.rem(i + 1, 2)
+
+        @pl.when(i + 1 < num_strips)
+        def _():
+            # slot `nxt` was written out at strip i−1; its result DMA must
+            # drain before the prefetch overwrites the buffer
+            @pl.when(i >= 1)
+            def _():
+                out_copy(i - 1, nxt).wait()
+            for cp_ in load_copies(i + 1, nxt):
+                cp_.start()
+
+        for cp_ in load_copies(i, slot):
+            cp_.wait()
+
+        start_c = load_start(i)
+
+        # --- per-strip coefficients (amortized over the sweeps) -------------
+        rows = jax.lax.broadcasted_iota(jnp.int32, (strip, cp), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (strip, cp), 1)
+        g = rows + start_c
+        ok = ((rows >= 1) & (rows <= strip - 2)      # cut-edge rows frozen
+              & (g >= 1) & (g <= n - 2)              # Dirichlet + pad rows
+              & (cols >= 1) & (cols <= n - 2))       # Dirichlet + pad cols
+        a = jnp.where(ok, jnp.float32(0.25 * omega), jnp.float32(0.0)
+                      ).astype(u_hbm.dtype)
+        a_buf[:] = a
+        fc_slots[slot] = a * (jnp.asarray(h2, u_hbm.dtype) * fc_slots[slot])
+
+        # --- k sweeps, pure fp32 vector arithmetic --------------------------
+        def sweep(src, dst):
+            u = src[:]
+            nb = (pltpu.roll(u, shift=1, axis=0)
+                  + pltpu.roll(u, shift=strip - 1, axis=0)
+                  + pltpu.roll(u, shift=1, axis=1)
+                  + pltpu.roll(u, shift=cp - 1, axis=1))
+            dst[:] = u + a_buf[:] * (nb - 4.0 * u) - fc_slots[slot][:]
+
+        bufs = [u_slots.at[slot], work]
+        for s in range(steps):
+            sweep(bufs[s % 2], bufs[(s + 1) % 2])
+        if steps % 2 == 1:
+            # result must sit in the slot buffer for the direct out-DMA
+            u_slots[slot] = work[:]
+
+        out_copy(i, slot).start()
+        return 0
+
+    jax.lax.fori_loop(0, num_strips, body, 0, unroll=False)
+
+    # drain the last (up to) two outstanding writes
+    last = num_strips - 1
+
+    @pl.when(num_strips >= 2)
+    def _():
+        out_copy(last - 1, jax.lax.rem(last - 1, 2)).wait()
+
+    out_copy(last, jax.lax.rem(last, 2)).wait()
+
+
+@partial(jax.jit, static_argnames=("n", "h", "steps", "omega", "interpret"))
+def _fused_jacobi_call(u, f, n: int, h: float, steps: int, omega: float,
+                       interpret: bool):
+    rp, cp = u.shape
+    assert (rp, cp) == padded_shape(n), (
+        f"expected padded layout {padded_shape(n)} for n={n}, got {u.shape}")
+    itemsize = jnp.dtype(u.dtype).itemsize
+
+    strip = min(_strip_rows(cp, itemsize), rp)
+    if strip >= rp:
+        strip, owned, num_strips = rp, rp, 1
+    else:
+        owned = strip - 2 * HALO
+        num_strips = math.ceil(rp / owned)
+
+    kernel = partial(_fused_jacobi_kernel, n=n, rp=rp, cp=cp, steps=steps,
+                     num_strips=num_strips, strip=strip, owned=owned,
+                     h2=h * h, omega=omega)
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((rp, cp), u.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, strip, cp), u.dtype),   # u load slots
+            pltpu.VMEM((2, strip, cp), u.dtype),   # f load slots -> C coeff
+            pltpu.VMEM((strip, cp), u.dtype),      # ping-pong work buffer
+            pltpu.VMEM((strip, cp), u.dtype),      # A coefficient (mask·ω/4)
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=2 * _VMEM_BUDGET_BYTES),
+        interpret=interpret,
+    )(u, f)
+
+
+def fused_jacobi_padded(u: jnp.ndarray, f: jnp.ndarray, n: int, h: float,
+                        steps: int, omega: float = 1.0,
+                        interpret: bool = False) -> jnp.ndarray:
+    """``steps`` damped-Jacobi sweeps on padded-layout arrays, ≤8 per HBM pass.
+
+    Semantically identical to ``steps`` applications of
+    ops.padded.jacobi_sweep_p / ops.stencils.jacobi_sweep (doSmoothing,
+    MG_solver_CPU.cpp:573-604). Chunks calls when steps > 8.
+    """
+    if steps <= 0:
+        return u
+    while steps > 0:
+        k = min(steps, MAX_FUSED_SWEEPS)
+        u = _fused_jacobi_call(u, f, n, h, k, omega, interpret)
+        steps -= k
+    return u

@@ -62,6 +62,9 @@ class SolverConfig:
     max_trigger_sweeps: int = 100_000
     coarse_gs_norm: str = "interior"  # "interior" (CPU ref) | "full" (GPU ref)
     collect_node_stats: bool = True   # pull per-node scalars to host (off for benches)
+    kernels: str = "auto"             # "auto" | "pallas" | "xla" — hot-path kernel
+                                      # choice for the compiled engine ("auto":
+                                      # Pallas on TPU, plain XLA elsewhere)
 
 
 @dataclasses.dataclass

@@ -34,7 +34,7 @@ def write_solution_csv(u, path: str | os.PathLike, decimals: int = 6) -> None:
         raise ValueError(f"expected a 2D grid, got shape {arr.shape}")
     flipped = arr[::-1, :]  # top-to-bottom in y
     try:
-        from .native import write_csv_native
+        from ..native import write_csv_native
 
         if write_csv_native(flipped, str(path), decimals):
             return

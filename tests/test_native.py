@@ -1,0 +1,75 @@
+"""Native runtime (C++ via ctypes) vs the pure-Python implementations.
+
+The native cycle parser must produce byte-identical CycleProgram objects to
+schedule.parse_cycle_file on every grammar variant, and the native CSV writer
+must produce byte-identical files to the Python writer.
+"""
+
+import numpy as np
+import pytest
+
+import multigrid_poisson_solver_tpu as mg
+from multigrid_poisson_solver_tpu import native
+from multigrid_poisson_solver_tpu.schedule import parse_cycle_file, to_cycle_file
+from multigrid_poisson_solver_tpu.utils.io import read_solution_csv, write_solution_csv
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native library not built")
+
+SCHEDULE_DIR = "schedules"
+BUNDLED = ["test.txt", "Vcycle.txt", "VcycleTrigger.txt", "Wcycle.txt"]
+
+
+@pytest.mark.parametrize("name", BUNDLED)
+def test_parser_matches_python_on_bundled(name):
+    text = open(f"{SCHEDULE_DIR}/{name}").read()
+    assert native.parse_cycle_native(text) == parse_cycle_file(text)
+
+
+@pytest.mark.parametrize("maker", [
+    lambda: mg.v_cycle(129, n_min=8, steps=3),
+    lambda: mg.w_cycle(65, n_min=8, steps=2),
+    lambda: mg.fmg(65, n_min=8, steps=2),
+    lambda: mg.v_cycle(64, n_min=5, steps=-1, coarsen=2),
+])
+def test_parser_roundtrip_generated(maker):
+    program = maker()
+    text = to_cycle_file(program)
+    assert native.parse_cycle_native(text) == parse_cycle_file(text) == program
+
+
+@pytest.mark.parametrize("bad,msg", [
+    ("1.0 0 0\n3 1\n16 100\n-1\n2\n", "descends below"),
+    ("1.0 0 0\n0 0\n16 4\n1\n3\n2\n", "no coarser level"),
+    ("1.0 0 0\n0 0\n16 4\n-1\n3 20\n2\n", "does not coarsen"),
+    ("1.0 0 0\n0 0\n16 4\n-1\n3", "ended while reading"),
+    ("1.0 0 0\n0 0\n16 4\n7\n", "unknown node"),
+])
+def test_parser_errors_match(bad, msg):
+    with pytest.raises(ValueError, match=msg):
+        parse_cycle_file(bad)
+    with pytest.raises(ValueError):
+        native.parse_cycle_native(bad)
+
+
+def test_csv_writer_byte_identical(tmp_path, rng):
+    u = rng.standard_normal((37, 37))
+    p_native = tmp_path / "native.csv"
+    p_python = tmp_path / "python.csv"
+    assert native.write_csv_native(u[::-1], str(p_native))
+    # force the Python fallback path
+    with open(p_python, "w") as fh:
+        for row in u[::-1]:
+            fh.write(",".join(f"{v:.6f}" for v in row))
+            fh.write("\n")
+    assert p_native.read_bytes() == p_python.read_bytes()
+
+
+def test_csv_roundtrip_through_io(tmp_path, rng):
+    u = rng.standard_normal((65, 65))
+    path = tmp_path / "sol.csv"
+    write_solution_csv(u, path)              # uses the native fast path
+    back = read_solution_csv(path)
+    np.testing.assert_allclose(back, u, atol=5e-7)   # %.6f quantization
+    fast = native.read_csv_native(str(path), 65, 65)
+    np.testing.assert_array_equal(fast[::-1], back)

@@ -1,0 +1,76 @@
+"""Pallas fused-smoother tests (interpret mode on the CPU mesh).
+
+Real-hardware numbers are covered by bench.py; here the kernel's strip
+decomposition, trapezoidal halos, double buffering, masking, and sweep
+chunking are validated bit-for-bit against the oracle on shapes that
+exercise every code path (single strip, multi-strip, clamped last strip,
+steps above the fusion cap).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multigrid_poisson_solver_tpu.ops import layout, stencils
+from multigrid_poisson_solver_tpu.ops import pallas_kernels as pk
+
+
+def _fused(u, f, n, h, steps, omega=1.0):
+    return pk.fused_jacobi_padded(layout.pad_grid(u), layout.pad_grid(f),
+                                  n, h, steps, omega=omega, interpret=True)
+
+
+@pytest.mark.parametrize("n,steps", [
+    (33, 2),        # single strip, whole grid in VMEM
+    (257, 3),       # single strip at larger n
+    (520, 8),       # multi-strip, clamped second strip, max fused sweeps
+    (700, 5),       # multi-strip with ragged final rows
+    (1030, 11),     # sweeps above the fusion cap -> chunked into 8 + 3
+])
+def test_fused_jacobi_matches_oracle(rng, n, steps):
+    u = jnp.asarray(rng.standard_normal((n, n)), jnp.float32)
+    f = jnp.asarray(rng.standard_normal((n, n)), jnp.float32)
+    h = 1.0 / (n - 1)
+    got = _fused(u, f, n, h, steps)
+    want = u
+    for _ in range(steps):
+        want = stencils.jacobi_sweep(want, f, h)
+    np.testing.assert_allclose(
+        np.asarray(layout.unpad_grid(got, n)), np.asarray(want),
+        rtol=0, atol=1e-6)
+    # layout invariant: pad cells stay zero
+    pad = np.asarray(got).copy()
+    pad[:n, :n] = 0
+    assert not pad.any()
+
+
+def test_fused_jacobi_damped(rng):
+    n, steps = 129, 4
+    u = jnp.asarray(rng.standard_normal((n, n)), jnp.float32)
+    f = jnp.asarray(rng.standard_normal((n, n)), jnp.float32)
+    h = 1.0 / (n - 1)
+    got = _fused(u, f, n, h, steps, omega=0.8)
+    want = u
+    for _ in range(steps):
+        want = stencils.jacobi_sweep(want, f, h, omega=0.8)
+    np.testing.assert_allclose(
+        np.asarray(layout.unpad_grid(got, n)), np.asarray(want),
+        rtol=0, atol=1e-6)
+
+
+def test_fused_jacobi_boundary_frozen(rng):
+    n = 257
+    u = jnp.asarray(rng.standard_normal((n, n)), jnp.float32)
+    f = jnp.asarray(rng.standard_normal((n, n)), jnp.float32)
+    h = 1.0 / (n - 1)
+    got = layout.unpad_grid(_fused(u, f, n, h, 5), n)
+    for sl in (np.s_[0, :], np.s_[-1, :], np.s_[:, 0], np.s_[:, -1]):
+        np.testing.assert_array_equal(np.asarray(got[sl]), np.asarray(u[sl]))
+
+
+def test_zero_steps_is_identity(rng):
+    n = 65
+    u = jnp.asarray(rng.standard_normal((n, n)), jnp.float32)
+    up = layout.pad_grid(u)
+    out = pk.fused_jacobi_padded(up, up, n, 1.0 / (n - 1), 0, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(up))
