@@ -26,3 +26,5 @@ from .schedule import (  # noqa: F401
 )
 from .solver import MultigridSolver, SolveReport, SolverConfig, solve  # noqa: F401
 from .compiled import CompiledCycle, compile_program  # noqa: F401
+from .refine import IterativeRefinementSolver, RefineReport, solve_to_tolerance  # noqa: F401
+from . import models  # noqa: F401

@@ -124,6 +124,17 @@ def _constrain(x, policy: Optional[ShardingPolicy], n: int):
     return lax.with_sharding_constraint(x, policy.sharding(n))
 
 
+def _zoom(cfg: SolverConfig):
+    return P.zoom_take_p if cfg.zoom == "take" else P.zoom_p
+
+
+def _restrict(d, n: int, m: int, cfg: SolverConfig):
+    """Coarse RHS from the negated fine residual, per the restriction policy."""
+    if cfg.restriction == "full_weighting" and n == 2 * m - 1:
+        return P.full_weighting_restrict_p(-d, n, m, padded_shape(m))
+    return _zoom(cfg)(-d, n, m, padded_shape(m), zero_boundary=True)
+
+
 def _sweeps(u, f, h, n: int, steps: int, cfg: SolverConfig):
     """``steps`` smoothing sweeps on padded arrays, Pallas-fused when enabled."""
     if cfg.smoother == "jacobi":
@@ -225,7 +236,8 @@ def _run_traced(u0, f0, *, program: CycleProgram, problem: Problem,
             if ins.steps == 0:
                 # FMG descent: restrict the full RHS, no smoothing
                 # (the reference's TODO branch, MG_solver_CPU.cpp:296-299).
-                f_c = P.zoom_p(lvl.f, n, m, padded_shape(m), zero_boundary=True)
+                f_c = _zoom(cfg)(lvl.f, n, m, padded_shape(m),
+                                 zero_boundary=True)
                 f_c = f_c + boundary_pad(next_spec)
                 levels.append(_TraceLevel(
                     next_spec, _constrain(zeros_pad(next_spec), policy, m),
@@ -238,7 +250,7 @@ def _run_traced(u0, f0, *, program: CycleProgram, problem: Problem,
             if finest and err is not None:
                 last_err = err
             d = P.residual_p(lvl.u, lvl.f, h, n)
-            f_c = P.zoom_p(-d, n, m, padded_shape(m), zero_boundary=True)
+            f_c = _restrict(d, n, m, cfg)
             levels.append(_TraceLevel(
                 next_spec, _constrain(zeros_pad(next_spec), policy, m),
                 _constrain(f_c, policy, m)))
@@ -251,7 +263,7 @@ def _run_traced(u0, f0, *, program: CycleProgram, problem: Problem,
             child = levels.pop()
             lvl = levels[-1]
             n, h = lvl.spec.n, lvl.spec.h
-            corr = P.zoom_p(child.u, child.spec.n, n, padded_shape(n))
+            corr = _zoom(cfg)(child.u, child.spec.n, n, padded_shape(n))
             lvl.u = _constrain(P.add_correction_p(lvl.u, corr, n), policy, n)
             if len(levels) == 1:
                 warm_now = True

@@ -74,6 +74,9 @@ def level_sizes(n_max: int, n_min: int, rule: int) -> list[int]:
     (/root/reference/README.md:80-86, parser MG_solver_CPU.cpp:111-146):
       * 1: halve (``N -> N / 2`` integer division) while ``N >= n_min``
       * 2: decrement (``N -> N - 1``) down to ``n_min``
+      * 3: odd-halve (``N -> (N + 1) / 2``) — an extension beyond the
+        reference: keeps 2^k + 1 hierarchies exactly 2:1 vertex-aligned,
+        which full-weighting restriction requires
     """
     if rule == 1:
         sizes = []
@@ -84,4 +87,15 @@ def level_sizes(n_max: int, n_min: int, rule: int) -> list[int]:
         return sizes
     if rule == 2:
         return list(range(n_max, n_min - 1, -1))
-    raise ValueError(f"unknown coarsening rule {rule}; expected 1 (halve) or 2 (decrement)")
+    if rule == 3:
+        sizes = []
+        n = n_max
+        while n >= n_min:
+            sizes.append(n)
+            if n <= 2:
+                break
+            n = (n + 1) // 2
+        return sizes
+    raise ValueError(
+        f"unknown coarsening rule {rule}; expected 1 (halve), 2 (decrement), "
+        "or 3 (odd-halve)")

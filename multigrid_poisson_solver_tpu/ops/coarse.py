@@ -57,16 +57,18 @@ def _poisson_matrix_np(n: int, h: float) -> np.ndarray:
 
 
 @lru_cache(maxsize=None)
-def _poisson_inverse(n: int, h: float, dtype_name: str):
-    """Device-resident A⁻¹ for the assembled operator, cached per (n, h, dtype).
+def _poisson_inverse_np(n: int, h: float, dtype_name: str) -> np.ndarray:
+    """Host-cached A⁻¹ for the assembled operator, per (n, h, dtype).
 
-    Computed on the host in float64 (TPU has no native f64 factorizations),
-    then cast and shipped to device once. A is well-conditioned at coarse
-    sizes (cond ≈ (2/(πh))²), so the explicit inverse loses no meaningful
-    accuracy, and applying it is a single MXU matmul.
+    Computed in float64 (TPU has no native f64 factorizations), then cast.
+    Cached as a NumPy array — NEVER as a jax value: a jax array created the
+    first time inside a jit trace would be a tracer, and caching it leaks it
+    into every later trace (UnexpectedTracerError). A is well-conditioned at
+    coarse sizes (cond ≈ (2/(πh))²), so the explicit inverse loses no
+    meaningful accuracy, and applying it is a single MXU matmul.
     """
     inv = np.linalg.inv(_poisson_matrix_np(n, h))
-    return jax.device_put(jnp.asarray(inv.astype(dtype_name)))
+    return inv.astype(dtype_name)
 
 
 def dense_solve(f: jnp.ndarray, h: float) -> jnp.ndarray:
@@ -76,8 +78,9 @@ def dense_solve(f: jnp.ndarray, h: float) -> jnp.ndarray:
     border (identity rows), exactly like InverseMatrix's F argument.
     """
     n = f.shape[0]
-    a_inv = _poisson_inverse(n, h, jnp.dtype(f.dtype).name)
-    u = jnp.dot(a_inv, f.reshape(-1), preferred_element_type=f.dtype)
+    a_inv = jnp.asarray(_poisson_inverse_np(n, h, jnp.dtype(f.dtype).name))
+    u = jnp.dot(a_inv, f.reshape(-1), preferred_element_type=f.dtype,
+                precision=jax.lax.Precision.HIGHEST)
     return u.reshape(n, n)
 
 
@@ -87,7 +90,7 @@ def gauss_seidel_solve(
     h: float,
     target_error: float,
     norm: str = "interior",
-    max_iters: int = 1_000_000,
+    max_iters: int = 100_000,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Red-black GS from U = 0 until mean |interior residual| ≤ target_error.
 
@@ -95,7 +98,14 @@ def gauss_seidel_solve(
     "interior" divides by (n−2)² (CPU reference, MG_solver_CPU.cpp:1059) and
     "full" by n² (GPU reference, MG_solver_GPU.cu:1521). ``max_iters`` is a
     divergence backstop the reference lacks.
+
+    The convergence metric uses the *compensated* residual (ops.precision):
+    the naive fp32 residual has an eps·|u|/h² noise floor that can sit above
+    tight targets like 1e-7 — the iteration then spins at max_iters without
+    ever "converging" (observed on TPU: 10⁶ iterations, 2.2 s, at n=8).
     """
+    from .precision import residual_compensated
+
     n = f.shape[0]
     denom = {"interior": (n - 2) * (n - 2), "full": n * n}[norm]
     # zero interior start (reference memset, MG_solver_CPU.cpp:993); the border
@@ -107,20 +117,35 @@ def gauss_seidel_solve(
     tgt = jnp.asarray(target_error, f.dtype)
 
     def err_of(u):
-        r = residual(u, f, h)
+        r = residual_compensated(u, f, h)
         return jnp.sum(jnp.abs(r[1:-1, 1:-1])) / denom
 
+    # Stagnation detector: fp32 GS cannot push the true residual below the
+    # state-precision floor (~eps·|u|/h²); if the target sits under that
+    # floor the reference-style loop would spin at max_iters (observed:
+    # 10⁵ iterations, 200 ms, at n=8 for target 1e-7). Stop after 128
+    # consecutive sweeps without meaningful improvement on the best error.
+    STALL_LIMIT = 128
+
     def cond(state):
-        _, err, it = state
-        return jnp.logical_and(err > tgt, it < max_iters)
+        _, err, it, _, stall = state
+        return jnp.logical_and(err > tgt,
+                               jnp.logical_and(it < max_iters,
+                                               stall < STALL_LIMIT))
 
     def body(state):
-        u, _, it = state
+        u, _, it, best, stall = state
         u = redblack_gs_sweep(u, f, h)
-        return u, err_of(u), it + 1
+        err = err_of(u)
+        improved = err < best * (1.0 - 1e-6)
+        best = jnp.minimum(best, err)
+        stall = jnp.where(improved, 0, stall + 1)
+        return u, err, it + 1, best, stall
 
-    init = (u0, tgt + 1.0, jnp.asarray(0, jnp.int32))
-    u, err, iters = jax.lax.while_loop(cond, body, init)
+    init = (u0, tgt + 1.0, jnp.asarray(0, jnp.int32),
+            jnp.asarray(jnp.finfo(f.dtype).max, f.dtype),
+            jnp.asarray(0, jnp.int32))
+    u, err, iters, _, _ = jax.lax.while_loop(cond, body, init)
     return u, err, iters
 
 

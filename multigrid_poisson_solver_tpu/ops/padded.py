@@ -156,6 +156,73 @@ def zoom_p(src: jnp.ndarray, n_src: int, n_dst: int,
     return out
 
 
+@lru_cache(maxsize=None)
+def _zoom_take_indices_np(n_src: int, n_dst: int, pad_dst: int):
+    """(i0, w) arrays of length pad_dst for gather-based 1-D interpolation;
+    pad rows index 0 with weight 0 (masked later anyway)."""
+    s = np.arange(pad_dst, dtype=np.float64) * ((n_src - 1) / (n_dst - 1))
+    i0 = np.clip(np.floor(s).astype(np.int32), 0, n_src - 2)
+    w = (s - i0).astype(np.float32)
+    i0[n_dst:] = 0
+    w[n_dst:] = 0.0
+    return i0, w
+
+
+def zoom_take_p(src: jnp.ndarray, n_src: int, n_dst: int,
+                dst_shape: tuple[int, int], zero_boundary: bool = False) -> jnp.ndarray:
+    """Gather-based bilinear zoom between padded layouts.
+
+    Same contract as zoom_p but O(n²) memory traffic instead of O(n³)
+    MXU flops: separable 2-point interpolation via row gathers
+    (``jnp.take``) along each axis. Preferable on large fine levels where
+    the dense-matmul zoom is FLOP-bound.
+    """
+    rp_d, cp_d = dst_shape
+    iy, wy = _zoom_take_indices_np(n_src, n_dst, rp_d)
+    ix, wx = _zoom_take_indices_np(n_src, n_dst, cp_d)
+    iy = jnp.asarray(iy); wy = jnp.asarray(wy, src.dtype)[:, None]
+    ix = jnp.asarray(ix); wx = jnp.asarray(wx, src.dtype)[None, :]
+
+    rows0 = jnp.take(src, iy, axis=0)
+    rows1 = jnp.take(src, iy + 1, axis=0)
+    tmp = rows0 * (1.0 - wy) + rows1 * wy          # (rp_d, cp_s)
+    cols0 = jnp.take(tmp, ix, axis=1)
+    cols1 = jnp.take(tmp, ix + 1, axis=1)
+    out = cols0 * (1.0 - wx) + cols1 * wx          # (rp_d, cp_d)
+
+    if zero_boundary:
+        return jnp.where(interior_mask(n_dst, out.shape), out, jnp.zeros_like(out))
+    from .layout import valid_mask
+    return jnp.where(valid_mask(n_dst, out.shape), out, jnp.zeros_like(out))
+
+
+def full_weighting_restrict_p(d: jnp.ndarray, n_src: int, n_dst: int,
+                              dst_shape: tuple[int, int]) -> jnp.ndarray:
+    """Full-weighting 2:1 restriction (extension beyond the reference).
+
+    Requires exact vertex alignment: ``n_src == 2·n_dst − 1`` (the odd-halve
+    coarsening rule 3). The separable [1/4, 1/2, 1/4]² stencil averages the
+    residual over both colors — required when the smoother is red-black
+    Gauss-Seidel: GS leaves the residual entirely on one color, and the
+    reference's *sampling* restriction aliases that checkerboard into a
+    double-amplitude coarse RHS (observed: rbgs V-cycles stall at ~0.5
+    contraction and diverge at large N with sampling; textbook-fast with FW).
+    Output boundary and pad cells are zero (restriction semantics).
+    """
+    if n_src != 2 * n_dst - 1:
+        raise ValueError(
+            f"full weighting needs n_src == 2*n_dst-1, got {n_src} -> {n_dst}")
+    # separable smoothing pass then even-point sampling per axis
+    sy = 0.25 * jnp.roll(d, 1, 0) + 0.5 * d + 0.25 * jnp.roll(d, -1, 0)
+    sxy = 0.25 * jnp.roll(sy, 1, 1) + 0.5 * sy + 0.25 * jnp.roll(sy, -1, 1)
+    rp_d, cp_d = dst_shape
+    iy = np.minimum(2 * np.arange(rp_d), n_src - 1).astype(np.int32)
+    ix = np.minimum(2 * np.arange(cp_d), n_src - 1).astype(np.int32)
+    out = jnp.take(jnp.take(sxy, jnp.asarray(iy), axis=0),
+                   jnp.asarray(ix), axis=1)
+    return jnp.where(interior_mask(n_dst, out.shape), out, jnp.zeros_like(out))
+
+
 def add_correction_p(u: jnp.ndarray, corr: jnp.ndarray, n: int) -> jnp.ndarray:
     """u += corr on the interior only (doGridAddition + the scheduler's
     interior-only application, MG_solver_CPU.cpp:350-368)."""

@@ -1,0 +1,202 @@
+"""Deep convergence: mixed-precision iterative refinement to a residual target.
+
+Why: fp32 state cannot represent a Poisson solution to better than
+eps·‖u‖·‖A‖ in residual — at N = 8193 the fp32 relative-residual floor is
+O(0.1) *even for the exact solution rounded to fp32*. The reference never
+faces this (its hierarchy is host fp64, linkedlist.cpp); the TPU-native
+answer is NOT emulated-fp64 everywhere (10-30× slower on the VPU) but the
+classic iterative-refinement structure, built from the pieces this framework
+already has:
+
+    state:   u = u_hi + u_lo, an unevaluated double-float fp32 pair
+             (effective precision ~2⁻⁴⁸ — fp64-class) — or plain emulated
+             f64 when ``jax_enable_x64`` is on;
+    step:    r  = f − A·(u_hi + u_lo)   — compensated (two-sum) stencil sum,
+                                          exact to fp32 eps of r itself;
+             e  ≈ A⁻¹ r                 — ONE fp32 multigrid cycle on the
+                                          correction equation (zero Dirichlet),
+                                          running the fused Pallas hot path;
+             u += e                     — two-sum accumulation into the pair.
+
+Every refinement cycle contracts the true residual by the multigrid
+contraction factor (~0.1 per V(3,3)-cycle) until the state-precision floor:
+~1e-8 relative for df32 at 8193², ~1e-9 for f64. The entire loop — cycles,
+residual norms, convergence test — is one ``lax.while_loop`` on device; the
+host sees a single scalar at the end (the device tunnel costs 0.6 s per
+sync, SKILL.md).
+
+Reference parity note: this subsystem has no reference counterpart — it is
+the capability the reference's fp64-host design gets implicitly, rebuilt for
+a chip where fp32 is the fast path (SURVEY.md §2 C15 inversion).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .grid import GridSpec
+from .models.problems import Problem
+from .ops import padded as P
+from .ops.layout import interior_mask, pad_grid, padded_shape, unpad_grid
+from .ops.precision import two_sum
+from .parallel.mesh import ShardingPolicy
+from .schedule import CycleProgram, v_cycle
+from .solver import SolverConfig
+
+
+def residual_df_p(u_hi, u_lo, f, h: float, n: int):
+    """Compensated residual of the double-float pair state (padded layout).
+
+    r = (Σnb(u_hi+u_lo) − 4(u_hi+u_lo))/h² − f with the u_hi part summed via
+    error-free two-sums (the cancellation-critical part) and the u_lo part in
+    plain fp32 (its magnitude is already at the eps·|u| level).
+    """
+    un = jnp.roll(u_hi, 1, 0); us = jnp.roll(u_hi, -1, 0)
+    uw = jnp.roll(u_hi, 1, 1); ue = jnp.roll(u_hi, -1, 1)
+    hi, lo = two_sum(un, us)
+    hi, e = two_sum(hi, uw); lo = lo + e
+    hi, e = two_sum(hi, ue); lo = lo + e
+    for _ in range(4):
+        hi, e = two_sum(hi, -u_hi); lo = lo + e
+    slo = (jnp.roll(u_lo, 1, 0) + jnp.roll(u_lo, -1, 0)
+           + jnp.roll(u_lo, 1, 1) + jnp.roll(u_lo, -1, 1) - 4.0 * u_lo)
+    inv_h2 = jnp.asarray(1.0 / (h * h), u_hi.dtype)
+    r = (hi * inv_h2 - f) + (lo + slo) * inv_h2
+    return jnp.where(interior_mask(n, u_hi.shape), r, jnp.zeros_like(r))
+
+
+def df_add(u_hi, u_lo, e):
+    """(u_hi, u_lo) + e with two-sum renormalization."""
+    s, err = two_sum(u_hi, e)
+    u_lo = u_lo + err
+    s, err = two_sum(s, u_lo)
+    return s, err
+
+
+@dataclasses.dataclass
+class RefineReport:
+    u: jnp.ndarray                  # unpadded (n, n) best fp32 representation
+    u_lo: jnp.ndarray               # unpadded low word (df32 state)
+    rel_residual: float             # compensated ‖r‖₂/‖f‖₂ at exit
+    cycles: int
+    wall_time_s: float
+    spec: GridSpec
+    error_vs_analytic: Optional[float] = None
+
+
+class IterativeRefinementSolver:
+    """Solve ∇²u = f to a relative-residual target with df32 refinement."""
+
+    def __init__(self, problem: Problem, n: int,
+                 program: Optional[CycleProgram] = None,
+                 config: Optional[SolverConfig] = None,
+                 policy: Optional[ShardingPolicy] = None,
+                 max_cycles: int = 60):
+        from .compiled import _run_traced
+        from .models.problems import Problem as Prob
+
+        self.problem = problem
+        # refinement needs a smoother that damps ALL frequencies: plain
+        # (omega=1) Jacobi leaves the checkerboard mode undamped (|lambda|=1)
+        # and stalls the outer iteration at ~1e-4 relative residual; omega=0.8
+        # is the standard 2D choice. Dense coarse solve (option 0): exact to
+        # fp32 eps in one matmul — the GS option's fp32 iterate floors above
+        # tight absolute targets and would spin its stagnation window.
+        config = config or SolverConfig(omega=0.8)
+        self.config = config
+        self.program = program or v_cycle(n, n_min=8, steps=3,
+                                          coarse_option=0)
+        self.spec = GridSpec(self.program.n_max, self.program.length,
+                             self.program.min_x, self.program.min_y)
+        n = self.spec.n
+        self.max_cycles = max_cycles
+
+        # the correction problem: zero source, zero Dirichlet boundary — its
+        # RHS is fed per-cycle (the compensated residual)
+        zero_problem = Prob(source=lambda x, y: jnp.zeros_like(x),
+                            name="refine-correction")
+        cycle = partial(_run_traced, program=self.program,
+                        problem=zero_problem, config=config, policy=policy,
+                        warm=False)
+        h = self.spec.h
+        rp_cp = padded_shape(n)
+
+        def fnorm(f):
+            m = interior_mask(n, rp_cp, config.dtype)
+            return jnp.linalg.norm(jnp.ravel(f * m))
+
+        def run(f, tol):
+            # start from the Dirichlet data on the ring (the stencil reads
+            # boundary neighbors; zero there would be wrong for problems
+            # with nonzero boundary), zero interior
+            u_hi = pad_grid(problem.boundary_grid(self.spec, config.dtype))
+            u_lo = jnp.zeros(rp_cp, config.dtype)
+            den = jnp.maximum(fnorm(f), jnp.asarray(1e-30, config.dtype))
+
+            def step(state):
+                u_hi, u_lo, _, k = state
+                r = residual_df_p(u_hi, u_lo, f, h, n)
+                # A·e = −r  (so that u + e reduces the residual):
+                # the cycle solves ∇²e = rhs with rhs = −r? Sign: residual
+                # r = A·u − f; we need e with A·e = f − A·u = −r.
+                e, _ = cycle(jnp.zeros(rp_cp, config.dtype), -r)
+                u_hi, u_lo = df_add(u_hi, u_lo, e)
+                r_new = residual_df_p(u_hi, u_lo, f, h, n)
+                rel = jnp.linalg.norm(jnp.ravel(r_new)) / den
+                return u_hi, u_lo, rel, k + 1
+
+            def cond(state):
+                _, _, rel, k = state
+                return jnp.logical_and(rel > tol, k < max_cycles)
+
+            init = (u_hi, u_lo, jnp.asarray(jnp.inf, config.dtype),
+                    jnp.asarray(0, jnp.int32))
+            u_hi, u_lo, rel, k = lax.while_loop(cond, step, init)
+            return u_hi, u_lo, rel, k
+
+        self._run = jax.jit(run)
+
+    def init_rhs(self) -> jnp.ndarray:
+        f = (self.problem.source_grid(self.spec, self.config.dtype)
+             + self.problem.boundary_grid(self.spec, self.config.dtype))
+        return pad_grid(f)
+
+    def solve(self, tol: float = 1e-8) -> RefineReport:
+        cfg = self.config
+        n = self.spec.n
+        f = self.init_rhs()
+        start = time.perf_counter()
+        u_hi, u_lo, rel, k = self._run(f, tol)
+        # boundary values live in f's identity rows; refinement corrections
+        # are interior-only so add the Dirichlet ring back explicitly
+        b = pad_grid(self.problem.boundary_grid(self.spec, cfg.dtype))
+        u_hi = jnp.where(interior_mask(n, u_hi.shape), u_hi, b)
+        rel_f = float(jax.device_get(rel))
+        wall = time.perf_counter() - start
+        cycles = int(jax.device_get(k))
+
+        err = None
+        if self.problem.analytic is not None:
+            ua = pad_grid(self.problem.analytic_grid(self.spec, cfg.dtype))
+            err = float(jax.device_get(P.mean_abs_error_p(u_hi, ua, n)))
+        return RefineReport(u=unpad_grid(u_hi, n), u_lo=unpad_grid(u_lo, n),
+                            rel_residual=rel_f, cycles=cycles,
+                            wall_time_s=wall, spec=self.spec,
+                            error_vs_analytic=err)
+
+
+def solve_to_tolerance(problem: Problem, n: int, tol: float = 1e-8,
+                       program: Optional[CycleProgram] = None,
+                       config: Optional[SolverConfig] = None,
+                       policy: Optional[ShardingPolicy] = None,
+                       max_cycles: int = 60) -> RefineReport:
+    """One-call driver: df32 iterative refinement until ‖r‖/‖f‖ ≤ tol."""
+    return IterativeRefinementSolver(problem, n, program, config, policy,
+                                     max_cycles).solve(tol)

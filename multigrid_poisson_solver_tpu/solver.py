@@ -65,6 +65,14 @@ class SolverConfig:
     kernels: str = "auto"             # "auto" | "pallas" | "xla" — hot-path kernel
                                       # choice for the compiled engine ("auto":
                                       # Pallas on TPU, plain XLA elsewhere)
+    zoom: str = "take"                # "take" (gather; exact fp32, faster
+                                      # restriction) | "matmul" (MXU; runs at
+                                      # bf16 input precision on TPU)
+    restriction: str = "sampling"     # "sampling" (reference semantics,
+                                      # doRestriction) | "full_weighting"
+                                      # (2:1-aligned levels only; REQUIRED for
+                                      # the rbgs smoother — sampling aliases
+                                      # its one-color residual)
 
 
 @dataclasses.dataclass

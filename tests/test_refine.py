@@ -1,0 +1,142 @@
+"""Iterative-refinement (deep convergence) and full-weighting tests.
+
+The headline property: df32 pair state + fp32 V-cycles reaches 1e-10
+relative residual — two orders below the plain-fp32 state floor — without
+any fp64 arrays (see refine.py module docstring).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import multigrid_poisson_solver_tpu as mg
+from multigrid_poisson_solver_tpu.grid import level_sizes
+from multigrid_poisson_solver_tpu.models.problems import sine_problem
+from multigrid_poisson_solver_tpu.ops import padded as P
+from multigrid_poisson_solver_tpu.ops.layout import pad_grid, padded_shape
+from multigrid_poisson_solver_tpu.refine import (
+    IterativeRefinementSolver, df_add, residual_df_p, solve_to_tolerance,
+)
+from multigrid_poisson_solver_tpu.solver import SolverConfig
+
+PROBLEM = mg.REFERENCE_PROBLEM
+
+
+def test_refine_reaches_1e10_default():
+    rep = solve_to_tolerance(PROBLEM, 129, tol=1e-10)
+    assert rep.rel_residual <= 1e-10
+    assert rep.cycles < 20
+    # at the discretization floor: mean|u−analytic| ~ C·h²
+    assert rep.error_vs_analytic < 5e-6
+
+
+def test_refine_rbgs_full_weighting():
+    n = 129
+    prog = mg.v_cycle(n, n_min=5, steps=2, coarse_option=0, coarsen=3)
+    cfg = SolverConfig(smoother="rbgs", restriction="full_weighting")
+    rep = solve_to_tolerance(PROBLEM, n, tol=1e-10, program=prog, config=cfg)
+    assert rep.rel_residual <= 1e-10
+    # V(2,2) RB-GS + FW contracts ~0.02/cycle: strictly fewer cycles than
+    # needed by damped Jacobi with sampling restriction
+    ref = solve_to_tolerance(PROBLEM, n, tol=1e-10)
+    assert rep.cycles <= ref.cycles
+
+
+def test_refine_nonzero_boundary_problem():
+    # u = x+y is harmonic: source 0, boundary x+y, analytic x+y
+    prob = mg.models.problems.Problem(
+        source=lambda x, y: jnp.zeros_like(x),
+        boundary=lambda x, y: x + y,
+        analytic=lambda x, y: x + y,
+        name="harmonic-linear")
+    rep = solve_to_tolerance(prob, 65, tol=1e-9)
+    assert rep.rel_residual <= 1e-9 or rep.error_vs_analytic < 1e-6
+    assert rep.error_vs_analytic < 1e-5
+
+
+def test_residual_df_matches_f64_truth(rng):
+    n = 257
+    spec = mg.GridSpec(n)
+    u_hi = PROBLEM.analytic_grid(spec, jnp.float32)
+    u_lo = jnp.asarray(rng.standard_normal((n, n)) * 1e-9, jnp.float32)
+    f = PROBLEM.source_grid(spec, jnp.float32)
+    got = residual_df_p(pad_grid(u_hi), pad_grid(u_lo), pad_grid(f),
+                        spec.h, n)[:n, :n]
+    U = np.asarray(u_hi, np.float64) + np.asarray(u_lo, np.float64)
+    F = np.asarray(f, np.float64)
+    truth = np.zeros_like(U)
+    truth[1:-1, 1:-1] = (U[:-2, 1:-1] + U[2:, 1:-1] + U[1:-1, :-2]
+                         + U[1:-1, 2:] - 4 * U[1:-1, 1:-1]) / spec.h**2 \
+        - F[1:-1, 1:-1]
+    scale = np.abs(truth).max() + 1.0
+    assert np.abs(np.asarray(got, np.float64) - truth).max() < 1e-5 * scale
+
+
+def test_df_add_exact(rng):
+    hi = jnp.asarray(rng.standard_normal(100), jnp.float32)
+    lo = jnp.asarray(rng.standard_normal(100) * 1e-8, jnp.float32)
+    e = jnp.asarray(rng.standard_normal(100) * 1e-4, jnp.float32)
+    nhi, nlo = df_add(hi, lo, e)
+    want = (np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
+            + np.asarray(e, np.float64))
+    got = np.asarray(nhi, np.float64) + np.asarray(nlo, np.float64)
+    np.testing.assert_allclose(got, want, rtol=1e-14)
+
+
+def test_level_sizes_odd_halve():
+    assert level_sizes(257, 5, 3) == [257, 129, 65, 33, 17, 9, 5]
+    assert level_sizes(64, 5, 3) == [64, 32, 16, 8]  # works off-by-one too
+
+
+def test_full_weighting_matches_manual(rng):
+    n, m = 65, 33
+    raw = np.zeros((n, n), np.float32)
+    raw[1:-1, 1:-1] = rng.standard_normal((n - 2, n - 2))
+    got = P.full_weighting_restrict_p(pad_grid(jnp.asarray(raw)), n, m,
+                                      padded_shape(m))
+    want = np.zeros((m, m))
+    for i in range(1, m - 1):
+        for j in range(1, m - 1):
+            ii, jj = 2 * i, 2 * j
+            want[i, j] = (4 * raw[ii, jj]
+                          + 2 * (raw[ii-1, jj] + raw[ii+1, jj]
+                                 + raw[ii, jj-1] + raw[ii, jj+1])
+                          + raw[ii-1, jj-1] + raw[ii-1, jj+1]
+                          + raw[ii+1, jj-1] + raw[ii+1, jj+1]) / 16.0
+    np.testing.assert_allclose(np.asarray(got[:m, :m]), want, atol=1e-6)
+
+
+def test_full_weighting_misaligned_raises():
+    with pytest.raises(ValueError, match="full weighting"):
+        P.full_weighting_restrict_p(jnp.zeros(padded_shape(65)), 65, 32,
+                                    padded_shape(32))
+
+
+def test_rbgs_sampling_vs_fw_contraction():
+    """The documented pathology: on a 2:1-aligned hierarchy, sampling
+    restriction of the one-color RB-GS residual over-corrects (aliased
+    checkerboard) while full weighting contracts fast."""
+    from functools import partial
+    from multigrid_poisson_solver_tpu.compiled import _run_traced
+    from multigrid_poisson_solver_tpu.models.problems import Problem
+
+    n = 65
+    h = mg.GridSpec(n).h
+    zero_p = Problem(source=lambda x, y: jnp.zeros_like(x))
+    prog = mg.v_cycle(n, n_min=5, steps=2, coarse_option=0, coarsen=3)
+    raw = np.zeros((n, n), np.float32)
+    raw[1:-1, 1:-1] = np.random.default_rng(3).standard_normal((n - 2, n - 2))
+    r = pad_grid(jnp.asarray(raw))
+    den = float(jnp.linalg.norm(r))
+
+    def contraction(cfg):
+        cycle = jax.jit(partial(_run_traced, program=prog, problem=zero_p,
+                                config=cfg, policy=None, warm=False))
+        e, _ = cycle(jnp.zeros_like(r), r)   # one cycle on ∇²e = r
+        return float(jnp.linalg.norm(P.residual_p(e, r, h, n))) / den
+
+    fw = contraction(SolverConfig(smoother="rbgs", restriction="full_weighting"))
+    samp = contraction(SolverConfig(smoother="rbgs"))
+    assert fw < 0.1          # textbook V(2,2) RB-GS
+    assert samp > 5 * fw     # sampling pathology is real and measurable
