@@ -59,7 +59,37 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--platform", default="auto", choices=["auto", "cpu", "tpu"],
                    help="force the JAX backend (auto: whatever is available; "
                         "cpu avoids initializing a remote TPU for small runs)")
+    p.add_argument("--tol", type=float, default=None,
+                   help="deep-solve mode: iterate mixed-precision refinement "
+                        "until the relative residual reaches this tolerance "
+                        "(uses the cycle file's geometry; e.g. --tol 1e-10)")
+    p.add_argument("--state", default="df32", choices=["df32", "f64"],
+                   help="refinement state precision for --tol (df32: "
+                        "double-float pair; f64: emulated float64)")
+    p.add_argument("--max-cycles", type=int, default=60,
+                   help="refinement cycle cap for --tol")
+    p.add_argument("--checkpoint", default=None,
+                   help="directory for --tol checkpoints (resumes if present)")
     return p
+
+
+def _run_refine(problem, program, config, args):
+    """Deep-solve mode (--tol): mixed-precision iterative refinement."""
+    import jax
+
+    from .refine import IterativeRefinementSolver
+
+    if args.state == "f64":
+        jax.config.update("jax_enable_x64", True)
+    solver = IterativeRefinementSolver(
+        problem, program.n_max, program=program, config=None,
+        max_cycles=args.max_cycles, state=args.state)
+    checkpoints = None
+    if args.checkpoint:
+        from .utils.checkpoint import CheckpointManager
+
+        checkpoints = CheckpointManager(args.checkpoint)
+    return solver.solve(args.tol, checkpoints=checkpoints)
 
 
 def _run_compiled(problem, program, config):
@@ -135,6 +165,21 @@ def main(argv=None) -> int:
         collect_node_stats=args.stats or not args.quiet,
     )
     problem = BUILTIN_PROBLEMS[args.problem]
+
+    if args.tol is not None:
+        report = _run_refine(problem, program, config, args)
+        print()
+        print("===== Final Result =====")
+        print(f"   RelRes = {report.rel_residual:.6e} "
+              f"after {report.cycles} cycles")
+        if report.error_vs_analytic is not None:
+            print(f"    Error = {report.error_vs_analytic:.6e}")
+        print(f"Time Used = {report.wall_time_s * 1e3:.3f} (ms)")
+        if not args.no_output:
+            out = args.output or solution_filename(cycle_path)
+            write_solution_csv(report.u, out)
+            print(f"Output file name = {out}")
+        return 0
 
     engine = args.engine
     if engine == "auto":

@@ -92,13 +92,22 @@ class RefineReport:
 
 
 class IterativeRefinementSolver:
-    """Solve ∇²u = f to a relative-residual target with df32 refinement."""
+    """Solve ∇²u = f to a relative-residual target by iterative refinement.
+
+    ``state`` selects the outer-state precision:
+      * "df32" (default): double-float fp32 pair — no fp64 anywhere, floor
+        ~1e-10·(N/256)² relative residual;
+      * "f64": emulated-float64 state and residual (requires
+        ``jax_enable_x64``) — slower outer ops (XLA software f64 on TPU) but
+        a ~N²-scaled floor two decades lower; the inner multigrid cycles
+        stay fp32/Pallas either way.
+    """
 
     def __init__(self, problem: Problem, n: int,
                  program: Optional[CycleProgram] = None,
                  config: Optional[SolverConfig] = None,
                  policy: Optional[ShardingPolicy] = None,
-                 max_cycles: int = 60):
+                 max_cycles: int = 60, state: str = "df32"):
         from .compiled import _run_traced
         from .models.problems import Problem as Prob
 
@@ -127,25 +136,63 @@ class IterativeRefinementSolver:
                         warm=False)
         h = self.spec.h
         rp_cp = padded_shape(n)
+        if state not in ("df32", "f64"):
+            raise ValueError(f"unknown state {state!r}; expected 'df32' or 'f64'")
+        if state == "f64" and not jax.config.jax_enable_x64:
+            raise ValueError(
+                "state='f64' needs jax_enable_x64 "
+                "(jax.config.update('jax_enable_x64', True) before first use)")
+        self.state = state
 
         def fnorm(f):
             m = interior_mask(n, rp_cp, config.dtype)
             return jnp.linalg.norm(jnp.ravel(f * m))
 
-        def run(f, tol):
-            # start from the Dirichlet data on the ring (the stencil reads
-            # boundary neighbors; zero there would be wrong for problems
-            # with nonzero boundary), zero interior
-            u_hi = pad_grid(problem.boundary_grid(self.spec, config.dtype))
-            u_lo = jnp.zeros(rp_cp, config.dtype)
+        def residual64(u64, f64):
+            nb = (jnp.roll(u64, 1, 0) + jnp.roll(u64, -1, 0)
+                  + jnp.roll(u64, 1, 1) + jnp.roll(u64, -1, 1))
+            r = (nb - 4.0 * u64) / (h * h) - f64
+            return jnp.where(interior_mask(n, u64.shape), r,
+                             jnp.zeros_like(r))
+
+        def run_f64(f, tol):
+            f64 = f.astype(jnp.float64)
+            u = pad_grid(problem.boundary_grid(self.spec, config.dtype)
+                         ).astype(jnp.float64)
+            den = jnp.maximum(
+                jnp.linalg.norm(jnp.ravel(
+                    f64 * interior_mask(n, rp_cp, jnp.float64))),
+                1e-300)
+
+            def step(state_):
+                u, _, k = state_
+                r = residual64(u, f64)
+                e, _ = cycle(jnp.zeros(rp_cp, config.dtype),
+                             (-r).astype(config.dtype))
+                u = u + e.astype(jnp.float64)
+                rel = jnp.linalg.norm(jnp.ravel(residual64(u, f64))) / den
+                return u, rel, k + 1
+
+            def cond(state_):
+                _, rel, k = state_
+                return jnp.logical_and(rel > tol, k < max_cycles)
+
+            init = (u, jnp.asarray(jnp.inf, jnp.float64),
+                    jnp.asarray(0, jnp.int32))
+            u, rel, k = lax.while_loop(cond, step, init)
+            return u.astype(config.dtype), (u - u.astype(config.dtype)
+                                            .astype(jnp.float64)
+                                            ).astype(config.dtype), rel, k
+
+        def run(u_hi, u_lo, f, tol, budget):
+            """Refine from the given state for at most ``budget`` cycles
+            (traced scalar — lets the host chunk for checkpointing)."""
             den = jnp.maximum(fnorm(f), jnp.asarray(1e-30, config.dtype))
 
             def step(state):
                 u_hi, u_lo, _, k = state
                 r = residual_df_p(u_hi, u_lo, f, h, n)
-                # A·e = −r  (so that u + e reduces the residual):
-                # the cycle solves ∇²e = rhs with rhs = −r? Sign: residual
-                # r = A·u − f; we need e with A·e = f − A·u = −r.
+                # residual r = A·u − f; we need e with A·e = f − A·u = −r
                 e, _ = cycle(jnp.zeros(rp_cp, config.dtype), -r)
                 u_hi, u_lo = df_add(u_hi, u_lo, e)
                 r_new = residual_df_p(u_hi, u_lo, f, h, n)
@@ -154,26 +201,48 @@ class IterativeRefinementSolver:
 
             def cond(state):
                 _, _, rel, k = state
-                return jnp.logical_and(rel > tol, k < max_cycles)
+                return jnp.logical_and(rel > tol, k < budget)
 
             init = (u_hi, u_lo, jnp.asarray(jnp.inf, config.dtype),
                     jnp.asarray(0, jnp.int32))
             u_hi, u_lo, rel, k = lax.while_loop(cond, step, init)
             return u_hi, u_lo, rel, k
 
-        self._run = jax.jit(run)
+        self._is_f64 = state == "f64"
+        self._run = jax.jit(run_f64 if self._is_f64 else run)
+
+    def initial_state(self):
+        """(u_hi0, u_lo0): Dirichlet ring + zero interior (the stencil reads
+        boundary neighbors; zero there would be wrong for problems with
+        nonzero boundary)."""
+        u_hi = pad_grid(self.problem.boundary_grid(self.spec, self.config.dtype))
+        return u_hi, jnp.zeros_like(u_hi)
 
     def init_rhs(self) -> jnp.ndarray:
         f = (self.problem.source_grid(self.spec, self.config.dtype)
              + self.problem.boundary_grid(self.spec, self.config.dtype))
         return pad_grid(f)
 
-    def solve(self, tol: float = 1e-8) -> RefineReport:
+    def solve(self, tol: float = 1e-8, checkpoints=None,
+              checkpoint_chunk: int = 10) -> RefineReport:
+        """Refine to ``tol``. With a ``CheckpointManager`` in ``checkpoints``,
+        the loop runs in device-side chunks of ``checkpoint_chunk`` cycles,
+        persisting (and resuming) the df32 state between chunks."""
         cfg = self.config
         n = self.spec.n
         f = self.init_rhs()
         start = time.perf_counter()
-        u_hi, u_lo, rel, k = self._run(f, tol)
+        if self._is_f64:
+            if checkpoints is not None:
+                raise NotImplementedError(
+                    "checkpointing currently supports the df32 state")
+            u_hi, u_lo, rel, k = self._run(f, tol)
+        elif checkpoints is None:
+            u_hi, u_lo = self.initial_state()
+            u_hi, u_lo, rel, k = self._run(u_hi, u_lo, f, tol, self.max_cycles)
+        else:
+            u_hi, u_lo, rel, k = self._solve_checkpointed(
+                f, tol, checkpoints, checkpoint_chunk)
         # boundary values live in f's identity rows; refinement corrections
         # are interior-only so add the Dirichlet ring back explicitly
         b = pad_grid(self.problem.boundary_grid(self.spec, cfg.dtype))
@@ -191,12 +260,42 @@ class IterativeRefinementSolver:
                             wall_time_s=wall, spec=self.spec,
                             error_vs_analytic=err)
 
+    def _solve_checkpointed(self, f, tol, manager, chunk: int):
+        """Host-side chunked loop with persistence (utils.checkpoint)."""
+        from .utils.checkpoint import SolverState, schedule_fingerprint
+
+        fp = schedule_fingerprint(self.program)
+        done = 0
+        resumed = manager.latest()
+        if (resumed is not None and resumed.meta
+                and resumed.meta.get("schedule") == fp
+                and resumed.u.shape == padded_shape(self.spec.n)):
+            u_hi = jnp.asarray(resumed.u)
+            u_lo = (jnp.asarray(resumed.u_lo) if resumed.u_lo is not None
+                    else jnp.zeros_like(u_hi))
+            done = resumed.cycle
+        else:
+            u_hi, u_lo = self.initial_state()
+
+        rel = jnp.asarray(jnp.inf, self.config.dtype)
+        while done < self.max_cycles:
+            budget = min(chunk, self.max_cycles - done)
+            u_hi, u_lo, rel, k = self._run(u_hi, u_lo, f, tol, budget)
+            done += int(jax.device_get(k))
+            manager.maybe_save(SolverState(
+                u=u_hi, f=f, u_lo=u_lo, cycle=done,
+                meta={"schedule": fp, "tol": tol}))
+            if float(jax.device_get(rel)) <= tol:
+                break
+        return u_hi, u_lo, rel, jnp.asarray(done, jnp.int32)
+
 
 def solve_to_tolerance(problem: Problem, n: int, tol: float = 1e-8,
                        program: Optional[CycleProgram] = None,
                        config: Optional[SolverConfig] = None,
                        policy: Optional[ShardingPolicy] = None,
-                       max_cycles: int = 60) -> RefineReport:
-    """One-call driver: df32 iterative refinement until ‖r‖/‖f‖ ≤ tol."""
+                       max_cycles: int = 60,
+                       state: str = "df32") -> RefineReport:
+    """One-call driver: iterative refinement until ‖r‖/‖f‖ ≤ tol."""
     return IterativeRefinementSolver(problem, n, program, config, policy,
-                                     max_cycles).solve(tol)
+                                     max_cycles, state=state).solve(tol)
