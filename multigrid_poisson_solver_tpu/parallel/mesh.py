@@ -73,6 +73,55 @@ class ShardingPolicy:
         return NamedSharding(self.mesh, self.spec(n))
 
 
+COL_AXIS = "cols"
+
+
+def make_mesh_2d(shape: tuple[int, int],
+                 devices: Optional[Sequence[jax.Device]] = None,
+                 axis_names: tuple[str, str] = (ROW_AXIS, COL_AXIS)) -> Mesh:
+    """A 2-D mesh for block partitioning (rows × cols of the grid).
+
+    For multi-host topologies, put the DCN (inter-host) dimension on the
+    row axis — row-block halos are the low-frequency traffic — and ICI
+    inside; build ``devices`` with
+    ``jax.experimental.mesh_utils.create_hybrid_device_mesh`` in that case.
+    """
+    if devices is None:
+        devices = jax.devices()
+    arr = np.asarray(devices).reshape(shape)
+    return Mesh(arr, axis_names)
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockShardingPolicy:
+    """2-D block partition: P(rows, cols) while the level is large, falling
+    back to rows-only, then replicated (coarse agglomeration) — the
+    multi-host layout of SURVEY.md §2 ("block-partitioned FMG")."""
+
+    mesh: Mesh
+    row_axis: str = ROW_AXIS
+    col_axis: str = COL_AXIS
+    threshold_rows: int = DEFAULT_SHARD_THRESHOLD_ROWS
+
+    def _dims(self) -> tuple[int, int]:
+        return self.mesh.shape[self.row_axis], self.mesh.shape[self.col_axis]
+
+    def spec(self, n: int) -> P:
+        rows_dev, cols_dev = self._dims()
+        if n // rows_dev >= self.threshold_rows:
+            if cols_dev > 1 and n // cols_dev >= self.threshold_rows:
+                return P(self.row_axis, self.col_axis)
+            if rows_dev > 1:
+                return P(self.row_axis, None)
+        return P()
+
+    def is_sharded(self, n: int) -> bool:
+        return self.spec(n) != P()
+
+    def sharding(self, n: int) -> NamedSharding:
+        return NamedSharding(self.mesh, self.spec(n))
+
+
 def padded_rows(n: int, n_devices: int) -> int:
     """Rows after padding to a device-divisible count (shard_map needs equal
     blocks; the GSPMD path does not and never pads)."""

@@ -1,0 +1,67 @@
+"""2-D block partitioning tests on the 8-device CPU mesh (2×4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+import multigrid_poisson_solver_tpu as mg
+from multigrid_poisson_solver_tpu.compiled import compile_program
+from multigrid_poisson_solver_tpu.parallel import multihost
+from multigrid_poisson_solver_tpu.parallel.mesh import (
+    BlockShardingPolicy, make_mesh_2d,
+)
+
+PROBLEM = mg.REFERENCE_PROBLEM
+
+
+@pytest.fixture(scope="module")
+def mesh2d():
+    return make_mesh_2d((2, 4))
+
+
+def test_block_policy_transitions(mesh2d):
+    pol = BlockShardingPolicy(mesh2d, threshold_rows=32)
+    assert pol.spec(257) == P("rows", "cols")    # 128 rows/dev, 64 cols/dev
+    assert pol.spec(129) == P("rows", "cols")    # 64 rows/dev, 32 cols/dev
+    assert pol.spec(100) == P("rows", None)      # cols/dev 25 < threshold
+    assert pol.spec(33) == P()                   # replicated (agglomeration)
+
+
+def test_compiled_block_sharded_matches_single(mesh2d):
+    policy = BlockShardingPolicy(mesh2d, threshold_rows=8)
+    program = mg.v_cycle(129, n_min=8, steps=3, coarse_target=1e-7)
+    single = compile_program(program, PROBLEM, donate=False)
+    u, f = single.init()
+    u1, _ = single(u, f)
+    blocked = compile_program(program, PROBLEM, policy=policy, donate=False)
+    ub, fb = blocked.init()
+    u2, _ = blocked(ub, fb)
+    np.testing.assert_allclose(np.asarray(blocked.unpad(u2)),
+                               np.asarray(single.unpad(u1)),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_refine_block_sharded(mesh2d):
+    from multigrid_poisson_solver_tpu.refine import solve_to_tolerance
+
+    policy = BlockShardingPolicy(mesh2d, threshold_rows=8)
+    rep = solve_to_tolerance(PROBLEM, 129, tol=1e-9, policy=policy)
+    assert rep.rel_residual <= 1e-9
+
+
+def test_hybrid_mesh_single_host():
+    mesh = multihost.hybrid_block_mesh()
+    assert mesh.shape == {"rows": 2, "cols": 4}
+    mesh3 = multihost.hybrid_block_mesh(rows_parallelism=4)
+    assert mesh3.shape == {"rows": 4, "cols": 2}
+    pol = multihost.block_policy(mesh, threshold_rows=8)
+    assert pol.is_sharded(64)
+
+
+def test_near_square_factor():
+    assert multihost._near_square_factor(8) == 2
+    assert multihost._near_square_factor(16) == 4
+    assert multihost._near_square_factor(6) == 2
+    assert multihost._near_square_factor(7) == 1
