@@ -128,6 +128,16 @@ def _zoom(cfg: SolverConfig):
     return P.zoom_take_p if cfg.zoom == "take" else P.zoom_p
 
 
+def _residual(u, f, h, n: int, cfg: SolverConfig, policy):
+    """5-point residual: the Pallas strip kernel on the hot path (XLA's
+    roll-based form materializes 4 shifted copies — measured 3.5× slower);
+    Pallas kernels don't partition under GSPMD, so sharded runs use XLA."""
+    if _use_pallas(cfg) and policy is None:
+        from .ops.pallas_kernels import residual_pallas
+        return residual_pallas(u, f, n, h)
+    return P.residual_p(u, f, h, n)
+
+
 def _restrict(d, n: int, m: int, cfg: SolverConfig):
     """Coarse RHS from the negated fine residual, per the restriction policy."""
     if cfg.restriction == "full_weighting" and n == 2 * m - 1:
@@ -135,10 +145,14 @@ def _restrict(d, n: int, m: int, cfg: SolverConfig):
     return _zoom(cfg)(-d, n, m, padded_shape(m), zero_boundary=True)
 
 
-def _sweeps(u, f, h, n: int, steps: int, cfg: SolverConfig):
-    """``steps`` smoothing sweeps on padded arrays, Pallas-fused when enabled."""
+def _sweeps(u, f, h, n: int, steps: int, cfg: SolverConfig, policy=None):
+    """``steps`` smoothing sweeps on padded arrays, Pallas-fused when enabled.
+
+    Pallas kernels do not partition under GSPMD, so sharded programs
+    (policy set) always take the XLA path — its shifted-window ops are what
+    GSPMD knows how to cut along the mesh with halo collectives."""
     if cfg.smoother == "jacobi":
-        if _use_pallas(cfg):
+        if _use_pallas(cfg) and policy is None:
             from .ops.pallas_kernels import fused_jacobi_padded
             return fused_jacobi_padded(u, f, n, h, steps, omega=cfg.omega)
         sweep = partial(P.jacobi_sweep_p, h=h, n=n, omega=cfg.omega)
@@ -147,11 +161,11 @@ def _sweeps(u, f, h, n: int, steps: int, cfg: SolverConfig):
     return lax.fori_loop(0, steps, lambda _, v: sweep(v, f), u, unroll=True)
 
 
-def _trigger_smooth_traced(u, f, h, n: int, cfg: SolverConfig):
+def _trigger_smooth_traced(u, f, h, n: int, cfg: SolverConfig, policy=None):
     """Device-side error-trigger loop (MG_solver_CPU.cpp:194-240): smooth one
     sweep at a time while |err_k − err_{k−1}| > trigger."""
     def one(v):
-        return _sweeps(v, f, h, n, 1, cfg)
+        return _sweeps(v, f, h, n, 1, cfg, policy)
 
     u = one(u)
     err0 = P.smoothing_error_p(u, f, h, n, compat=cfg.compat_error)
@@ -173,10 +187,10 @@ def _trigger_smooth_traced(u, f, h, n: int, cfg: SolverConfig):
 
 
 def _smooth_traced(u, f, h, n: int, steps: int, cfg: SolverConfig,
-                   want_err: bool):
+                   want_err: bool, policy=None):
     if steps == -1:
-        return _trigger_smooth_traced(u, f, h, n, cfg)
-    u = _sweeps(u, f, h, n, steps, cfg)
+        return _trigger_smooth_traced(u, f, h, n, cfg, policy)
+    u = _sweeps(u, f, h, n, steps, cfg, policy)
     err = (P.smoothing_error_p(u, f, h, n, compat=cfg.compat_error)
            if want_err else None)
     return u, err
@@ -245,11 +259,11 @@ def _run_traced(u0, f0, *, program: CycleProgram, problem: Problem,
                 continue
 
             lvl.u, err = _smooth_traced(lvl.u, lvl.f, h, n, ins.steps, cfg,
-                                        want_err=finest)
+                                        want_err=finest, policy=policy)
             lvl.u = _constrain(lvl.u, policy, n)
             if finest and err is not None:
                 last_err = err
-            d = P.residual_p(lvl.u, lvl.f, h, n)
+            d = _residual(lvl.u, lvl.f, h, n, cfg, policy)
             f_c = _restrict(d, n, m, cfg)
             levels.append(_TraceLevel(
                 next_spec, _constrain(zeros_pad(next_spec), policy, m),
@@ -270,7 +284,8 @@ def _run_traced(u0, f0, *, program: CycleProgram, problem: Problem,
             if ins.steps != 0:
                 finest = len(levels) == 1
                 lvl.u, err = _smooth_traced(lvl.u, lvl.f, h, n, ins.steps,
-                                            cfg, want_err=finest)
+                                            cfg, want_err=finest,
+                                            policy=policy)
                 lvl.u = _constrain(lvl.u, policy, n)
                 if finest and err is not None:
                     last_err = err

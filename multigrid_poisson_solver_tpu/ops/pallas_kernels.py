@@ -201,6 +201,129 @@ def _fused_jacobi_call(u, f, n: int, h: float, steps: int, omega: float,
     )(u, f)
 
 
+def _residual_kernel(u_hbm, f_hbm, out_hbm,
+                     u_slots, f_slots, out_slots,
+                     load_sems, out_sems,
+                     *, n: int, rp: int, cp: int, num_strips: int,
+                     strip: int, owned: int, inv_h2: float, negate: bool):
+    """Strip-pipelined 5-point residual: r = (Σnb − 4u)/h² − f on the
+    interior, 0 elsewhere; optionally negated (the restriction source).
+
+    Single pass over HBM (read u, f; write r) — XLA's roll-based residual
+    materializes four shifted copies (~44 B/point observed); this is 12.
+    """
+
+    def load_start(i):
+        return _mul8(jnp.clip(i * owned - HALO, 0, rp - strip))
+
+    def write_start(i):
+        return _mul8(jnp.clip(i * owned, 0, rp - owned))
+
+    def load_copies(i, slot):
+        s = load_start(i)
+        return (pltpu.make_async_copy(u_hbm.at[pl.ds(s, strip), :],
+                                      u_slots.at[slot], load_sems.at[slot, 0]),
+                pltpu.make_async_copy(f_hbm.at[pl.ds(s, strip), :],
+                                      f_slots.at[slot], load_sems.at[slot, 1]))
+
+    def out_copy(i, slot):
+        # source: the owned window of the full-strip staging buffer —
+        # Mosaic can't lower dynamic_slice on VALUES, but pl.ds sub-slicing
+        # of a REF as a DMA source is fine (same pattern as the smoother)
+        wstart = write_start(i)
+        wlo = pl.multiple_of(wstart - load_start(i), SUBLANE)
+        return pltpu.make_async_copy(
+            out_slots.at[slot, pl.ds(wlo, owned), :],
+            out_hbm.at[pl.ds(wstart, owned), :],
+            out_sems.at[slot])
+
+    for cp_ in load_copies(0, 0):
+        cp_.start()
+
+    def body(i, _):
+        slot = jax.lax.rem(i, 2)
+        nxt = jax.lax.rem(i + 1, 2)
+
+        @pl.when(i + 1 < num_strips)
+        def _():
+            @pl.when(i >= 1)
+            def _():
+                out_copy(i - 1, nxt).wait()
+            for cp_ in load_copies(i + 1, nxt):
+                cp_.start()
+
+        for cp_ in load_copies(i, slot):
+            cp_.wait()
+
+        start_c = load_start(i)
+        u = u_slots[slot]
+        nb = (pltpu.roll(u, shift=1, axis=0)
+              + pltpu.roll(u, shift=strip - 1, axis=0)
+              + pltpu.roll(u, shift=1, axis=1)
+              + pltpu.roll(u, shift=cp - 1, axis=1))
+        r = (nb - 4.0 * u) * inv_h2 - f_slots[slot]
+        if negate:
+            r = -r
+
+        rows = jax.lax.broadcasted_iota(jnp.int32, (strip, cp), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (strip, cp), 1)
+        g = rows + start_c
+        ok = ((g >= 1) & (g <= n - 2) & (cols >= 1) & (cols <= n - 2))
+        out_slots[slot] = jnp.where(ok, r, jnp.zeros_like(r))
+        out_copy(i, slot).start()
+        return 0
+
+    jax.lax.fori_loop(0, num_strips, body, 0, unroll=False)
+
+    last = num_strips - 1
+
+    @pl.when(num_strips >= 2)
+    def _():
+        out_copy(last - 1, jax.lax.rem(last - 1, 2)).wait()
+
+    out_copy(last, jax.lax.rem(last, 2)).wait()
+
+
+@partial(jax.jit, static_argnames=("n", "h", "negate", "interpret"))
+def residual_pallas(u, f, n: int, h: float, negate: bool = False,
+                    interpret: bool = False):
+    """Pallas 5-point residual on the padded layout; matches
+    ops.padded.residual_p (getResidual, MG_solver_CPU.cpp:554-564)."""
+    rp, cp = u.shape
+    assert (rp, cp) == padded_shape(n), (
+        f"expected padded layout {padded_shape(n)} for n={n}, got {u.shape}")
+    itemsize = jnp.dtype(u.dtype).itemsize
+
+    strip = min(_strip_rows(cp, itemsize), rp)
+    if strip >= rp:
+        strip, owned, num_strips = rp, rp, 1
+    else:
+        owned = strip - 2 * HALO
+        num_strips = math.ceil(rp / owned)
+
+    kernel = partial(_residual_kernel, n=n, rp=rp, cp=cp,
+                     num_strips=num_strips, strip=strip, owned=owned,
+                     inv_h2=1.0 / (h * h), negate=negate)
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((rp, cp), u.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, strip, cp), u.dtype),
+            pltpu.VMEM((2, strip, cp), u.dtype),
+            pltpu.VMEM((2, strip, cp), u.dtype),   # full-strip out staging
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=2 * _VMEM_BUDGET_BYTES),
+        interpret=interpret,
+    )(u, f)
+
+
 def fused_jacobi_padded(u: jnp.ndarray, f: jnp.ndarray, n: int, h: float,
                         steps: int, omega: float = 1.0,
                         interpret: bool = False) -> jnp.ndarray:

@@ -134,7 +134,10 @@ def parse_cycle_file(text: str, trigger: float = TRIGGER_DEFAULT) -> CycleProgra
     n_max = int(next_tok("N_max"))
     n_min = int(next_tok("N_min"))
 
-    n_array = level_sizes(n_max, n_min, con_n) if con_n in (1, 2) else None
+    # con_N 1 and 2 are the reference's rules (halve / decrement,
+    # README.md:80-86); 3 is this framework's odd-halve extension (2^k+1
+    # aligned hierarchies for full-weighting restriction)
+    n_array = level_sizes(n_max, n_min, con_n) if con_n in (1, 2, 3) else None
     level = 0  # index into n_array (the reference's len_flag)
 
     instructions: list[Instruction] = []

@@ -111,6 +111,14 @@ std::vector<int32_t> level_sizes(int32_t n_max, int32_t n_min, int32_t rule) {
     for (int32_t n = n_max; n >= n_min; n /= 2) out.push_back(n);
   } else if (rule == 2) {
     for (int32_t n = n_max; n >= n_min; --n) out.push_back(n);
+  } else if (rule == 3) {
+    // odd-halve extension (grid.level_sizes rule 3): N -> (N+1)/2, keeps
+    // 2^k+1 hierarchies exactly 2:1 vertex-aligned
+    for (int32_t n = n_max; n >= n_min;) {
+      out.push_back(n);
+      if (n <= 2) break;
+      n = (n + 1) / 2;
+    }
   }
   return out;
 }

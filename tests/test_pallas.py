@@ -68,6 +68,27 @@ def test_fused_jacobi_boundary_frozen(rng):
         np.testing.assert_array_equal(np.asarray(got[sl]), np.asarray(u[sl]))
 
 
+@pytest.mark.parametrize("n", [64, 257, 1030])
+@pytest.mark.parametrize("negate", [False, True])
+def test_residual_pallas_matches_oracle(rng, n, negate):
+    u = jnp.asarray(rng.standard_normal((n, n)), jnp.float32)
+    f = jnp.asarray(rng.standard_normal((n, n)), jnp.float32)
+    h = 1.0 / (n - 1)
+    up, fp = layout.pad_grid(u), layout.pad_grid(f)
+    got = pk.residual_pallas(up, fp, n, h, negate=negate, interpret=True)
+    want = stencils.residual(u, f, h)
+    if negate:
+        want = -want
+    # tolerance: naive fp32 residual evaluations differ between association
+    # orders by ~eps·|u|·k/h² (the documented cancellation noise)
+    atol = 8 * 1.2e-7 * float(jnp.abs(u).max()) / (h * h)
+    np.testing.assert_allclose(np.asarray(layout.unpad_grid(got, n)),
+                               np.asarray(want), rtol=0, atol=atol)
+    pad = np.asarray(got).copy()
+    pad[:n, :n] = 0
+    assert not pad.any()
+
+
 def test_zero_steps_is_identity(rng):
     n = 65
     u = jnp.asarray(rng.standard_normal((n, n)), jnp.float32)
