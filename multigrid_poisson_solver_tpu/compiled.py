@@ -30,8 +30,15 @@ same CycleProgram semantics (including warm-restart, linkedlist.h:38-41).
 from __future__ import annotations
 
 import dataclasses
+import sys
 from functools import partial
 from typing import Any, Optional
+
+# Tracing a whole deep-hierarchy schedule (11 levels at N=8193, every sweep
+# unrolled) nests Python frames beyond the default 1000 limit; JAX's
+# internal jaxpr traversals recurse proportionally to the op chain.
+if sys.getrecursionlimit() < 50_000:
+    sys.setrecursionlimit(50_000)
 
 import jax
 import jax.numpy as jnp

@@ -159,9 +159,11 @@ class IterativeRefinementSolver:
             f64 = f.astype(jnp.float64)
             u = pad_grid(problem.boundary_grid(self.spec, config.dtype)
                          ).astype(jnp.float64)
-            den = jnp.maximum(
+            # same harmonic-problem fallback as the df32 path
+            r0 = jnp.linalg.norm(jnp.ravel(residual64(u, f64)))
+            den = jnp.maximum(jnp.maximum(
                 jnp.linalg.norm(jnp.ravel(
-                    f64 * interior_mask(n, rp_cp, jnp.float64))),
+                    f64 * interior_mask(n, rp_cp, jnp.float64))), r0),
                 1e-300)
 
             def step(state_):
@@ -187,7 +189,13 @@ class IterativeRefinementSolver:
         def run(u_hi, u_lo, f, tol, budget):
             """Refine from the given state for at most ``budget`` cycles
             (traced scalar — lets the host chunk for checkpointing)."""
-            den = jnp.maximum(fnorm(f), jnp.asarray(1e-30, config.dtype))
+            # normalization: ‖f‖ for source-driven problems; for harmonic
+            # problems (f = 0 inside) fall back to the initial residual —
+            # a zero denominator would make the relative residual blow up
+            u_hi0, u_lo0 = self.initial_state()
+            r0 = jnp.linalg.norm(jnp.ravel(residual_df_p(u_hi0, u_lo0, f, h, n)))
+            den = jnp.maximum(jnp.maximum(fnorm(f), r0),
+                              jnp.asarray(1e-30, config.dtype))
 
             def step(state):
                 u_hi, u_lo, _, k = state

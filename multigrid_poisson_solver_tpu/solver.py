@@ -110,15 +110,25 @@ class SolveReport:
 
 # --- fused jitted level ops ---------------------------------------------------
 
-@partial(jax.jit, static_argnames=("h", "m"))
-def _restrict_residual_fused(u, f, h: float, m: int):
-    """residual → negate → bilinear zoom → zero boundary, one compiled graph.
+@partial(jax.jit, static_argnames=("h", "m", "restriction"))
+def _restrict_residual_fused(u, f, h: float, m: int, restriction: str = "sampling"):
+    """residual → negate → restriction → zero boundary, one compiled graph.
 
     The scheduler's down-leg tail: MG_solver_CPU.cpp:268-287 (getResidual,
     sign flip, doRestriction), fused so the residual never round-trips to HBM
-    more than once.
+    more than once. ``restriction`` follows SolverConfig.restriction:
+    "sampling" (reference bilinear) or "full_weighting" (2:1-aligned only —
+    REQUIRED for the rbgs smoother, whose one-color residual aliases under
+    sampling).
     """
     d = stencils.residual(u, f, h)
+    n = u.shape[0]
+    if restriction == "full_weighting" and n == 2 * m - 1:
+        from .ops.layout import pad_grid, padded_shape, unpad_grid
+        from .ops.padded import full_weighting_restrict_p
+
+        return unpad_grid(
+            full_weighting_restrict_p(pad_grid(-d), n, m, padded_shape(m)), m)
     return _zoom(-d, m, zero_boundary=True)
 
 
@@ -218,7 +228,8 @@ class MultigridSolver:
                     continue
 
                 lvl.u, err, taken = self._smooth(lvl, ins.steps)
-                f_coarse = _restrict_residual_fused(lvl.u, lvl.f, h, ins.next_n)
+                f_coarse = _restrict_residual_fused(lvl.u, lvl.f, h, ins.next_n,
+                                                    restriction=cfg.restriction)
                 next_spec = lvl.spec.coarsened(ins.next_n)
                 levels.append(Level(spec=next_spec,
                                     u=jnp.zeros(next_spec.shape, cfg.dtype), f=f_coarse))
