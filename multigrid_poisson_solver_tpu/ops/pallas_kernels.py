@@ -67,6 +67,13 @@ def _mul8(x):
     return pl.multiple_of(x, SUBLANE)
 
 
+def _i32(v):
+    """Kernel index math must stay int32: under jax_enable_x64 python ints
+    promote everything to int64, and Mosaic's int64 lowering recurses once
+    per op — a strip pipeline overflows the Python stack (RecursionError)."""
+    return jnp.asarray(v, jnp.int32)
+
+
 def _fused_jacobi_kernel(u_hbm, f_hbm, out_hbm,
                          u_slots, fc_slots, work, a_buf,
                          load_sems, out_sems,
@@ -77,17 +84,18 @@ def _fused_jacobi_kernel(u_hbm, f_hbm, out_hbm,
         # owned, HALO, rp, strip are all multiples of 8, so the clip result
         # is too — but Mosaic's alignment prover can't see through clip/mul,
         # hence the explicit hints.
-        return _mul8(jnp.clip(i * owned - HALO, 0, rp - strip))
+        return _mul8(jnp.clip(_i32(i) * _i32(owned) - _i32(HALO),
+                              _i32(0), _i32(rp - strip)))
 
     def write_start(i):
-        return _mul8(jnp.clip(i * owned, 0, rp - owned))
+        return _mul8(jnp.clip(_i32(i) * _i32(owned), _i32(0), _i32(rp - owned)))
 
     def load_copies(i, slot):
         s = load_start(i)
         return (pltpu.make_async_copy(u_hbm.at[pl.ds(s, strip), :],
-                                      u_slots.at[slot], load_sems.at[slot, 0]),
+                                      u_slots.at[slot], load_sems.at[slot, _i32(0)]),
                 pltpu.make_async_copy(f_hbm.at[pl.ds(s, strip), :],
-                                      fc_slots.at[slot], load_sems.at[slot, 1]))
+                                      fc_slots.at[slot], load_sems.at[slot, _i32(1)]))
 
     def out_copy(i, slot):
         wstart = write_start(i)
@@ -97,12 +105,12 @@ def _fused_jacobi_kernel(u_hbm, f_hbm, out_hbm,
             out_hbm.at[pl.ds(wstart, owned), :],
             out_sems.at[slot])
 
-    for cp_ in load_copies(0, 0):
+    for cp_ in load_copies(_i32(0), _i32(0)):
         cp_.start()
 
     def body(i, _):
-        slot = jax.lax.rem(i, 2)
-        nxt = jax.lax.rem(i + 1, 2)
+        slot = jax.lax.rem(_i32(i), _i32(2))
+        nxt = jax.lax.rem(_i32(i) + _i32(1), _i32(2))
 
         @pl.when(i + 1 < num_strips)
         def _():
@@ -134,10 +142,10 @@ def _fused_jacobi_kernel(u_hbm, f_hbm, out_hbm,
         # --- k sweeps, pure fp32 vector arithmetic --------------------------
         def sweep(src, dst):
             u = src[:]
-            nb = (pltpu.roll(u, shift=1, axis=0)
-                  + pltpu.roll(u, shift=strip - 1, axis=0)
-                  + pltpu.roll(u, shift=1, axis=1)
-                  + pltpu.roll(u, shift=cp - 1, axis=1))
+            nb = (pltpu.roll(u, shift=_i32(1), axis=0)
+                  + pltpu.roll(u, shift=_i32(strip - 1), axis=0)
+                  + pltpu.roll(u, shift=_i32(1), axis=1)
+                  + pltpu.roll(u, shift=_i32(cp - 1), axis=1))
             dst[:] = u + a_buf[:] * (nb - 4.0 * u) - fc_slots[slot][:]
 
         bufs = [u_slots.at[slot], work]
@@ -148,18 +156,17 @@ def _fused_jacobi_kernel(u_hbm, f_hbm, out_hbm,
             u_slots[slot] = work[:]
 
         out_copy(i, slot).start()
-        return 0
+        return _i32(0)
 
-    jax.lax.fori_loop(0, num_strips, body, 0, unroll=False)
+    jax.lax.fori_loop(_i32(0), _i32(num_strips), body, _i32(0), unroll=False)
 
     # drain the last (up to) two outstanding writes
-    last = num_strips - 1
+    last = num_strips - 1     # static python ints: no traced math needed
 
-    @pl.when(num_strips >= 2)
-    def _():
-        out_copy(last - 1, jax.lax.rem(last - 1, 2)).wait()
+    if num_strips >= 2:
+        out_copy(_i32(last - 1), _i32((last - 1) % 2)).wait()
 
-    out_copy(last, jax.lax.rem(last, 2)).wait()
+    out_copy(_i32(last), _i32(last % 2)).wait()
 
 
 @partial(jax.jit, static_argnames=("n", "h", "steps", "omega", "interpret"))
@@ -214,17 +221,18 @@ def _residual_kernel(u_hbm, f_hbm, out_hbm,
     """
 
     def load_start(i):
-        return _mul8(jnp.clip(i * owned - HALO, 0, rp - strip))
+        return _mul8(jnp.clip(_i32(i) * _i32(owned) - _i32(HALO),
+                              _i32(0), _i32(rp - strip)))
 
     def write_start(i):
-        return _mul8(jnp.clip(i * owned, 0, rp - owned))
+        return _mul8(jnp.clip(_i32(i) * _i32(owned), _i32(0), _i32(rp - owned)))
 
     def load_copies(i, slot):
         s = load_start(i)
         return (pltpu.make_async_copy(u_hbm.at[pl.ds(s, strip), :],
-                                      u_slots.at[slot], load_sems.at[slot, 0]),
+                                      u_slots.at[slot], load_sems.at[slot, _i32(0)]),
                 pltpu.make_async_copy(f_hbm.at[pl.ds(s, strip), :],
-                                      f_slots.at[slot], load_sems.at[slot, 1]))
+                                      f_slots.at[slot], load_sems.at[slot, _i32(1)]))
 
     def out_copy(i, slot):
         # source: the owned window of the full-strip staging buffer —
@@ -237,12 +245,12 @@ def _residual_kernel(u_hbm, f_hbm, out_hbm,
             out_hbm.at[pl.ds(wstart, owned), :],
             out_sems.at[slot])
 
-    for cp_ in load_copies(0, 0):
+    for cp_ in load_copies(_i32(0), _i32(0)):
         cp_.start()
 
     def body(i, _):
-        slot = jax.lax.rem(i, 2)
-        nxt = jax.lax.rem(i + 1, 2)
+        slot = jax.lax.rem(_i32(i), _i32(2))
+        nxt = jax.lax.rem(_i32(i) + _i32(1), _i32(2))
 
         @pl.when(i + 1 < num_strips)
         def _():
@@ -257,10 +265,10 @@ def _residual_kernel(u_hbm, f_hbm, out_hbm,
 
         start_c = load_start(i)
         u = u_slots[slot]
-        nb = (pltpu.roll(u, shift=1, axis=0)
-              + pltpu.roll(u, shift=strip - 1, axis=0)
-              + pltpu.roll(u, shift=1, axis=1)
-              + pltpu.roll(u, shift=cp - 1, axis=1))
+        nb = (pltpu.roll(u, shift=_i32(1), axis=0)
+              + pltpu.roll(u, shift=_i32(strip - 1), axis=0)
+              + pltpu.roll(u, shift=_i32(1), axis=1)
+              + pltpu.roll(u, shift=_i32(cp - 1), axis=1))
         r = (nb - 4.0 * u) * inv_h2 - f_slots[slot]
         if negate:
             r = -r
@@ -271,17 +279,16 @@ def _residual_kernel(u_hbm, f_hbm, out_hbm,
         ok = ((g >= 1) & (g <= n - 2) & (cols >= 1) & (cols <= n - 2))
         out_slots[slot] = jnp.where(ok, r, jnp.zeros_like(r))
         out_copy(i, slot).start()
-        return 0
+        return _i32(0)
 
-    jax.lax.fori_loop(0, num_strips, body, 0, unroll=False)
+    jax.lax.fori_loop(_i32(0), _i32(num_strips), body, _i32(0), unroll=False)
 
-    last = num_strips - 1
+    last = num_strips - 1     # static python ints: no traced math needed
 
-    @pl.when(num_strips >= 2)
-    def _():
-        out_copy(last - 1, jax.lax.rem(last - 1, 2)).wait()
+    if num_strips >= 2:
+        out_copy(_i32(last - 1), _i32((last - 1) % 2)).wait()
 
-    out_copy(last, jax.lax.rem(last, 2)).wait()
+    out_copy(_i32(last), _i32(last % 2)).wait()
 
 
 @partial(jax.jit, static_argnames=("n", "h", "negate", "interpret"))
