@@ -17,8 +17,9 @@ implementation (the reference's per-sweep kernel included) could reach.
 
 Timing protocol (see .claude/skills/verify/SKILL.md): the remote-device
 tunnel makes block_until_ready a no-op and costs ~0.6 s per scalar fetch, so
-sweeps are iterated *inside* one jitted fori_loop and timed between dependent
-scalar fetches, with the fetch latency measured and subtracted.
+sweeps are iterated *inside* one jitted fori_loop and timed with
+utils.profiling.DeviceTimer's differential protocol — t(3k calls) − t(k
+calls) cancels dispatch and sync costs exactly.
 
 Extra context (V-cycle wall time, compensated relative residual) goes to
 stderr; stdout carries exactly the one JSON line.
@@ -29,7 +30,6 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 import jax
 
@@ -65,21 +65,6 @@ def _hbm_bw(device) -> float:
         if kind.lower().startswith(key.lower()):
             return bw
     return 819e9
-
-
-def _sync(x) -> float:
-    """Force completion of everything ``x`` depends on (dependent-scalar
-    fetch; block_until_ready does not wait on the tunneled TPU platform)."""
-    return float(jax.device_get(jnp.sum(x[:1, :1])))
-
-
-def _scalar_latency() -> float:
-    x = jnp.ones((8, 8))
-    _sync(x)
-    t0 = time.perf_counter()
-    for _ in range(3):
-        _sync(x + 1.0)
-    return (time.perf_counter() - t0) / 3
 
 
 def _smooth_step(on_tpu: bool, n: int, h: float, sweeps: int):

@@ -1,14 +1,19 @@
 """Multi-device scaling harness: sharded V-cycles across a device mesh.
 
-Weak scaling: the finest grid grows with the device count (constant rows per
-device), so perfect scaling is constant time per cycle. Strong scaling:
-fixed grid, growing mesh.
+Weak scaling: the finest grid side grows with the device count (constant
+rows per device; total work per device still grows ~linearly because the
+grid is square), so the efficiency column is *throughput-normalized*:
+eff = (work/time) / (devices × work₁/time₁). Strong scaling: fixed grid,
+growing mesh, eff = t₁ / (c·t_c).
+
+All device counts run the same XLA kernel path (SolverConfig(kernels="xla"))
+— Pallas kernels only run unsharded, and comparing a Pallas baseline against
+XLA sharded points would conflate a kernel swap with scaling loss.
 
 On real multi-chip TPU hardware this is the BASELINE.md weak-scaling
-measurement; on a single host it still runs (virtual CPU devices via
---xla_force_host_platform_device_count) as a functional check of the sharded
-execution path — the printed efficiencies are then bounded by host cores,
-not interconnect.
+measurement; on a single host it runs against virtual CPU devices as a
+functional check of the sharded execution path — efficiencies are then
+bounded by host cores, not interconnect.
 
     python bench_scaling.py                  # weak scaling on all devices
     SCALING_MODE=strong python bench_scaling.py
@@ -21,27 +26,45 @@ import json
 import os
 import sys
 
-if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
-    # single-host functional mode: fabricate 8 devices unless real multi-chip
-    import jax as _jax_probe  # noqa: F401  (must set flags BEFORE first use)
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    # single-host functional mode: fabricate 8 virtual devices (must happen
+    # before the first jax import; real multi-chip sets its own flags)
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
 
-import jax
+import jax  # noqa: E402
 
-import multigrid_poisson_solver_tpu as mg
-from multigrid_poisson_solver_tpu.parallel.mesh import ShardingPolicy, make_mesh
-from multigrid_poisson_solver_tpu.utils.profiling import DeviceTimer
+if os.environ.get("SCALING_PLATFORM"):
+    # JAX_PLATFORMS env is ignored when jax is pre-imported with a TPU
+    # plugin (see CLAUDE.md); the config update is honored post-import
+    jax.config.update("jax_platforms", os.environ["SCALING_PLATFORM"])
+
+import multigrid_poisson_solver_tpu as mg  # noqa: E402
+from multigrid_poisson_solver_tpu.parallel.mesh import (  # noqa: E402
+    ShardingPolicy, make_mesh,
+)
+from multigrid_poisson_solver_tpu.solver import SolverConfig  # noqa: E402
+from multigrid_poisson_solver_tpu.utils.profiling import DeviceTimer  # noqa: E402
 
 
-def cycle_time(n: int, devices, reps: int = 5) -> float:
+def cycle_time(n: int, devices, iters: int = 8, reps: int = 3) -> float:
     policy = None
     if len(devices) > 1:
         policy = ShardingPolicy(make_mesh(devices), threshold_rows=16)
+    config = SolverConfig(kernels="xla")   # same kernels at every device count
     program = mg.v_cycle(n, n_min=8, steps=3, coarse_option=0)
-    cc = mg.compile_program(program, mg.REFERENCE_PROBLEM, policy=policy,
-                            donate=False)
-    u, f = cc.init()
-    return DeviceTimer().measure_differential(
-        lambda u, f: cc.fn(u, f)[0], u, f, reps=reps)
+    cold = mg.compile_program(program, mg.REFERENCE_PROBLEM, config,
+                              policy=policy, donate=False)
+    warm = mg.compile_program(program, mg.REFERENCE_PROBLEM, config,
+                              policy=policy, warm=True, donate=False)
+    u, f = cold.init()
+    # iterate cycles inside one jit: per-call dispatch over the device tunnel
+    # would swamp a ~ms cycle and is NOT cancelled by differential timing
+    run = jax.jit(lambda u, f: jax.lax.fori_loop(
+        0, iters, lambda i, v: warm.fn(v, f)[0], cold.fn(u, f)[0]))
+    per_call = DeviceTimer().measure_differential(run, u, f, reps=reps)
+    return per_call / (iters + 1)
 
 
 def main():
@@ -52,24 +75,18 @@ def main():
     counts = [c for c in (1, 2, 4, 8, 16, 32) if c <= len(all_devices)]
 
     results = []
-    t1 = None
+    t1 = w1 = None
     for c in counts:
-        if mode == "weak":
-            # rows/device constant: n−1 scales with devices (n stays 2^k+1)
-            n = (base_n - 1) * c + 1 if c > 1 else base_n
-            n_work = (n - 1) ** 2
-        else:
-            n = base_n
-            n_work = (n - 1) ** 2
+        n = (base_n - 1) * c + 1 if mode == "weak" else base_n
+        n_work = (n - 1) ** 2
         dt = cycle_time(n, all_devices[:c])
         if t1 is None:
             t1, w1 = dt, n_work
-        eff = ((t1 * (n_work / w1) / (c * dt)) if mode == "weak"
-               else t1 / (c * dt))
+        eff = (n_work / dt) / (c * (w1 / t1))
         results.append({"devices": c, "n": n, "cycle_ms": round(dt * 1e3, 3),
                         "efficiency": round(eff, 3)})
         print(f"[scaling/{mode}] {c} devices, N={n}: {dt*1e3:.2f} ms/cycle, "
-              f"efficiency {eff:.1%}", file=sys.stderr)
+              f"throughput efficiency {eff:.1%}", file=sys.stderr)
 
     print(json.dumps({"mode": mode, "backend": jax.default_backend(),
                       "results": results}))
