@@ -63,9 +63,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="deep-solve mode: iterate mixed-precision refinement "
                         "until the relative residual reaches this tolerance "
                         "(uses the cycle file's geometry; e.g. --tol 1e-10)")
-    p.add_argument("--state", default="df32", choices=["df32", "f64"],
+    p.add_argument("--state", default="df32", choices=["df32", "tw32", "f64"],
                    help="refinement state precision for --tol (df32: "
-                        "double-float pair; f64: emulated float64)")
+                        "double-float pair, floor ~3e-9 at N=4097; tw32: "
+                        "triple-word, reaches 1e-10 at N=8193; f64: "
+                        "emulated float64)")
     p.add_argument("--max-cycles", type=int, default=60,
                    help="refinement cycle cap for --tol")
     p.add_argument("--checkpoint", default=None,

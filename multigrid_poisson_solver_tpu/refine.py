@@ -8,9 +8,9 @@ answer is NOT emulated-fp64 everywhere (10-30× slower on the VPU) but the
 classic iterative-refinement structure, built from the pieces this framework
 already has:
 
-    state:   u = u_hi + u_lo, an unevaluated double-float fp32 pair
-             (effective precision ~2⁻⁴⁸ — fp64-class) — or plain emulated
-             f64 when ``jax_enable_x64`` is on;
+    state:   u as an unevaluated multi-word fp32 expansion — "df32" (two
+             words, ~2⁻⁴⁸) or "tw32" (three words, ~2⁻⁷²) — or plain
+             emulated f64 when ``jax_enable_x64`` is on;
     step:    r  = f − A·(u_hi + u_lo)   — compensated (two-sum) stencil sum,
                                           exact to fp32 eps of r itself;
              e  ≈ A⁻¹ r                 — ONE fp32 multigrid cycle on the
@@ -19,8 +19,11 @@ already has:
              u += e                     — two-sum accumulation into the pair.
 
 Every refinement cycle contracts the true residual by the multigrid
-contraction factor (~0.1 per V(3,3)-cycle) until the state-precision floor:
-~1e-8 relative for df32 at 8193², ~1e-9 for f64. The entire loop — cycles,
+contraction factor (~0.1 per V(3,3)-cycle) until the state-precision floor.
+Measured on one chip: df32 floors at 3.07e-9 relative at N=4097 (exactly
+2⁻⁴⁸·‖A‖‖u‖; the emulated-f64 state floors the same — it is double-single
+class on TPU); tw32 reaches 9.7e-11 at N=8193 and 1.6e-14 at N=257 — the
+1e-10-at-8192² headline with zero fp64 arrays. The entire loop — cycles,
 residual norms, convergence test — is one ``lax.while_loop`` on device; the
 host sees a single scalar at the end (the device tunnel costs 0.6 s per
 sync, SKILL.md).
@@ -80,6 +83,71 @@ def df_add(u_hi, u_lo, e):
     return s, err
 
 
+# --- triple-word (three fp32) state -------------------------------------------
+# The df32 state floors at 2⁻⁴⁸·‖A‖·‖u‖ (measured exactly: 3.07e-9 relative at
+# N=4097), and XLA:TPU's emulated f64 floors in the same class. A third fp32
+# word gives ~2⁻⁷² effective precision — the route to 1e-10 relative residual
+# at production sizes entirely on the fp32 fast path.
+
+def tw_add(u0, u1, u2, e):
+    """(u0, u1, u2) + e, renormalized by two-sum chains (VecSum passes)."""
+    s0, c = two_sum(u0, e)
+    s1, c = two_sum(u1, c)
+    s2 = u2 + c
+    # renormalization so the words stay magnitude-ordered
+    r1, c = two_sum(s1, s2)
+    r0, c2 = two_sum(s0, r1)
+    r1, c3 = two_sum(c2, c)
+    return r0, r1, c3
+
+
+def _eft_stencil_sum_dd(u):
+    """(hi, lo, lo2) with hi + lo + lo2 ≈ Σ4 neighbors − 4u to ~eps³ accuracy.
+
+    Like the basic EFT chain but the error-term accumulator is itself
+    compensated (two-sum on the lo word, residue into lo2), so the sum is
+    exact through second order — the residual-evaluation noise, not the
+    state precision, limits the triple-word refinement floor.
+    """
+    un = jnp.roll(u, 1, 0); us = jnp.roll(u, -1, 0)
+    uw = jnp.roll(u, 1, 1); ue = jnp.roll(u, -1, 1)
+    hi, lo = two_sum(un, us)
+    lo2 = jnp.zeros_like(hi)
+    for term in (uw, ue, -u, -u, -u, -u):
+        hi, e = two_sum(hi, term)
+        lo, e2 = two_sum(lo, e)
+        lo2 = lo2 + e2
+    # renormalize (hi, lo)
+    hi, e = two_sum(hi, lo)
+    lo, e2 = two_sum(e, lo2)
+    return hi, lo, e2
+
+
+def residual_tw_p(u0, u1, u2, f, h: float, n: int):
+    """Compensated residual of the triple-word state.
+
+    The u0 and u1 stencil sums use doubly-compensated EFT chains; u2's is
+    plain fp32 (its magnitude is already ~eps²·|u|). The large-term
+    combination (hi·h⁻² − f) is exact by Sterbenz cancellation once the
+    iterate is converged; h⁻² is an exact power of two for 2^k+1 grids, and
+    the small terms fold in with a final two-sum so only ~eps·|r| relative
+    rounding remains.
+    """
+    hi0, lo0, m0 = _eft_stencil_sum_dd(u0)
+    hi1, lo1, m1 = _eft_stencil_sum_dd(u1)
+    s2 = (jnp.roll(u2, 1, 0) + jnp.roll(u2, -1, 0)
+          + jnp.roll(u2, 1, 1) + jnp.roll(u2, -1, 1) - 4.0 * u2)
+    inv_h2 = jnp.asarray(1.0 / (h * h), u0.dtype)
+
+    # big part first (Sterbenz-exact near convergence), then the small terms
+    # in compensated order of magnitude
+    r_big = hi0 * inv_h2 - f
+    t, c = two_sum(lo0, hi1)
+    t2 = ((lo1 + m0) + (m1 + s2)) + c
+    r = (r_big + t * inv_h2) + t2 * inv_h2
+    return jnp.where(interior_mask(n, u0.shape), r, jnp.zeros_like(r))
+
+
 @dataclasses.dataclass
 class RefineReport:
     u: jnp.ndarray                  # unpadded (n, n) best fp32 representation
@@ -94,13 +162,15 @@ class RefineReport:
 class IterativeRefinementSolver:
     """Solve ∇²u = f to a relative-residual target by iterative refinement.
 
-    ``state`` selects the outer-state precision:
-      * "df32" (default): double-float fp32 pair — no fp64 anywhere, floor
-        ~1e-10·(N/256)² relative residual;
+    ``state`` selects the outer-state precision (all keep the inner
+    multigrid cycles on the fp32/Pallas fast path):
+      * "df32" (default): double-float fp32 pair — floor 2⁻⁴⁸·‖A‖‖u‖
+        (3.07e-9 relative at N=4097, scaling ~N²);
+      * "tw32": triple-word fp32 + doubly-compensated residual — reaches
+        1e-10 relative at N=8193 (floor ≲1e-13 at small N);
       * "f64": emulated-float64 state and residual (requires
-        ``jax_enable_x64``) — slower outer ops (XLA software f64 on TPU) but
-        a ~N²-scaled floor two decades lower; the inner multigrid cycles
-        stay fp32/Pallas either way.
+        ``jax_enable_x64``); on TPU the emulation is double-single class,
+        so it floors like df32 — prefer tw32 for depth.
     """
 
     def __init__(self, problem: Problem, n: int,
@@ -136,8 +206,9 @@ class IterativeRefinementSolver:
                         warm=False)
         h = self.spec.h
         rp_cp = padded_shape(n)
-        if state not in ("df32", "f64"):
-            raise ValueError(f"unknown state {state!r}; expected 'df32' or 'f64'")
+        if state not in ("df32", "tw32", "f64"):
+            raise ValueError(
+                f"unknown state {state!r}; expected 'df32', 'tw32', or 'f64'")
         if state == "f64" and not jax.config.jax_enable_x64:
             raise ValueError(
                 "state='f64' needs jax_enable_x64 "
@@ -186,6 +257,34 @@ class IterativeRefinementSolver:
                                             .astype(jnp.float64)
                                             ).astype(config.dtype), rel, k
 
+        def run_tw(u_hi, u_lo, f, tol, budget):
+            """Triple-word refinement (u_lo is reinterpreted as word 1; the
+            third word lives in the loop carry only)."""
+            u0, u1 = u_hi, u_lo
+            u2 = jnp.zeros_like(u0)
+            r0n = jnp.linalg.norm(jnp.ravel(residual_tw_p(u0, u1, u2, f, h, n)))
+            den = jnp.maximum(jnp.maximum(fnorm(f), r0n),
+                              jnp.asarray(1e-30, config.dtype))
+
+            def step(state):
+                u0, u1, u2, _, k = state
+                r = residual_tw_p(u0, u1, u2, f, h, n)
+                e, _ = cycle(jnp.zeros(rp_cp, config.dtype), -r)
+                u0, u1, u2 = tw_add(u0, u1, u2, e)
+                rel = jnp.linalg.norm(
+                    jnp.ravel(residual_tw_p(u0, u1, u2, f, h, n))) / den
+                return u0, u1, u2, rel, k + 1
+
+            def cond(state):
+                _, _, _, rel, k = state
+                return jnp.logical_and(rel > tol, k < budget)
+
+            init = (u0, u1, u2, jnp.asarray(jnp.inf, config.dtype),
+                    jnp.asarray(0, jnp.int32))
+            u0, u1, u2, rel, k = lax.while_loop(cond, step, init)
+            # report (word0, word1); word2 is below fp32-pair resolution
+            return u0, u1, rel, k
+
         def run(u_hi, u_lo, f, tol, budget):
             """Refine from the given state for at most ``budget`` cycles
             (traced scalar — lets the host chunk for checkpointing)."""
@@ -217,7 +316,8 @@ class IterativeRefinementSolver:
             return u_hi, u_lo, rel, k
 
         self._is_f64 = state == "f64"
-        self._run = jax.jit(run_f64 if self._is_f64 else run)
+        self._run = jax.jit(run_f64 if self._is_f64
+                            else run_tw if state == "tw32" else run)
 
     def initial_state(self):
         """(u_hi0, u_lo0): Dirichlet ring + zero interior (the stencil reads

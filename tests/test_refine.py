@@ -73,6 +73,57 @@ def test_residual_df_matches_f64_truth(rng):
     assert np.abs(np.asarray(got, np.float64) - truth).max() < 1e-5 * scale
 
 
+def test_refine_tw32_reaches_1e13():
+    """Triple-word fp32 state: two decades below the df32 floor, still no
+    fp64 arrays anywhere."""
+    rep = solve_to_tolerance(PROBLEM, 129, tol=1e-13, state="tw32",
+                             max_cycles=30)
+    assert rep.rel_residual <= 1e-13
+    assert rep.cycles < 20
+
+
+def test_tw_add_exact(rng):
+    from multigrid_poisson_solver_tpu.refine import tw_add
+
+    u0 = jnp.asarray(rng.standard_normal(200), jnp.float32)
+    u1 = jnp.asarray(rng.standard_normal(200) * 1e-8, jnp.float32)
+    u2 = jnp.asarray(rng.standard_normal(200) * 1e-16, jnp.float32)
+    e = jnp.asarray(rng.standard_normal(200) * 1e-4, jnp.float32)
+    a0, a1, a2 = tw_add(u0, u1, u2, e)
+    want = (np.asarray(u0, np.longdouble) + np.asarray(u1, np.longdouble)
+            + np.asarray(u2, np.longdouble) + np.asarray(e, np.longdouble))
+    got = (np.asarray(a0, np.longdouble) + np.asarray(a1, np.longdouble)
+           + np.asarray(a2, np.longdouble))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_residual_tw_matches_longdouble_truth():
+    from multigrid_poisson_solver_tpu.refine import residual_tw_p, tw_add
+
+    n = 257
+    spec = mg.GridSpec(n)
+    rng = np.random.default_rng(11)
+    u0 = PROBLEM.analytic_grid(spec, jnp.float32)
+    u1 = jnp.asarray(rng.standard_normal((n, n)) * 1e-9, jnp.float32)
+    u2 = jnp.asarray(rng.standard_normal((n, n)) * 1e-17, jnp.float32)
+    f = PROBLEM.source_grid(spec, jnp.float32)
+    got = residual_tw_p(pad_grid(u0), pad_grid(u1), pad_grid(u2),
+                        pad_grid(f), spec.h, n)[:n, :n]
+    U = (np.asarray(u0, np.longdouble) + np.asarray(u1, np.longdouble)
+         + np.asarray(u2, np.longdouble))
+    F = np.asarray(f, np.longdouble)
+    truth = np.zeros_like(U)
+    truth[1:-1, 1:-1] = (U[:-2, 1:-1] + U[2:, 1:-1] + U[1:-1, :-2]
+                         + U[1:-1, 2:] - 4 * U[1:-1, 1:-1]) / np.longdouble(spec.h)**2 \
+        - F[1:-1, 1:-1]
+    err = np.abs(np.asarray(got, np.longdouble) - truth).max()
+    # two error regimes: ~eps relative to the (large, unconverged) residual
+    # of this artificial state, plus a tiny absolute evaluation floor — the
+    # floor is what the 1e-10-relative deep solves rely on
+    bound = max(1e-5 * float(np.abs(truth).max()), 1e-12)
+    assert err < bound
+
+
 def test_df_add_exact(rng):
     hi = jnp.asarray(rng.standard_normal(100), jnp.float32)
     lo = jnp.asarray(rng.standard_normal(100) * 1e-8, jnp.float32)
