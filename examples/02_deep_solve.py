@@ -30,11 +30,11 @@ def main(n=257):
     print(f"error vs analytic: {report.error_vs_analytic:.3e} "
           "(discretization floor)")
 
-    # below the df32 floor: f64 outer state (inner cycles stay fp32)
-    jax.config.update("jax_enable_x64", True)
-    deep = mg.solve_to_tolerance(mg.REFERENCE_PROBLEM, n, tol=1e-12,
-                                 state="f64", max_cycles=40)
-    print(f"f64 state: rel residual {deep.rel_residual:.3e} "
+    # below the df32 floor: triple-word fp32 state (inner cycles stay fp32;
+    # reaches 1e-10 at N=8193 and ~1e-14 at small N)
+    deep = mg.solve_to_tolerance(mg.REFERENCE_PROBLEM, n, tol=1e-13,
+                                 state="tw32", max_cycles=30)
+    print(f"tw32 state: rel residual {deep.rel_residual:.3e} "
           f"after {deep.cycles} cycles")
 
 
