@@ -34,11 +34,14 @@ import sys
 from functools import partial
 from typing import Any, Optional
 
-# Tracing a whole deep-hierarchy schedule (11 levels at N=8193, every sweep
-# unrolled) nests Python frames beyond the default 1000 limit; JAX's
-# internal jaxpr traversals recurse proportionally to the op chain.
-if sys.getrecursionlimit() < 50_000:
-    sys.setrecursionlimit(50_000)
+def _ensure_trace_recursion_limit():
+    """Tracing a whole deep-hierarchy schedule (11 levels at N=8193, every
+    sweep unrolled) nests Python frames beyond the default 1000 limit, and
+    JAX's jaxpr traversals recurse proportionally to the op chain. Raised
+    lazily when an engine is built (not at import) so merely importing the
+    package doesn't change process-wide limits."""
+    if sys.getrecursionlimit() < 50_000:
+        sys.setrecursionlimit(50_000)
 
 import jax
 import jax.numpy as jnp
@@ -73,16 +76,21 @@ class CompiledCycle:
     """A CycleProgram compiled end-to-end into one XLA executable.
 
     Arrays flow in the padded tile layout: ``init()`` produces padded
-    ``(u0, f0)``; calling the object returns ``(u, err)`` with ``u`` padded
-    (chain it straight into the next call for warm-restarted cycles —
-    matching the reference's init-flag behavior, linkedlist.h:38-41);
+    ``(u0, f0)``; calling the object returns ``(u, err)`` with ``u`` padded;
     ``unpad(u)`` recovers the true (n, n) grid.
+
+    Warm restart (the reference's init-flag behavior, linkedlist.h:38-41):
+    with the default ``warm=False`` every call RESETS the finest iterate, so
+    chaining the output into the same instance repeats cycle 1. To iterate
+    cycles, either build a second instance with ``warm=True`` and chain
+    through that, or use :meth:`iterate`, which does both.
     """
 
     def __init__(self, program: CycleProgram, problem: Problem,
                  config: SolverConfig = SolverConfig(),
                  policy: Optional[ShardingPolicy] = None,
                  warm: bool = False, donate: bool = True):
+        _ensure_trace_recursion_limit()
         program.validate()
         self.program = program
         self.problem = problem
@@ -116,6 +124,23 @@ class CompiledCycle:
     def __call__(self, u, f):
         return self.fn(u, f)
 
+    def iterate(self, cycles: int):
+        """Run ``cycles`` warm-restarted cycles as one jitted computation.
+
+        Returns a jitted ``fn(u0, f) -> u`` that executes one cold cycle
+        followed by ``cycles − 1`` warm ones (the chained-cycle semantics of
+        the reference's init flag).
+        """
+        warm = CompiledCycle(self.program, self.problem, self.config,
+                             self.policy, warm=True, donate=False)
+
+        def chained(u, f):
+            u = self.fn(u, f)[0]
+            return jax.lax.fori_loop(
+                0, cycles - 1, lambda i, v: warm.fn(v, f)[0], u)
+
+        return jax.jit(chained)
+
     def unpad(self, u: jnp.ndarray) -> jnp.ndarray:
         return unpad_grid(u, self.finest_spec.n)
 
@@ -147,7 +172,14 @@ def _residual(u, f, h, n: int, cfg: SolverConfig, policy):
 
 def _restrict(d, n: int, m: int, cfg: SolverConfig):
     """Coarse RHS from the negated fine residual, per the restriction policy."""
-    if cfg.restriction == "full_weighting" and n == 2 * m - 1:
+    if cfg.restriction == "full_weighting":
+        if n != 2 * m - 1:
+            # never fall back silently: the user asked for FW because of the
+            # rb-GS sampling pathology; degrading to sampling would diverge
+            raise ValueError(
+                f"restriction='full_weighting' requires 2:1 vertex-aligned "
+                f"levels (n == 2m-1), got {n} -> {m}; build the schedule "
+                f"with coarsen=3 (odd-halve) or use restriction='sampling'")
         return P.full_weighting_restrict_p(-d, n, m, padded_shape(m))
     return _zoom(cfg)(-d, n, m, padded_shape(m), zero_boundary=True)
 
@@ -213,7 +245,16 @@ def _coarse_solve_traced(f_pad, h, n: int, ins: CoarseSolve, cfg: SolverConfig):
     if ins.option == 0:
         u = coarse_ops.dense_solve(f, h)
     else:
-        dt = jnp.float32 if ins.option == 2 else cfg.dtype
+        # option 1 is the reference's fp64 GS (doExactSolver_GPU option 1,
+        # MG_solver_GPU.cu:1296): run in float64 when x64 is enabled,
+        # otherwise in the configured dtype (where the compensated metric +
+        # stagnation stop handle the fp32 floor); option 2 is explicit fp32
+        if ins.option == 2:
+            dt = jnp.float32
+        elif ins.option == 1 and jax.config.jax_enable_x64:
+            dt = jnp.float64
+        else:
+            dt = cfg.dtype
         u, _, _ = coarse_ops.gauss_seidel_solve(
             f.astype(dt), h, ins.target_error, norm=cfg.coarse_gs_norm)
         u = u.astype(cfg.dtype)

@@ -31,14 +31,6 @@ def two_sum(a, b):
     return s, e
 
 
-def _df_add(hi, lo, x):
-    """(hi, lo) + x in double-float, renormalized."""
-    s, e = two_sum(hi, x)
-    lo = lo + e
-    s, e = two_sum(s, lo)
-    return s, e
-
-
 def neighbor_sum_df(u: jnp.ndarray):
     """Σ4 neighbors − 4u over the interior as a double-float (hi, lo) pair.
 

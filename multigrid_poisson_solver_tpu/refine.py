@@ -219,40 +219,40 @@ class IterativeRefinementSolver:
             m = interior_mask(n, rp_cp, config.dtype)
             return jnp.linalg.norm(jnp.ravel(f * m))
 
-        def residual64(u64, f64):
-            nb = (jnp.roll(u64, 1, 0) + jnp.roll(u64, -1, 0)
-                  + jnp.roll(u64, 1, 1) + jnp.roll(u64, -1, 1))
-            r = (nb - 4.0 * u64) / (h * h) - f64
-            return jnp.where(interior_mask(n, u64.shape), r,
-                             jnp.zeros_like(r))
+        def make_den(f, r0):
+            """Convergence normalization: ‖f‖ for source-driven problems; the
+            INITIAL-state residual only as the fallback for harmonic problems
+            (f ≈ 0 inside), where ‖f‖ would blow the ratio up. Never the
+            running state's residual — that would make the reported
+            rel_residual meaningless (and resumed chunks restart at O(1))."""
+            nf = fnorm(f).astype(r0.dtype)
+            return jnp.where(nf > 1e-20, nf,
+                             jnp.maximum(r0, jnp.asarray(1e-30, r0.dtype)))
 
         def run_f64(f, tol):
             f64 = f.astype(jnp.float64)
             u = pad_grid(problem.boundary_grid(self.spec, config.dtype)
                          ).astype(jnp.float64)
-            # same harmonic-problem fallback as the df32 path
-            r0 = jnp.linalg.norm(jnp.ravel(residual64(u, f64)))
-            den = jnp.maximum(jnp.maximum(
-                jnp.linalg.norm(jnp.ravel(
-                    f64 * interior_mask(n, rp_cp, jnp.float64))), r0),
-                1e-300)
+            res64 = partial(P.residual_p, h=h, n=n)
+            r = res64(u, f64)
+            den = make_den(f, jnp.linalg.norm(jnp.ravel(r)))
 
             def step(state_):
-                u, _, k = state_
-                r = residual64(u, f64)
+                u, r, _, k = state_
                 e, _ = cycle(jnp.zeros(rp_cp, config.dtype),
                              (-r).astype(config.dtype))
                 u = u + e.astype(jnp.float64)
-                rel = jnp.linalg.norm(jnp.ravel(residual64(u, f64))) / den
-                return u, rel, k + 1
+                r = res64(u, f64)
+                rel = jnp.linalg.norm(jnp.ravel(r)) / den
+                return u, r, rel, k + 1
 
             def cond(state_):
-                _, rel, k = state_
+                _, _, rel, k = state_
                 return jnp.logical_and(rel > tol, k < max_cycles)
 
-            init = (u, jnp.asarray(jnp.inf, jnp.float64),
+            init = (u, r, jnp.asarray(jnp.inf, jnp.float64),
                     jnp.asarray(0, jnp.int32))
-            u, rel, k = lax.while_loop(cond, step, init)
+            u, _, rel, k = lax.while_loop(cond, step, init)
             return u.astype(config.dtype), (u - u.astype(config.dtype)
                                             .astype(jnp.float64)
                                             ).astype(config.dtype), rel, k
@@ -262,57 +262,56 @@ class IterativeRefinementSolver:
             third word lives in the loop carry only)."""
             u0, u1 = u_hi, u_lo
             u2 = jnp.zeros_like(u0)
-            r0n = jnp.linalg.norm(jnp.ravel(residual_tw_p(u0, u1, u2, f, h, n)))
-            den = jnp.maximum(jnp.maximum(fnorm(f), r0n),
-                              jnp.asarray(1e-30, config.dtype))
+            i0, i1 = self.initial_state()
+            r0n = jnp.linalg.norm(jnp.ravel(
+                residual_tw_p(i0, i1, jnp.zeros_like(i0), f, h, n)))
+            den = make_den(f, r0n)
+            r = residual_tw_p(u0, u1, u2, f, h, n)
 
             def step(state):
-                u0, u1, u2, _, k = state
-                r = residual_tw_p(u0, u1, u2, f, h, n)
+                u0, u1, u2, r, _, k = state
                 e, _ = cycle(jnp.zeros(rp_cp, config.dtype), -r)
                 u0, u1, u2 = tw_add(u0, u1, u2, e)
-                rel = jnp.linalg.norm(
-                    jnp.ravel(residual_tw_p(u0, u1, u2, f, h, n))) / den
-                return u0, u1, u2, rel, k + 1
+                r = residual_tw_p(u0, u1, u2, f, h, n)
+                rel = jnp.linalg.norm(jnp.ravel(r)) / den
+                return u0, u1, u2, r, rel, k + 1
 
             def cond(state):
-                _, _, _, rel, k = state
+                _, _, _, _, rel, k = state
                 return jnp.logical_and(rel > tol, k < budget)
 
-            init = (u0, u1, u2, jnp.asarray(jnp.inf, config.dtype),
+            init = (u0, u1, u2, r, jnp.asarray(jnp.inf, config.dtype),
                     jnp.asarray(0, jnp.int32))
-            u0, u1, u2, rel, k = lax.while_loop(cond, step, init)
+            u0, u1, u2, _, rel, k = lax.while_loop(cond, step, init)
             # report (word0, word1); word2 is below fp32-pair resolution
             return u0, u1, rel, k
 
         def run(u_hi, u_lo, f, tol, budget):
             """Refine from the given state for at most ``budget`` cycles
             (traced scalar — lets the host chunk for checkpointing)."""
-            # normalization: ‖f‖ for source-driven problems; for harmonic
-            # problems (f = 0 inside) fall back to the initial residual —
-            # a zero denominator would make the relative residual blow up
-            u_hi0, u_lo0 = self.initial_state()
-            r0 = jnp.linalg.norm(jnp.ravel(residual_df_p(u_hi0, u_lo0, f, h, n)))
-            den = jnp.maximum(jnp.maximum(fnorm(f), r0),
-                              jnp.asarray(1e-30, config.dtype))
+            i0, i1 = self.initial_state()
+            r0 = jnp.linalg.norm(jnp.ravel(residual_df_p(i0, i1, f, h, n)))
+            den = make_den(f, r0)
+            # residual r = A·u − f is carried in the loop state so each
+            # cycle evaluates the (expensive, compensated) residual once
+            r = residual_df_p(u_hi, u_lo, f, h, n)
 
             def step(state):
-                u_hi, u_lo, _, k = state
-                r = residual_df_p(u_hi, u_lo, f, h, n)
-                # residual r = A·u − f; we need e with A·e = f − A·u = −r
+                u_hi, u_lo, r, _, k = state
+                # we need e with A·e = f − A·u = −r
                 e, _ = cycle(jnp.zeros(rp_cp, config.dtype), -r)
                 u_hi, u_lo = df_add(u_hi, u_lo, e)
-                r_new = residual_df_p(u_hi, u_lo, f, h, n)
-                rel = jnp.linalg.norm(jnp.ravel(r_new)) / den
-                return u_hi, u_lo, rel, k + 1
+                r = residual_df_p(u_hi, u_lo, f, h, n)
+                rel = jnp.linalg.norm(jnp.ravel(r)) / den
+                return u_hi, u_lo, r, rel, k + 1
 
             def cond(state):
-                _, _, rel, k = state
+                _, _, _, rel, k = state
                 return jnp.logical_and(rel > tol, k < budget)
 
-            init = (u_hi, u_lo, jnp.asarray(jnp.inf, config.dtype),
+            init = (u_hi, u_lo, r, jnp.asarray(jnp.inf, config.dtype),
                     jnp.asarray(0, jnp.int32))
-            u_hi, u_lo, rel, k = lax.while_loop(cond, step, init)
+            u_hi, u_lo, _, rel, k = lax.while_loop(cond, step, init)
             return u_hi, u_lo, rel, k
 
         self._is_f64 = state == "f64"
@@ -343,11 +342,15 @@ class IterativeRefinementSolver:
         if self._is_f64:
             if checkpoints is not None:
                 raise NotImplementedError(
-                    "checkpointing currently supports the df32 state")
+                    "checkpointing currently supports only the df32 state")
             u_hi, u_lo, rel, k = self._run(f, tol)
         elif checkpoints is None:
             u_hi, u_lo = self.initial_state()
             u_hi, u_lo, rel, k = self._run(u_hi, u_lo, f, tol, self.max_cycles)
+        elif self.state != "df32":
+            # tw32's third word would be dropped at every chunk boundary
+            raise NotImplementedError(
+                "checkpointing currently supports only the df32 state")
         else:
             u_hi, u_lo, rel, k = self._solve_checkpointed(
                 f, tol, checkpoints, checkpoint_chunk)

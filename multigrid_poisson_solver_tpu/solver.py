@@ -123,7 +123,14 @@ def _restrict_residual_fused(u, f, h: float, m: int, restriction: str = "samplin
     """
     d = stencils.residual(u, f, h)
     n = u.shape[0]
-    if restriction == "full_weighting" and n == 2 * m - 1:
+    if restriction == "full_weighting":
+        if n != 2 * m - 1:
+            # never fall back silently: FW is requested to avoid the rb-GS
+            # sampling pathology; degrading to sampling would diverge
+            raise ValueError(
+                f"restriction='full_weighting' requires 2:1 vertex-aligned "
+                f"levels (n == 2m-1), got {n} -> {m}; build the schedule "
+                f"with coarsen=3 (odd-halve) or use restriction='sampling'")
         from .ops.layout import pad_grid, padded_shape, unpad_grid
         from .ops.padded import full_weighting_restrict_p
 
@@ -240,7 +247,15 @@ class MultigridSolver:
                     lvl.u = coarse_ops.dense_solve(lvl.f, h)
                     nodes.append(NodeReport("coarse-solve", n, detail="dense"))
                 else:
-                    dtype = jnp.float32 if ins.option == 2 else cfg.dtype
+                    # option 1 = the reference's fp64 GS: float64 when x64 is
+                    # enabled, else cfg.dtype; option 2 = explicit fp32
+                    # (matches compiled._coarse_solve_traced)
+                    if ins.option == 2:
+                        dtype = jnp.float32
+                    elif ins.option == 1 and jax.config.jax_enable_x64:
+                        dtype = jnp.float64
+                    else:
+                        dtype = cfg.dtype
                     u, err, iters = coarse_ops.gauss_seidel_solve(
                         lvl.f.astype(dtype), h, ins.target_error, norm=cfg.coarse_gs_norm)
                     lvl.u = u.astype(cfg.dtype)

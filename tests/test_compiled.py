@@ -39,11 +39,12 @@ def test_compiled_matches_interpreted(maker):
     program = maker()
     rep = mg.solve(PROBLEM, program)
     cc, u1, _ = _run_compiled(program)
-    # abs=1e-7: fp32 fusion-order noise on the u iterate (values ~1e-1) shows
-    # up at this magnitude in the mean-abs-error metric once the solution is
-    # at the discretization floor
+    # abs=3e-7: the engines run legitimately different fp32 op orders
+    # (padded rolls + while_loops vs unpadded slices), so once the solution
+    # is at the discretization floor (~6e-6 for the FMG case) their
+    # mean-abs-error metrics differ by a few percent of the floor
     assert _final_error(u1, cc.finest_spec) == pytest.approx(
-        rep.error_vs_analytic, rel=1e-3, abs=1e-7)
+        rep.error_vs_analytic, rel=1e-3, abs=3e-7)
     np.testing.assert_allclose(np.asarray(u1), np.asarray(rep.u),
                                rtol=1e-4, atol=1e-6)
 

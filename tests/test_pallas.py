@@ -20,14 +20,29 @@ def _fused(u, f, n, h, steps, omega=1.0):
                                   n, h, steps, omega=omega, interpret=True)
 
 
-@pytest.mark.parametrize("n,steps", [
-    (33, 2),        # single strip, whole grid in VMEM
-    (257, 3),       # single strip at larger n
-    (520, 8),       # multi-strip, clamped second strip, max fused sweeps
-    (700, 5),       # multi-strip with ragged final rows
-    (1030, 11),     # sweeps above the fusion cap -> chunked into 8 + 3
+def _num_strips(n: int) -> int:
+    """Strip count the kernel will use for grid size n (mirrors the kernel's
+    own geometry so the test KNOWS which pipeline paths it exercises)."""
+    rp, cp = layout.padded_shape(n)
+    strip = min(pk._strip_rows(cp, 4), rp)
+    if strip >= rp:
+        return 1
+    return -(-rp // (strip - 2 * pk.HALO))
+
+
+@pytest.mark.parametrize("n,steps,min_strips", [
+    (33, 2, 1),        # single strip, whole grid in VMEM
+    (257, 3, 1),       # single strip at larger n
+    (1030, 8, 2),      # multi-strip pipeline, max fused sweeps
+    (900, 5, 2),       # exactly two strips, clamped second strip
+    (2049, 11, 3),     # ≥3 strips; sweeps above the cap -> chunked 8 + 3
 ])
-def test_fused_jacobi_matches_oracle(rng, n, steps):
+def test_fused_jacobi_matches_oracle(rng, n, steps, min_strips):
+    # geometry guard: if the VMEM budget heuristic changes and these cases
+    # stop exercising the multi-strip pipeline, fail loudly instead of
+    # silently testing the trivial single-strip branch
+    assert _num_strips(n) >= min_strips
+
     u = jnp.asarray(rng.standard_normal((n, n)), jnp.float32)
     f = jnp.asarray(rng.standard_normal((n, n)), jnp.float32)
     h = 1.0 / (n - 1)

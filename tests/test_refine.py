@@ -124,6 +124,69 @@ def test_residual_tw_matches_longdouble_truth():
     assert err < bound
 
 
+def test_rel_residual_normalized_by_f_when_source_nonzero():
+    """Mixed problem (nonzero source AND boundary): the convergence test must
+    normalize by ‖f‖, not by the (huge) initial-state residual — otherwise
+    the solver stops orders of magnitude early while reporting success."""
+    prob = mg.models.problems.Problem(
+        source=lambda x, y: -2.0 * (y * (1 - y) + x * (1 - x)),
+        boundary=lambda x, y: x + y,
+        analytic=lambda x, y: x * (1 - x) * y * (1 - y) + x + y,
+        name="mixed")
+    n = 65
+    rep = solve_to_tolerance(prob, n, tol=1e-9)
+    # independently recompute ‖r‖/‖f‖ from the returned state
+    from multigrid_poisson_solver_tpu.refine import residual_df_p
+
+    spec = mg.GridSpec(n)
+    f = pad_grid(prob.source_grid(spec, jnp.float32)
+                 + prob.boundary_grid(spec, jnp.float32))
+    r = residual_df_p(pad_grid(rep.u), pad_grid(rep.u_lo), f, spec.h, n)
+    from multigrid_poisson_solver_tpu.ops.layout import interior_mask
+
+    fn = float(jnp.linalg.norm(
+        jnp.ravel(f * interior_mask(n, f.shape, jnp.float32))))
+    true_rel = float(jnp.linalg.norm(jnp.ravel(r))) / fn
+    assert true_rel <= 1.5e-9          # really converged w.r.t. ‖f‖
+    assert rep.rel_residual == pytest.approx(true_rel, rel=0.2)
+
+
+def test_tw32_checkpointing_rejected(tmp_path):
+    from multigrid_poisson_solver_tpu.refine import IterativeRefinementSolver
+    from multigrid_poisson_solver_tpu.utils.checkpoint import CheckpointManager
+
+    s = IterativeRefinementSolver(PROBLEM, 33, state="tw32")
+    with pytest.raises(NotImplementedError, match="df32"):
+        s.solve(1e-10, checkpoints=CheckpointManager(tmp_path))
+
+
+def test_fw_misalignment_raises_in_both_engines():
+    cfg = SolverConfig(smoother="rbgs", restriction="full_weighting")
+    prog = mg.v_cycle(65, n_min=8, steps=2, coarsen=1)   # 65 -> 32: misaligned
+    with pytest.raises(ValueError, match="full_weighting"):
+        mg.solve(PROBLEM, prog, cfg)
+    with pytest.raises(ValueError, match="full_weighting"):
+        from multigrid_poisson_solver_tpu.compiled import compile_program
+        cc = compile_program(prog, PROBLEM, cfg, donate=False)
+        u, f = cc.init()
+        cc(u, f)
+
+
+def test_compiled_iterate_converges():
+    from multigrid_poisson_solver_tpu.compiled import compile_program
+    from multigrid_poisson_solver_tpu.ops.stencils import mean_abs_error
+
+    prog = mg.v_cycle(65, n_min=8, steps=3, coarse_option=0)
+    cc = compile_program(prog, PROBLEM, donate=False)
+    u, f = cc.init()
+    run5 = cc.iterate(5)
+    u5 = cc.unpad(run5(u, f))
+    ua = PROBLEM.analytic_grid(cc.finest_spec, jnp.float32)
+    one = cc.unpad(cc(u, f)[0])
+    # 5 chained cycles must beat 1 cycle (warm restart actually chains)
+    assert float(mean_abs_error(u5, ua)) < float(mean_abs_error(one, ua)) / 5
+
+
 def test_df_add_exact(rng):
     hi = jnp.asarray(rng.standard_normal(100), jnp.float32)
     lo = jnp.asarray(rng.standard_normal(100) * 1e-8, jnp.float32)
