@@ -184,17 +184,30 @@ def _restrict(d, n: int, m: int, cfg: SolverConfig):
     return _zoom(cfg)(-d, n, m, padded_shape(m), zero_boundary=True)
 
 
-def _sweeps(u, f, h, n: int, steps: int, cfg: SolverConfig, policy=None):
+def _sweeps(u, f, h, n: int, steps: int, cfg: SolverConfig, policy=None,
+            from_zero: bool = False):
     """``steps`` smoothing sweeps on padded arrays, Pallas-fused when enabled.
 
     Pallas kernels do not partition under GSPMD, so sharded programs
     (policy set) always take the XLA path — its shifted-window ops are what
-    GSPMD knows how to cut along the mesh with halo collectives."""
+    GSPMD knows how to cut along the mesh with halo collectives.
+
+    ``from_zero``: the caller guarantees u ≡ 0 (a freshly-reset correction
+    level); the first Jacobi sweep is then closed-form — u₁ = −(ω/4)h²f on
+    the interior — and the Pallas kernel skips reading u from HBM entirely.
+    """
     if cfg.smoother == "jacobi":
         if _use_pallas(cfg) and policy is None:
             from .ops.pallas_kernels import fused_jacobi_padded
-            return fused_jacobi_padded(u, f, n, h, steps, omega=cfg.omega)
+            return fused_jacobi_padded(u, f, n, h, steps, omega=cfg.omega,
+                                       from_zero=from_zero)
         sweep = partial(P.jacobi_sweep_p, h=h, n=n, omega=cfg.omega)
+        if from_zero and steps >= 1:
+            from .ops.layout import interior_mask
+            u = jnp.where(interior_mask(n, u.shape),
+                          (-0.25 * cfg.omega * h * h) * f,
+                          jnp.zeros_like(u))
+            steps -= 1
     else:
         sweep = partial(P.redblack_gs_sweep_p, h=h, n=n)
     return lax.fori_loop(0, steps, lambda _, v: sweep(v, f), u, unroll=True)
@@ -226,10 +239,10 @@ def _trigger_smooth_traced(u, f, h, n: int, cfg: SolverConfig, policy=None):
 
 
 def _smooth_traced(u, f, h, n: int, steps: int, cfg: SolverConfig,
-                   want_err: bool, policy=None):
+                   want_err: bool, policy=None, from_zero: bool = False):
     if steps == -1:
         return _trigger_smooth_traced(u, f, h, n, cfg, policy)
-    u = _sweeps(u, f, h, n, steps, cfg, policy)
+    u = _sweeps(u, f, h, n, steps, cfg, policy, from_zero=from_zero)
     err = (P.smoothing_error_p(u, f, h, n, compat=cfg.compat_error)
            if want_err else None)
     return u, err
@@ -287,11 +300,13 @@ def _run_traced(u0, f0, *, program: CycleProgram, problem: Problem,
 
         if isinstance(ins, Descend):
             finest = len(levels) == 1
+            was_zeroed = False
             if not (finest and warm_now) and not lvl.is_fmg:
                 # reference memset semantics (MG_solver_CPU.cpp:209-214)
                 lvl.u = _constrain(
                     boundary_pad(lvl.spec) if finest else zeros_pad(lvl.spec),
                     policy, n)
+                was_zeroed = not finest   # correction levels reset to u ≡ 0
 
             next_spec = lvl.spec.coarsened(ins.next_n)
             m = ins.next_n
@@ -307,7 +322,8 @@ def _run_traced(u0, f0, *, program: CycleProgram, problem: Problem,
                 continue
 
             lvl.u, err = _smooth_traced(lvl.u, lvl.f, h, n, ins.steps, cfg,
-                                        want_err=finest, policy=policy)
+                                        want_err=finest, policy=policy,
+                                        from_zero=was_zeroed)
             lvl.u = _constrain(lvl.u, policy, n)
             if finest and err is not None:
                 last_err = err

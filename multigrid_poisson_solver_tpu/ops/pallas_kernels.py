@@ -79,7 +79,7 @@ def _fused_jacobi_kernel(u_hbm, f_hbm, out_hbm,
                          load_sems, out_sems,
                          *, n: int, rp: int, cp: int, steps: int,
                          num_strips: int, strip: int, owned: int,
-                         h2: float, omega: float):
+                         h2: float, omega: float, from_zero: bool):
     def load_start(i):
         # owned, HALO, rp, strip are all multiples of 8, so the clip result
         # is too — but Mosaic's alignment prover can't see through clip/mul,
@@ -91,11 +91,18 @@ def _fused_jacobi_kernel(u_hbm, f_hbm, out_hbm,
         return _mul8(jnp.clip(_i32(i) * _i32(owned), _i32(0), _i32(rp - owned)))
 
     def load_copies(i, slot):
+        # from_zero: the initial iterate is identically zero (correction
+        # levels), so sweep 1 is closed-form and u is never read — only f
+        # streams in, a 33% HBM-traffic cut for the pre-smoothing leg
         s = load_start(i)
-        return (pltpu.make_async_copy(u_hbm.at[pl.ds(s, strip), :],
-                                      u_slots.at[slot], load_sems.at[slot, _i32(0)]),
-                pltpu.make_async_copy(f_hbm.at[pl.ds(s, strip), :],
-                                      fc_slots.at[slot], load_sems.at[slot, _i32(1)]))
+        copies = (pltpu.make_async_copy(f_hbm.at[pl.ds(s, strip), :],
+                                        fc_slots.at[slot],
+                                        load_sems.at[slot, _i32(1)]),)
+        if not from_zero:
+            copies += (pltpu.make_async_copy(
+                u_hbm.at[pl.ds(s, strip), :], u_slots.at[slot],
+                load_sems.at[slot, _i32(0)]),)
+        return copies
 
     def out_copy(i, slot):
         wstart = write_start(i)
@@ -131,13 +138,25 @@ def _fused_jacobi_kernel(u_hbm, f_hbm, out_hbm,
         rows = jax.lax.broadcasted_iota(jnp.int32, (strip, cp), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (strip, cp), 1)
         g = rows + start_c
-        ok = ((rows >= 1) & (rows <= strip - 2)      # cut-edge rows frozen
-              & (g >= 1) & (g <= n - 2)              # Dirichlet + pad rows
-              & (cols >= 1) & (cols <= n - 2))       # Dirichlet + pad cols
+        ok_global = ((g >= 1) & (g <= n - 2)         # Dirichlet + pad rows
+                     & (cols >= 1) & (cols <= n - 2))  # Dirichlet + pad cols
+        ok = ok_global & (rows >= 1) & (rows <= strip - 2)  # cut edges frozen
         a = jnp.where(ok, jnp.float32(0.25 * omega), jnp.float32(0.0)
                       ).astype(u_hbm.dtype)
         a_buf[:] = a
-        fc_slots[slot] = a * (jnp.asarray(h2, u_hbm.dtype) * fc_slots[slot])
+        raw_f = fc_slots[slot]              # read before the C overwrite
+        fc_slots[slot] = a * (jnp.asarray(h2, u_hbm.dtype) * raw_f)
+
+        if from_zero:
+            # closed-form sweep 1 from u≡0: u₁ = −(ω/4)·h²·f on the global
+            # interior (exact everywhere, including the strip edges — no
+            # neighbor dependence — so the trapezoid only needs steps−1
+            # halo rows, which HALO ≥ steps covers)
+            u_slots[slot] = jnp.where(
+                ok_global,
+                -(jnp.float32(0.25 * omega)
+                  * (jnp.asarray(h2, u_hbm.dtype) * raw_f)),
+                jnp.zeros((strip, cp), u_hbm.dtype))
 
         # --- k sweeps, pure fp32 vector arithmetic --------------------------
         def sweep(src, dst):
@@ -148,10 +167,11 @@ def _fused_jacobi_kernel(u_hbm, f_hbm, out_hbm,
                   + pltpu.roll(u, shift=_i32(cp - 1), axis=1))
             dst[:] = u + a_buf[:] * (nb - 4.0 * u) - fc_slots[slot][:]
 
+        n_sweeps = steps - 1 if from_zero else steps
         bufs = [u_slots.at[slot], work]
-        for s in range(steps):
+        for s in range(n_sweeps):
             sweep(bufs[s % 2], bufs[(s + 1) % 2])
-        if steps % 2 == 1:
+        if n_sweeps % 2 == 1:
             # result must sit in the slot buffer for the direct out-DMA
             u_slots[slot] = work[:]
 
@@ -169,9 +189,10 @@ def _fused_jacobi_kernel(u_hbm, f_hbm, out_hbm,
     out_copy(_i32(last), _i32(last % 2)).wait()
 
 
-@partial(jax.jit, static_argnames=("n", "h", "steps", "omega", "interpret"))
+@partial(jax.jit, static_argnames=("n", "h", "steps", "omega", "from_zero",
+                                   "interpret"))
 def _fused_jacobi_call(u, f, n: int, h: float, steps: int, omega: float,
-                       interpret: bool):
+                       from_zero: bool, interpret: bool):
     rp, cp = u.shape
     assert (rp, cp) == padded_shape(n), (
         f"expected padded layout {padded_shape(n)} for n={n}, got {u.shape}")
@@ -186,7 +207,7 @@ def _fused_jacobi_call(u, f, n: int, h: float, steps: int, omega: float,
 
     kernel = partial(_fused_jacobi_kernel, n=n, rp=rp, cp=cp, steps=steps,
                      num_strips=num_strips, strip=strip, owned=owned,
-                     h2=h * h, omega=omega)
+                     h2=h * h, omega=omega, from_zero=from_zero)
 
     return pl.pallas_call(
         kernel,
@@ -333,17 +354,25 @@ def residual_pallas(u, f, n: int, h: float, negate: bool = False,
 
 def fused_jacobi_padded(u: jnp.ndarray, f: jnp.ndarray, n: int, h: float,
                         steps: int, omega: float = 1.0,
+                        from_zero: bool = False,
                         interpret: bool = False) -> jnp.ndarray:
     """``steps`` damped-Jacobi sweeps on padded-layout arrays, ≤8 per HBM pass.
 
     Semantically identical to ``steps`` applications of
     ops.padded.jacobi_sweep_p / ops.stencils.jacobi_sweep (doSmoothing,
     MG_solver_CPU.cpp:573-604). Chunks calls when steps > 8.
+
+    ``from_zero=True`` asserts the incoming iterate is identically zero
+    (correction levels after the reference's memset): the first sweep is
+    then closed-form and the first kernel call never reads ``u`` from HBM.
     """
     if steps <= 0:
         return u
+    first = True
     while steps > 0:
         k = min(steps, MAX_FUSED_SWEEPS)
-        u = _fused_jacobi_call(u, f, n, h, k, omega, interpret)
+        u = _fused_jacobi_call(u, f, n, h, k, omega,
+                               from_zero and first, interpret)
         steps -= k
+        first = False
     return u
