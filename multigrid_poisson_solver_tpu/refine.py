@@ -257,11 +257,8 @@ class IterativeRefinementSolver:
                                             .astype(jnp.float64)
                                             ).astype(config.dtype), rel, k
 
-        def run_tw(u_hi, u_lo, f, tol, budget):
-            """Triple-word refinement (u_lo is reinterpreted as word 1; the
-            third word lives in the loop carry only)."""
-            u0, u1 = u_hi, u_lo
-            u2 = jnp.zeros_like(u0)
+        def run_tw(u0, u1, u2, f, tol, budget):
+            """Triple-word refinement from the given 3-word state."""
             i0, i1 = self.initial_state()
             r0n = jnp.linalg.norm(jnp.ravel(
                 residual_tw_p(i0, i1, jnp.zeros_like(i0), f, h, n)))
@@ -283,8 +280,7 @@ class IterativeRefinementSolver:
             init = (u0, u1, u2, r, jnp.asarray(jnp.inf, config.dtype),
                     jnp.asarray(0, jnp.int32))
             u0, u1, u2, _, rel, k = lax.while_loop(cond, step, init)
-            # report (word0, word1); word2 is below fp32-pair resolution
-            return u0, u1, rel, k
+            return u0, u1, u2, rel, k
 
         def run(u_hi, u_lo, f, tol, budget):
             """Refine from the given state for at most ``budget`` cycles
@@ -346,11 +342,12 @@ class IterativeRefinementSolver:
             u_hi, u_lo, rel, k = self._run(f, tol)
         elif checkpoints is None:
             u_hi, u_lo = self.initial_state()
-            u_hi, u_lo, rel, k = self._run(u_hi, u_lo, f, tol, self.max_cycles)
-        elif self.state != "df32":
-            # tw32's third word would be dropped at every chunk boundary
-            raise NotImplementedError(
-                "checkpointing currently supports only the df32 state")
+            if self.state == "tw32":
+                u_hi, u_lo, _, rel, k = self._run(
+                    u_hi, u_lo, jnp.zeros_like(u_hi), f, tol, self.max_cycles)
+            else:
+                u_hi, u_lo, rel, k = self._run(u_hi, u_lo, f, tol,
+                                               self.max_cycles)
         else:
             u_hi, u_lo, rel, k = self._solve_checkpointed(
                 f, tol, checkpoints, checkpoint_chunk)
@@ -372,10 +369,14 @@ class IterativeRefinementSolver:
                             error_vs_analytic=err)
 
     def _solve_checkpointed(self, f, tol, manager, chunk: int):
-        """Host-side chunked loop with persistence (utils.checkpoint)."""
+        """Host-side chunked loop with persistence (utils.checkpoint).
+
+        Supports the df32 (two-word) and tw32 (three-word) states; each
+        chunk's full word set persists, so resume loses no precision."""
         from .utils.checkpoint import SolverState, schedule_fingerprint
 
-        fp = schedule_fingerprint(self.program)
+        is_tw = self.state == "tw32"
+        fp = schedule_fingerprint(self.program) + ("/tw32" if is_tw else "")
         done = 0
         resumed = manager.latest()
         if (resumed is not None and resumed.meta
@@ -384,18 +385,25 @@ class IterativeRefinementSolver:
             u_hi = jnp.asarray(resumed.u)
             u_lo = (jnp.asarray(resumed.u_lo) if resumed.u_lo is not None
                     else jnp.zeros_like(u_hi))
+            u_lo2 = (jnp.asarray(resumed.u_lo2) if resumed.u_lo2 is not None
+                     else jnp.zeros_like(u_hi))
             done = resumed.cycle
         else:
             u_hi, u_lo = self.initial_state()
+            u_lo2 = jnp.zeros_like(u_hi)
 
         rel = jnp.asarray(jnp.inf, self.config.dtype)
         while done < self.max_cycles:
             budget = min(chunk, self.max_cycles - done)
-            u_hi, u_lo, rel, k = self._run(u_hi, u_lo, f, tol, budget)
+            if is_tw:
+                u_hi, u_lo, u_lo2, rel, k = self._run(u_hi, u_lo, u_lo2, f,
+                                                      tol, budget)
+            else:
+                u_hi, u_lo, rel, k = self._run(u_hi, u_lo, f, tol, budget)
             done += int(jax.device_get(k))
             manager.maybe_save(SolverState(
-                u=u_hi, f=f, u_lo=u_lo, cycle=done,
-                meta={"schedule": fp, "tol": tol}))
+                u=u_hi, f=f, u_lo=u_lo, u_lo2=u_lo2 if is_tw else None,
+                cycle=done, meta={"schedule": fp, "tol": tol}))
             if float(jax.device_get(rel)) <= tol:
                 break
         return u_hi, u_lo, rel, jnp.asarray(done, jnp.int32)

@@ -45,7 +45,8 @@ class SolverState:
 
     u: np.ndarray                       # solution / high word, (n, n)
     f: np.ndarray                       # RHS (n, n)
-    u_lo: Optional[np.ndarray] = None   # df32 low word (refinement state)
+    u_lo: Optional[np.ndarray] = None   # second word (df32/tw32 state)
+    u_lo2: Optional[np.ndarray] = None  # third word (tw32 state)
     cycle: int = 0                      # cycles completed
     meta: Optional[dict[str, Any]] = None
 
@@ -58,6 +59,8 @@ def save_checkpoint(path: str | os.PathLike, state: SolverState) -> None:
               "f": np.asarray(jax.device_get(state.f))}
     if state.u_lo is not None:
         arrays["u_lo"] = np.asarray(jax.device_get(state.u_lo))
+    if state.u_lo2 is not None:
+        arrays["u_lo2"] = np.asarray(jax.device_get(state.u_lo2))
     meta = dict(state.meta or {})
     meta.update({"cycle": int(state.cycle), "format_version": FORMAT_VERSION})
     arrays["_meta_json"] = np.frombuffer(
@@ -84,6 +87,7 @@ def load_checkpoint(path: str | os.PathLike) -> SolverState:
         return SolverState(
             u=z["u"], f=z["f"],
             u_lo=z["u_lo"] if "u_lo" in z.files else None,
+            u_lo2=z["u_lo2"] if "u_lo2" in z.files else None,
             cycle=meta.pop("cycle", 0), meta=meta)
 
 

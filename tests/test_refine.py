@@ -151,13 +151,24 @@ def test_rel_residual_normalized_by_f_when_source_nonzero():
     assert rep.rel_residual == pytest.approx(true_rel, rel=0.2)
 
 
-def test_tw32_checkpointing_rejected(tmp_path):
+def test_tw32_checkpoint_resume_keeps_all_words(tmp_path):
+    """tw32 chunked persistence: all three state words survive the resume,
+    so the deep tolerance is still reachable after an interruption."""
     from multigrid_poisson_solver_tpu.refine import IterativeRefinementSolver
     from multigrid_poisson_solver_tpu.utils.checkpoint import CheckpointManager
 
-    s = IterativeRefinementSolver(PROBLEM, 33, state="tw32")
-    with pytest.raises(NotImplementedError, match="df32"):
-        s.solve(1e-10, checkpoints=CheckpointManager(tmp_path))
+    n, tol = 65, 1e-13
+    mgr = CheckpointManager(tmp_path / "ck")
+    s1 = IterativeRefinementSolver(PROBLEM, n, state="tw32")
+    s1.max_cycles = 4                       # simulated preemption
+    rep1 = s1.solve(tol, checkpoints=mgr, checkpoint_chunk=4)
+    assert rep1.rel_residual > tol
+    saved = mgr.latest()
+    assert saved is not None and saved.u_lo2 is not None
+
+    s2 = IterativeRefinementSolver(PROBLEM, n, state="tw32")
+    rep2 = s2.solve(tol, checkpoints=mgr, checkpoint_chunk=6)
+    assert rep2.rel_residual <= tol          # deep target reached post-resume
 
 
 def test_fw_misalignment_raises_in_both_engines():
