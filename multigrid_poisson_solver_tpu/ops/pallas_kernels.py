@@ -352,6 +352,187 @@ def residual_pallas(u, f, n: int, h: float, negate: bool = False,
     )(u, f)
 
 
+def _two_sum(a, b):
+    s = a + b
+    bb = s - a
+    return s, (a - (s - bb)) + (b - bb)
+
+
+def _residual_mw_kernel(*args, n: int, rp: int, cp: int, num_strips: int,
+                        strip: int, owned: int, inv_h2: float, nwords: int):
+    """Strip-pipelined compensated residual of a multi-word fp32 state.
+
+    Replicates refine.residual_tw_p / residual_df_p's arithmetic — dd-EFT
+    stencil chains per significant word — in ONE pass over HBM. The XLA
+    forms materialize every roll of every word (~16 ms at 8193² for three
+    words); this streams nwords+1 arrays once (~2 ms).
+    """
+    w_hbm = args[:nwords]
+    f_hbm = args[nwords]
+    out_hbm = args[nwords + 1]
+    w_slots = args[nwords + 2]          # (nwords, 2, strip, cp)
+    f_slots = args[nwords + 3]          # (2, strip, cp)
+    out_slots = args[nwords + 4]        # (2, strip, cp)
+    load_sems = args[nwords + 5]        # (2, nwords + 1)
+    out_sems = args[nwords + 6]         # (2,)
+
+    def load_start(i):
+        return _mul8(jnp.clip(_i32(i) * _i32(owned) - _i32(HALO),
+                              _i32(0), _i32(rp - strip)))
+
+    def write_start(i):
+        return _mul8(jnp.clip(_i32(i) * _i32(owned), _i32(0), _i32(rp - owned)))
+
+    def load_copies(i, slot):
+        s = load_start(i)
+        copies = tuple(
+            pltpu.make_async_copy(w_hbm[w].at[pl.ds(s, strip), :],
+                                  w_slots.at[_i32(w), slot],
+                                  load_sems.at[slot, _i32(w)])
+            for w in range(nwords))
+        copies += (pltpu.make_async_copy(f_hbm.at[pl.ds(s, strip), :],
+                                         f_slots.at[slot],
+                                         load_sems.at[slot, _i32(nwords)]),)
+        return copies
+
+    def out_copy(i, slot):
+        wstart = write_start(i)
+        wlo = _mul8(wstart - load_start(i))
+        return pltpu.make_async_copy(
+            out_slots.at[slot, pl.ds(wlo, owned), :],
+            out_hbm.at[pl.ds(wstart, owned), :],
+            out_sems.at[slot])
+
+    for cp_ in load_copies(_i32(0), _i32(0)):
+        cp_.start()
+
+    def dd_chain(u):
+        """(hi, lo, lo2): doubly-compensated 5-term stencil sum (matches
+        refine._eft_stencil_sum_dd, rolls instead of jnp.roll)."""
+        un = pltpu.roll(u, shift=_i32(1), axis=0)
+        us = pltpu.roll(u, shift=_i32(strip - 1), axis=0)
+        uw = pltpu.roll(u, shift=_i32(1), axis=1)
+        ue = pltpu.roll(u, shift=_i32(cp - 1), axis=1)
+        hi, lo = _two_sum(un, us)
+        lo2 = jnp.zeros_like(hi)
+        for term in (uw, ue, -u, -u, -u, -u):
+            hi, e = _two_sum(hi, term)
+            lo, e2 = _two_sum(lo, e)
+            lo2 = lo2 + e2
+        hi, e = _two_sum(hi, lo)
+        lo, e2 = _two_sum(e, lo2)
+        return hi, lo, e2
+
+    def body(i, _):
+        slot = jax.lax.rem(_i32(i), _i32(2))
+        nxt = jax.lax.rem(_i32(i) + _i32(1), _i32(2))
+
+        @pl.when(i + 1 < num_strips)
+        def _():
+            @pl.when(i >= 1)
+            def _():
+                out_copy(i - 1, nxt).wait()
+            for cp_ in load_copies(i + 1, nxt):
+                cp_.start()
+
+        for cp_ in load_copies(i, slot):
+            cp_.wait()
+
+        start_c = load_start(i)
+        f = f_slots[slot]
+        c = jnp.asarray(inv_h2, f.dtype)
+
+        hi0, lo0, m0 = dd_chain(w_slots[_i32(0), slot])
+        if nwords >= 2:
+            hi1, lo1, m1 = dd_chain(w_slots[_i32(1), slot])
+        else:
+            hi1 = lo1 = m1 = jnp.zeros_like(hi0)
+        if nwords == 3:
+            u2 = w_slots[_i32(2), slot]
+            s2 = (pltpu.roll(u2, shift=_i32(1), axis=0)
+                  + pltpu.roll(u2, shift=_i32(strip - 1), axis=0)
+                  + pltpu.roll(u2, shift=_i32(1), axis=1)
+                  + pltpu.roll(u2, shift=_i32(cp - 1), axis=1) - 4.0 * u2)
+        else:
+            s2 = jnp.zeros_like(hi0)
+
+        # combination identical to refine.residual_tw_p
+        r_big = hi0 * c - f
+        t, tc = _two_sum(lo0, hi1)
+        t2 = ((lo1 + m0) + (m1 + s2)) + tc
+        r = (r_big + t * c) + t2 * c
+
+        rows = jax.lax.broadcasted_iota(jnp.int32, (strip, cp), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (strip, cp), 1)
+        g = rows + start_c
+        ok = ((g >= 1) & (g <= n - 2) & (cols >= 1) & (cols <= n - 2))
+        out_slots[slot] = jnp.where(ok, r, jnp.zeros_like(r))
+        out_copy(i, slot).start()
+        return _i32(0)
+
+    jax.lax.fori_loop(_i32(0), _i32(num_strips), body, _i32(0), unroll=False)
+
+    last = num_strips - 1
+    if num_strips >= 2:
+        out_copy(_i32(last - 1), _i32((last - 1) % 2)).wait()
+    out_copy(_i32(last), _i32(last % 2)).wait()
+
+
+@partial(jax.jit, static_argnames=("n", "h", "interpret"))
+def residual_tw_pallas(u0, u1, u2, f, n: int, h: float,
+                       interpret: bool = False):
+    """Pallas compensated residual of the triple-word state (padded layout);
+    matches refine.residual_tw_p bit-for-bit in op order."""
+    return _residual_mw_call((u0, u1, u2), f, n, h, interpret)
+
+
+@partial(jax.jit, static_argnames=("n", "h", "interpret"))
+def residual_df_pallas(u0, u1, f, n: int, h: float, interpret: bool = False):
+    """Pallas compensated residual of the double-word state. Slightly MORE
+    accurate than refine.residual_df_p (the second word also gets the
+    dd-EFT treatment) — acceptable: callers treat the result as the truth."""
+    return _residual_mw_call((u0, u1), f, n, h, interpret)
+
+
+def _residual_mw_call(words, f, n: int, h: float, interpret: bool):
+    nwords = len(words)
+    rp, cp = f.shape
+    assert (rp, cp) == padded_shape(n)
+    itemsize = jnp.dtype(f.dtype).itemsize
+
+    # buffers: nwords×2 word slots + 2 f slots + 2 out slots
+    n_buffers = 2 * nwords + 4
+    s = _VMEM_BUDGET_BYTES // (n_buffers * cp * itemsize)
+    strip = max(4 * HALO, min((s // SUBLANE) * SUBLANE, 1024))
+    strip = min(strip, rp)
+    if strip >= rp:
+        strip, owned, num_strips = rp, rp, 1
+    else:
+        owned = strip - 2 * HALO
+        num_strips = math.ceil(rp / owned)
+
+    kernel = partial(_residual_mw_kernel, n=n, rp=rp, cp=cp,
+                     num_strips=num_strips, strip=strip, owned=owned,
+                     inv_h2=1.0 / (h * h), nwords=nwords)
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((rp, cp), f.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * (nwords + 1),
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((nwords, 2, strip, cp), f.dtype),
+            pltpu.VMEM((2, strip, cp), f.dtype),
+            pltpu.VMEM((2, strip, cp), f.dtype),
+            pltpu.SemaphoreType.DMA((2, nwords + 1)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=2 * _VMEM_BUDGET_BYTES),
+        interpret=interpret,
+    )(*words, f)
+
+
 def fused_jacobi_padded(u: jnp.ndarray, f: jnp.ndarray, n: int, h: float,
                         steps: int, omega: float = 1.0,
                         from_zero: bool = False,

@@ -215,6 +215,22 @@ class IterativeRefinementSolver:
                 "(jax.config.update('jax_enable_x64', True) before first use)")
         self.state = state
 
+        from .compiled import _use_pallas
+
+        use_pk = _use_pallas(config) and policy is None
+
+        def res_df(u_hi, u_lo, f):
+            if use_pk:
+                from .ops.pallas_kernels import residual_df_pallas
+                return residual_df_pallas(u_hi, u_lo, f, n, h)
+            return residual_df_p(u_hi, u_lo, f, h, n)
+
+        def res_tw(u0, u1, u2, f):
+            if use_pk:
+                from .ops.pallas_kernels import residual_tw_pallas
+                return residual_tw_pallas(u0, u1, u2, f, n, h)
+            return residual_tw_p(u0, u1, u2, f, h, n)
+
         def fnorm(f):
             m = interior_mask(n, rp_cp, config.dtype)
             return jnp.linalg.norm(jnp.ravel(f * m))
@@ -261,15 +277,15 @@ class IterativeRefinementSolver:
             """Triple-word refinement from the given 3-word state."""
             i0, i1 = self.initial_state()
             r0n = jnp.linalg.norm(jnp.ravel(
-                residual_tw_p(i0, i1, jnp.zeros_like(i0), f, h, n)))
+                res_tw(i0, i1, jnp.zeros_like(i0), f)))
             den = make_den(f, r0n)
-            r = residual_tw_p(u0, u1, u2, f, h, n)
+            r = res_tw(u0, u1, u2, f)
 
             def step(state):
                 u0, u1, u2, r, _, k = state
                 e, _ = cycle(jnp.zeros(rp_cp, config.dtype), -r)
                 u0, u1, u2 = tw_add(u0, u1, u2, e)
-                r = residual_tw_p(u0, u1, u2, f, h, n)
+                r = res_tw(u0, u1, u2, f)
                 rel = jnp.linalg.norm(jnp.ravel(r)) / den
                 return u0, u1, u2, r, rel, k + 1
 
@@ -286,18 +302,18 @@ class IterativeRefinementSolver:
             """Refine from the given state for at most ``budget`` cycles
             (traced scalar — lets the host chunk for checkpointing)."""
             i0, i1 = self.initial_state()
-            r0 = jnp.linalg.norm(jnp.ravel(residual_df_p(i0, i1, f, h, n)))
+            r0 = jnp.linalg.norm(jnp.ravel(res_df(i0, i1, f)))
             den = make_den(f, r0)
             # residual r = A·u − f is carried in the loop state so each
             # cycle evaluates the (expensive, compensated) residual once
-            r = residual_df_p(u_hi, u_lo, f, h, n)
+            r = res_df(u_hi, u_lo, f)
 
             def step(state):
                 u_hi, u_lo, r, _, k = state
                 # we need e with A·e = f − A·u = −r
                 e, _ = cycle(jnp.zeros(rp_cp, config.dtype), -r)
                 u_hi, u_lo = df_add(u_hi, u_lo, e)
-                r = residual_df_p(u_hi, u_lo, f, h, n)
+                r = res_df(u_hi, u_lo, f)
                 rel = jnp.linalg.norm(jnp.ravel(r)) / den
                 return u_hi, u_lo, r, rel, k + 1
 
