@@ -157,15 +157,27 @@ def zoom_p(src: jnp.ndarray, n_src: int, n_dst: int,
 
 
 @lru_cache(maxsize=None)
-def _zoom_take_indices_np(n_src: int, n_dst: int, pad_dst: int):
-    """(i0, w) arrays of length pad_dst for gather-based 1-D interpolation;
-    pad rows index 0 with weight 0 (masked later anyway)."""
+def _zoom_take_taps_np(n_src: int, n_dst: int, pad_dst: int,
+                       zero_boundary: bool):
+    """(i0, w0, w1) arrays of length pad_dst for gather-based 1-D
+    interpolation: out[j] = w0[j]·src[i0[j]] + w1[j]·src[i0[j]+1].
+
+    The masking is baked into the tap weights — pad entries (j ≥ n_dst) and,
+    for ``zero_boundary``, the boundary entries (j = 0, n_dst−1) get
+    w0 = w1 = 0 — so no separate full-array mask pass is needed.
+    """
     s = np.arange(pad_dst, dtype=np.float64) * ((n_src - 1) / (n_dst - 1))
     i0 = np.clip(np.floor(s).astype(np.int32), 0, n_src - 2)
     w = (s - i0).astype(np.float32)
+    w0 = (1.0 - w).astype(np.float32)
+    w1 = w
+    w0[n_dst:] = 0.0
+    w1[n_dst:] = 0.0
     i0[n_dst:] = 0
-    w[n_dst:] = 0.0
-    return i0, w
+    if zero_boundary:
+        w0[0] = w1[0] = 0.0
+        w0[n_dst - 1] = w1[n_dst - 1] = 0.0
+    return i0, w0, w1
 
 
 def zoom_take_p(src: jnp.ndarray, n_src: int, n_dst: int,
@@ -173,27 +185,34 @@ def zoom_take_p(src: jnp.ndarray, n_src: int, n_dst: int,
     """Gather-based bilinear zoom between padded layouts.
 
     Same contract as zoom_p but O(n²) memory traffic instead of O(n³)
-    MXU flops: separable 2-point interpolation via row gathers
-    (``jnp.take``) along each axis. Preferable on large fine levels where
-    the dense-matmul zoom is FLOP-bound.
+    MXU flops: separable 2-point interpolation via gathers (``jnp.take``)
+    along each axis, with boundary/pad zeroing baked into the tap weights.
+    The axis processed first is chosen so the intermediate array stays at
+    the COARSE size in both directions (restriction shrinks rows first;
+    prolongation expands rows last) — the wrong order costs a fine-sized
+    intermediate, measured 2.5× slower at 8193².
     """
     rp_d, cp_d = dst_shape
-    iy, wy = _zoom_take_indices_np(n_src, n_dst, rp_d)
-    ix, wx = _zoom_take_indices_np(n_src, n_dst, cp_d)
-    iy = jnp.asarray(iy); wy = jnp.asarray(wy, src.dtype)[:, None]
-    ix = jnp.asarray(ix); wx = jnp.asarray(wx, src.dtype)[None, :]
+    iy, wy0, wy1 = _zoom_take_taps_np(n_src, n_dst, rp_d, zero_boundary)
+    ix, wx0, wx1 = _zoom_take_taps_np(n_src, n_dst, cp_d, zero_boundary)
+    iy = jnp.asarray(iy)
+    wy0 = jnp.asarray(wy0, src.dtype)[:, None]
+    wy1 = jnp.asarray(wy1, src.dtype)[:, None]
+    ix = jnp.asarray(ix)
+    wx0 = jnp.asarray(wx0, src.dtype)[None, :]
+    wx1 = jnp.asarray(wx1, src.dtype)[None, :]
 
-    rows0 = jnp.take(src, iy, axis=0)
-    rows1 = jnp.take(src, iy + 1, axis=0)
-    tmp = rows0 * (1.0 - wy) + rows1 * wy          # (rp_d, cp_s)
-    cols0 = jnp.take(tmp, ix, axis=1)
-    cols1 = jnp.take(tmp, ix + 1, axis=1)
-    out = cols0 * (1.0 - wx) + cols1 * wx          # (rp_d, cp_d)
+    def rows_pass(a):
+        return (jnp.take(a, iy, axis=0) * wy0
+                + jnp.take(a, iy + 1, axis=0) * wy1)
 
-    if zero_boundary:
-        return jnp.where(interior_mask(n_dst, out.shape), out, jnp.zeros_like(out))
-    from .layout import valid_mask
-    return jnp.where(valid_mask(n_dst, out.shape), out, jnp.zeros_like(out))
+    def cols_pass(a):
+        return (jnp.take(a, ix, axis=1) * wx0
+                + jnp.take(a, ix + 1, axis=1) * wx1)
+
+    if n_dst <= n_src:          # restriction: shrink rows before cols
+        return cols_pass(rows_pass(src))
+    return rows_pass(cols_pass(src))   # prolongation: expand rows last
 
 
 def full_weighting_restrict_p(d: jnp.ndarray, n_src: int, n_dst: int,
