@@ -62,8 +62,12 @@ def zoom(src: jnp.ndarray, n_dst: int, zero_boundary: bool = False) -> jnp.ndarr
     else:
         wy = zoom_matrix(n_src, n_dst, src.dtype)      # (n_dst, n_src)
         # rows:  tmp = W · src   (n_dst, n_src) ; cols: out = tmp · Wᵀ
-        tmp = jnp.dot(wy, src, preferred_element_type=src.dtype)
-        out = jnp.dot(tmp, wy.T, preferred_element_type=src.dtype)
+        # precision=HIGHEST: TPU matmuls otherwise round inputs to bf16,
+        # silently degrading the interpreted engine's transfer operators.
+        tmp = jnp.dot(wy, src, preferred_element_type=src.dtype,
+                      precision=jax.lax.Precision.HIGHEST)
+        out = jnp.dot(tmp, wy.T, preferred_element_type=src.dtype,
+                      precision=jax.lax.Precision.HIGHEST)
     if zero_boundary:
         out = out.at[0, :].set(0).at[-1, :].set(0).at[:, 0].set(0).at[:, -1].set(0)
     return out

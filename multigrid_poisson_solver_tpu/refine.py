@@ -245,13 +245,16 @@ class IterativeRefinementSolver:
             return jnp.where(nf > 1e-20, nf,
                              jnp.maximum(r0, jnp.asarray(1e-30, r0.dtype)))
 
-        def run_f64(f, tol):
+        def run_f64(u, f, tol, budget):
+            """Emulated-f64 refinement from the given f64 state for at most
+            ``budget`` cycles (chunked like the df32/tw32 runs, so the host
+            can checkpoint between chunks)."""
             f64 = f.astype(jnp.float64)
-            u = pad_grid(problem.boundary_grid(self.spec, config.dtype)
-                         ).astype(jnp.float64)
             res64 = partial(P.residual_p, h=h, n=n)
+            i0 = pad_grid(problem.boundary_grid(self.spec, config.dtype)
+                          ).astype(jnp.float64)
+            den = make_den(f, jnp.linalg.norm(jnp.ravel(res64(i0, f64))))
             r = res64(u, f64)
-            den = make_den(f, jnp.linalg.norm(jnp.ravel(r)))
 
             def step(state_):
                 u, r, _, k = state_
@@ -264,14 +267,12 @@ class IterativeRefinementSolver:
 
             def cond(state_):
                 _, _, rel, k = state_
-                return jnp.logical_and(rel > tol, k < max_cycles)
+                return jnp.logical_and(rel > tol, k < budget)
 
             init = (u, r, jnp.asarray(jnp.inf, jnp.float64),
                     jnp.asarray(0, jnp.int32))
             u, _, rel, k = lax.while_loop(cond, step, init)
-            return u.astype(config.dtype), (u - u.astype(config.dtype)
-                                            .astype(jnp.float64)
-                                            ).astype(config.dtype), rel, k
+            return u, rel, k
 
         def run_tw(u0, u1, u2, f, tol, budget):
             """Triple-word refinement from the given 3-word state."""
@@ -351,11 +352,12 @@ class IterativeRefinementSolver:
         n = self.spec.n
         f = self.init_rhs()
         start = time.perf_counter()
-        if self._is_f64:
-            if checkpoints is not None:
-                raise NotImplementedError(
-                    "checkpointing currently supports only the df32 state")
-            u_hi, u_lo, rel, k = self._run(f, tol)
+        if self._is_f64 and checkpoints is None:
+            u0 = pad_grid(self.problem.boundary_grid(self.spec, cfg.dtype)
+                          ).astype(jnp.float64)
+            u64, rel, k = self._run(u0, f, tol, self.max_cycles)
+            u_hi = u64.astype(cfg.dtype)
+            u_lo = (u64 - u_hi.astype(jnp.float64)).astype(cfg.dtype)
         elif checkpoints is None:
             u_hi, u_lo = self.initial_state()
             if self.state == "tw32":
@@ -387,17 +389,27 @@ class IterativeRefinementSolver:
     def _solve_checkpointed(self, f, tol, manager, chunk: int):
         """Host-side chunked loop with persistence (utils.checkpoint).
 
-        Supports the df32 (two-word) and tw32 (three-word) states; each
-        chunk's full word set persists, so resume loses no precision."""
+        Supports the df32 (two-word), tw32 (three-word) and f64 states; each
+        chunk's full state persists (the f64 array saves at full width — the
+        .npz format keeps dtypes), so resume loses no precision."""
         from .utils.checkpoint import SolverState, schedule_fingerprint
 
         is_tw = self.state == "tw32"
-        fp = schedule_fingerprint(self.program) + ("/tw32" if is_tw else "")
+        fp = schedule_fingerprint(self.program) + (
+            "/tw32" if is_tw else "/f64" if self._is_f64 else "")
         done = 0
         resumed = manager.latest()
-        if (resumed is not None and resumed.meta
-                and resumed.meta.get("schedule") == fp
-                and resumed.u.shape == padded_shape(self.spec.n)):
+        ok = (resumed is not None and resumed.meta
+              and resumed.meta.get("schedule") == fp
+              and resumed.u.shape == padded_shape(self.spec.n))
+        if self._is_f64:
+            if ok:
+                u64 = jnp.asarray(resumed.u, jnp.float64)
+                done = resumed.cycle
+            else:
+                u64 = pad_grid(self.problem.boundary_grid(
+                    self.spec, self.config.dtype)).astype(jnp.float64)
+        elif ok:
             u_hi = jnp.asarray(resumed.u)
             u_lo = (jnp.asarray(resumed.u_lo) if resumed.u_lo is not None
                     else jnp.zeros_like(u_hi))
@@ -411,17 +423,27 @@ class IterativeRefinementSolver:
         rel = jnp.asarray(jnp.inf, self.config.dtype)
         while done < self.max_cycles:
             budget = min(chunk, self.max_cycles - done)
-            if is_tw:
+            if self._is_f64:
+                u64, rel, k = self._run(u64, f, tol, budget)
+                state = SolverState(u=u64, f=f, cycle=0,
+                                    meta={"schedule": fp, "tol": tol})
+            elif is_tw:
                 u_hi, u_lo, u_lo2, rel, k = self._run(u_hi, u_lo, u_lo2, f,
                                                       tol, budget)
+                state = SolverState(u=u_hi, f=f, u_lo=u_lo, u_lo2=u_lo2,
+                                    cycle=0, meta={"schedule": fp, "tol": tol})
             else:
                 u_hi, u_lo, rel, k = self._run(u_hi, u_lo, f, tol, budget)
+                state = SolverState(u=u_hi, f=f, u_lo=u_lo, cycle=0,
+                                    meta={"schedule": fp, "tol": tol})
             done += int(jax.device_get(k))
-            manager.maybe_save(SolverState(
-                u=u_hi, f=f, u_lo=u_lo, u_lo2=u_lo2 if is_tw else None,
-                cycle=done, meta={"schedule": fp, "tol": tol}))
+            state.cycle = done
+            manager.maybe_save(state)
             if float(jax.device_get(rel)) <= tol:
                 break
+        if self._is_f64:
+            u_hi = u64.astype(self.config.dtype)
+            u_lo = (u64 - u_hi.astype(jnp.float64)).astype(self.config.dtype)
         return u_hi, u_lo, rel, jnp.asarray(done, jnp.int32)
 
 

@@ -60,6 +60,52 @@ def test_hybrid_mesh_single_host():
     assert pol.is_sharded(64)
 
 
+def test_hybrid_mesh_multihost_branch(monkeypatch):
+    """Mock coverage of the n_hosts > 1 path (real multi-host hardware is
+    unavailable here): 2 fake hosts x 4 local devices must produce a 2x4
+    rows-by-cols mesh built through create_hybrid_device_mesh with hosts on
+    the (DCN) row axis."""
+    import jax
+    from jax.experimental import mesh_utils
+
+    calls = {}
+
+    def fake_hybrid(mesh_shape, dcn_mesh_shape):
+        calls["mesh_shape"] = tuple(mesh_shape)
+        calls["dcn_mesh_shape"] = tuple(dcn_mesh_shape)
+        return np.asarray(jax.devices()).reshape(2, 4)
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(jax, "local_device_count", lambda: 4)
+    monkeypatch.setattr(mesh_utils, "create_hybrid_device_mesh", fake_hybrid)
+    mesh = multihost.hybrid_block_mesh()
+    assert mesh.shape == {"rows": 2, "cols": 4}
+    assert calls == {"mesh_shape": (1, 4), "dcn_mesh_shape": (2, 1)}
+    pol = multihost.block_policy(mesh, threshold_rows=8)
+    assert pol.is_sharded(64)
+
+
+def test_initialize_multihost_paths(monkeypatch):
+    """initialize(): no-op when already distributed; otherwise forwards the
+    explicit coordinator kwargs to jax.distributed.initialize."""
+    import jax
+
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda **kw: calls.append(kw))
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    multihost.initialize()                  # already initialized -> no-op
+    assert calls == []
+
+    monkeypatch.setattr(jax, "process_count", lambda: 1)
+    multihost.initialize("10.0.0.1:8476", num_processes=4, process_id=2)
+    assert calls == [dict(coordinator_address="10.0.0.1:8476",
+                          num_processes=4, process_id=2)]
+    multihost.initialize()                  # auto-detect defaults
+    assert calls[-1] == {}
+
+
 def test_near_square_factor():
     assert multihost._near_square_factor(8) == 2
     assert multihost._near_square_factor(16) == 4

@@ -171,6 +171,28 @@ def test_tw32_checkpoint_resume_keeps_all_words(tmp_path):
     assert rep2.rel_residual <= tol          # deep target reached post-resume
 
 
+def test_f64_checkpoint_resume_keeps_full_width(tmp_path):
+    """f64 chunked persistence (the round-1 NotImplementedError): the state
+    saves at full f64 width and the deep tolerance is reachable after an
+    interrupted run resumes."""
+    from multigrid_poisson_solver_tpu.refine import IterativeRefinementSolver
+    from multigrid_poisson_solver_tpu.utils.checkpoint import CheckpointManager
+
+    n, tol = 65, 1e-12
+    mgr = CheckpointManager(tmp_path / "ck")
+    s1 = IterativeRefinementSolver(PROBLEM, n, state="f64")
+    s1.max_cycles = 4                       # simulated preemption
+    rep1 = s1.solve(tol, checkpoints=mgr, checkpoint_chunk=4)
+    assert rep1.rel_residual > tol
+    saved = mgr.latest()
+    assert saved is not None and saved.u.dtype == np.float64
+
+    s2 = IterativeRefinementSolver(PROBLEM, n, state="f64")
+    rep2 = s2.solve(tol, checkpoints=mgr, checkpoint_chunk=6)
+    assert rep2.rel_residual <= tol          # deep target reached post-resume
+    assert rep2.cycles > 4                   # resumed cycle counter carried
+
+
 def test_fw_misalignment_raises_in_both_engines():
     cfg = SolverConfig(smoother="rbgs", restriction="full_weighting")
     prog = mg.v_cycle(65, n_min=8, steps=2, coarsen=1)   # 65 -> 32: misaligned

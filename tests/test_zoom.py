@@ -83,6 +83,26 @@ def test_nested_restriction_is_injection(rng):
     np.testing.assert_allclose(got[1:-1, 1:-1], -d[2:-2:2, 2:-2:2], rtol=1e-12)
 
 
+def test_zoom_matmuls_request_highest_precision():
+    """TPU matmuls round inputs to bf16 unless precision=HIGHEST is requested;
+    the oracle zoom feeds the interpreted engine's transfer operators, so its
+    dot_generals must carry the HIGHEST annotation (VERDICT r1 weak #6)."""
+    import jax
+
+    jaxpr = jax.make_jaxpr(lambda x: zoom(x, 9))(jnp.zeros((17, 17), jnp.float32))
+    dots = [
+        e
+        for e in jaxpr.jaxpr.eqns[0].params["jaxpr"].jaxpr.eqns
+        if e.primitive.name == "dot_general"
+    ] or [e for e in jaxpr.jaxpr.eqns if e.primitive.name == "dot_general"]
+    assert dots, "zoom no longer lowers through dot_general — update this test"
+    for e in dots:
+        assert e.params["precision"] == (
+            jax.lax.Precision.HIGHEST,
+            jax.lax.Precision.HIGHEST,
+        )
+
+
 def test_prolongation_exact_on_linear_functions():
     """Bilinear interpolation reproduces bilinear functions exactly."""
     n, m = 9, 21
