@@ -45,6 +45,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="run the schedule this many times (warm restart chaining)")
     p.add_argument("--trigger", type=float, default=0.01,
                    help="error-trigger slope threshold (reference hardcodes 0.01)")
+    p.add_argument("--error-metric", default="cpu",
+                   choices=["cpu", "clean", "gpu"],
+                   help="trigger-mode smoothing-error metric: cpu (the CPU "
+                        "reference's color-bugged sum), clean (mean |residual| "
+                        "over the interior), gpu (the GPU reference's "
+                        "|dU|*4/h^2 of the final sweep)")
     p.add_argument("--output", default=None,
                    help="solution CSV path (default Sol_TPU_<cyclefile>)")
     p.add_argument("--no-output", action="store_true", help="skip the CSV dump")
@@ -164,6 +170,8 @@ def main(argv=None) -> int:
         smoother=args.smoother,
         omega=args.omega,
         trigger=args.trigger,
+        compat_error={"cpu": True, "clean": False,
+                      "gpu": "gpu"}[args.error_metric],
         collect_node_stats=args.stats or not args.quiet,
     )
     problem = BUILTIN_PROBLEMS[args.problem]

@@ -219,8 +219,14 @@ def _trigger_smooth_traced(u, f, h, n: int, cfg: SolverConfig, policy=None):
     def one(v):
         return _sweeps(v, f, h, n, 1, cfg, policy)
 
+    def err_of(u_new, u_old):
+        if cfg.compat_error == "gpu":
+            return P.gpu_smoothing_error_p(u_new, u_old, h, n)
+        return P.smoothing_error_p(u_new, f, h, n, compat=cfg.compat_error)
+
+    u0 = u
     u = one(u)
-    err0 = P.smoothing_error_p(u, f, h, n, compat=cfg.compat_error)
+    err0 = err_of(u, u0)
 
     def cond(state):
         _, _, slope, k = state
@@ -228,9 +234,9 @@ def _trigger_smooth_traced(u, f, h, n: int, cfg: SolverConfig, policy=None):
 
     def body(state):
         u, prev, _, k = state
-        u = one(u)
-        err = P.smoothing_error_p(u, f, h, n, compat=cfg.compat_error)
-        return u, err, jnp.abs(err - prev), k + 1
+        u_new = one(u)
+        err = err_of(u_new, u)
+        return u_new, err, jnp.abs(err - prev), k + 1
 
     init = (u, err0, jnp.asarray(cfg.trigger + 1.0, err0.dtype),
             jnp.asarray(1, jnp.int32))
@@ -242,6 +248,15 @@ def _smooth_traced(u, f, h, n: int, steps: int, cfg: SolverConfig,
                    want_err: bool, policy=None, from_zero: bool = False):
     if steps == -1:
         return _trigger_smooth_traced(u, f, h, n, cfg, policy)
+    if want_err and cfg.compat_error == "gpu" and steps >= 1:
+        # the GPU metric needs the final sweep's ping-pong pair: fuse the
+        # first steps−1 sweeps, keep the pre-final iterate, sweep once more
+        u_prev = (u if steps == 1 else
+                  _sweeps(u, f, h, n, steps - 1, cfg, policy,
+                          from_zero=from_zero))
+        u = _sweeps(u_prev, f, h, n, 1, cfg, policy,
+                    from_zero=from_zero and steps == 1)
+        return u, P.gpu_smoothing_error_p(u, u_prev, h, n)
     u = _sweeps(u, f, h, n, steps, cfg, policy, from_zero=from_zero)
     err = (P.smoothing_error_p(u, f, h, n, compat=cfg.compat_error)
            if want_err else None)

@@ -82,6 +82,15 @@ def smoothing_error_p(u, f, h: float, n: int, compat: bool = True) -> jnp.ndarra
     return s / (n * n)
 
 
+def gpu_smoothing_error_p(u_new, u_old, h: float, n: int) -> jnp.ndarray:
+    """Padded GPU smoother metric: mean |U_new − U_old|·4/h² over N²
+    (ker_Smoothing_GPU, MG_solver_GPU.cu:633, 1266-1272; see
+    stencils.gpu_smoothing_error). Padding rows/cols are identical in both
+    iterates, so the plain full-array sum is exact."""
+    scale = jnp.asarray(4.0 / (h * h), u_new.dtype)
+    return jnp.sum(jnp.abs(u_new - u_old)) * scale / (n * n)
+
+
 def mean_abs_interior_residual_p(u, f, h: float, n: int) -> jnp.ndarray:
     res = residual_p(u, f, h, n)
     return jnp.sum(jnp.abs(res)) / ((n - 2) * (n - 2))

@@ -99,6 +99,9 @@ def smoothing_error(u: jnp.ndarray, f: jnp.ndarray, h: float, compat: bool = Tru
     *even-color* interior points, counted twice (the reference's color bug),
     divided by N². compat=False: mean |residual| over all interior points,
     divided by N² as well (so magnitudes are comparable).
+
+    The third reference metric — the GPU smoother's |ΔU|·4/h² — needs two
+    iterates; see ``gpu_smoothing_error``.
     """
     r = residual(u, f, h)
     n = u.shape[0]
@@ -108,6 +111,20 @@ def smoothing_error(u: jnp.ndarray, f: jnp.ndarray, h: float, compat: bool = Tru
     else:
         s = jnp.sum(jnp.abs(r[1:-1, 1:-1]))
     return s / (n * n)
+
+
+def gpu_smoothing_error(u_new: jnp.ndarray, u_old: jnp.ndarray, h: float) -> jnp.ndarray:
+    """The GPU reference's smoother metric: mean |U_new − U_old|·4/h² over N².
+
+    ker_Smoothing_GPU accumulates |U[i] − U0[i]|·4/h² over the interior of the
+    *final* sweep's ping-pong pair and the host divides by N²
+    (MG_solver_GPU.cu:633, 1266-1272) — a different quantity from both CPU
+    variants above: for ω-damped Jacobi it equals ω·mean|residual(u_old)|.
+    """
+    n = u_new.shape[0]
+    d = jnp.abs(u_new[1:-1, 1:-1] - u_old[1:-1, 1:-1])
+    scale = jnp.asarray(4.0 / (h * h), u_new.dtype)
+    return jnp.sum(d) * scale / (n * n)
 
 
 @partial(jax.jit, static_argnames=("h", "steps", "omega", "compat", "smoother"))
@@ -126,9 +143,21 @@ def smooth(
     ``steps`` sweeps, then the smoothing-error metric. ``smoother`` selects
     "jacobi" (reference default) or "rbgs" (red-black Gauss-Seidel, a strictly
     better multigrid smoother that the reference only uses as a coarse solver).
+    ``compat`` selects the metric: True (CPU color-bugged), False (clean), or
+    "gpu" (the GPU ping-pong |ΔU|·4/h² of the final sweep,
+    MG_solver_GPU.cu:633).
     """
     sweep = {"jacobi": partial(jacobi_sweep, omega=omega),
              "rbgs": redblack_gs_sweep}[smoother]
+    if compat == "gpu":
+        if steps == 0:
+            # the reference never calls doSmoothing_GPU with step=0 (its err
+            # buffer would be uninitialized); define the no-sweep metric as 0
+            return u, jnp.zeros((), u.dtype)
+        prev, u = jax.lax.fori_loop(
+            0, steps - 1, lambda _, c: (c[1], sweep(c[1], f, h)),
+            (u, sweep(u, f, h)))
+        return u, gpu_smoothing_error(u, prev, h)
     u = jax.lax.fori_loop(0, steps, lambda _, v: sweep(v, f, h), u)
     return u, smoothing_error(u, f, h, compat=compat)
 

@@ -57,7 +57,11 @@ class SolverConfig:
     dtype: Any = jnp.float32
     smoother: str = "jacobi"          # "jacobi" | "rbgs"
     omega: float = 1.0                # Jacobi damping (reference uses 1.0)
-    compat_error: bool = True         # reference's color-bugged trigger metric
+    compat_error: Any = True          # trigger metric: True (CPU color-bugged
+                                      # sum, MG_solver_CPU.cpp:606-622), False
+                                      # (clean mean |residual|), or "gpu" (the
+                                      # GPU ping-pong |ΔU|·4/h² of the last
+                                      # sweep, MG_solver_GPU.cu:633)
     trigger: float = TRIGGER_DEFAULT  # |Δerr| threshold for step == -1
     max_trigger_sweeps: int = 100_000
     coarse_gs_norm: str = "interior"  # "interior" (CPU ref) | "full" (GPU ref)
@@ -159,8 +163,14 @@ def _trigger_smooth(u, f, h: float, trigger: float, omega: float, compat: bool,
     sweep = {"jacobi": partial(stencils.jacobi_sweep, omega=omega),
              "rbgs": stencils.redblack_gs_sweep}[smoother]
 
+    def err_of(u_new, u_old):
+        if compat == "gpu":
+            return stencils.gpu_smoothing_error(u_new, u_old, h)
+        return stencils.smoothing_error(u_new, f, h, compat=compat)
+
+    u0 = u
     u = sweep(u, f, h)
-    err0 = stencils.smoothing_error(u, f, h, compat=compat)
+    err0 = err_of(u, u0)
 
     def cond(state):
         _, _, slope, k = state
@@ -168,9 +178,9 @@ def _trigger_smooth(u, f, h: float, trigger: float, omega: float, compat: bool,
 
     def body(state):
         u, prev, _, k = state
-        u = sweep(u, f, h)
-        err = stencils.smoothing_error(u, f, h, compat=compat)
-        return u, err, jnp.abs(err - prev), k + 1
+        u_new = sweep(u, f, h)
+        err = err_of(u_new, u)
+        return u_new, err, jnp.abs(err - prev), k + 1
 
     init = (u, err0, jnp.asarray(trigger + 1.0, err0.dtype), jnp.asarray(1, jnp.int32))
     u, err, _, k = jax.lax.while_loop(cond, body, init)

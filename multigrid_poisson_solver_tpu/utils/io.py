@@ -46,6 +46,21 @@ def write_solution_csv(u, path: str | os.PathLike, decimals: int = 6) -> None:
             fh.write("\n")
 
 
+def format_grid(u, decimals: int = 3) -> str:
+    """Console grid dump in the reference's doPrint layout
+    (MG_solver_CPU.cpp:726-733): rows printed top y first, values as
+    ``%2.3e``-style scientific with a trailing space per value."""
+    arr = np.asarray(u)
+    if arr.ndim != 2:
+        raise ValueError(f"expected a 2D grid, got shape {arr.shape}")
+    return "\n".join(
+        "".join(f"{v:2.{decimals}e} " for v in row) for row in arr[::-1, :])
+
+
+def print_grid(u, decimals: int = 3) -> None:
+    print(format_grid(u, decimals))
+
+
 def read_solution_csv(path: str | os.PathLike) -> np.ndarray:
     """Read a Sol_* CSV back into a [iy, ix] grid (undoing the y flip)."""
     data = np.loadtxt(path, delimiter=",", ndmin=2)

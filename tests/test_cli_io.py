@@ -28,6 +28,17 @@ def test_csv_roundtrip(tmp_path, rng):
     np.testing.assert_allclose(back, u, atol=5e-7)  # %.6f quantization
 
 
+def test_format_grid_matches_doprint_layout():
+    """Console dump layout of doPrint (MG_solver_CPU.cpp:726-733): top y row
+    first, %2.3e values each followed by a space."""
+    from multigrid_poisson_solver_tpu.utils.io import format_grid
+
+    u = np.arange(4.0).reshape(2, 2)
+    lines = format_grid(u).splitlines()
+    assert lines[0] == "2.000e+00 3.000e+00 "
+    assert lines[1] == "0.000e+00 1.000e+00 "
+
+
 def test_csv_format_matches_reference_layout(tmp_path):
     """Rows top-to-bottom in y, comma separators, fixed %.6f (doPrint2File)."""
     u = np.arange(9.0).reshape(3, 3)  # u[iy, ix]

@@ -57,6 +57,34 @@ def test_compiled_trigger_schedule():
                                rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.parametrize("steps", [-1, 3])
+def test_compiled_gpu_metric_matches_interpreted(steps):
+    """Both engines under compat_error='gpu' (the GPU reference's |ΔU|·4/h²
+    per-sweep metric, MG_solver_GPU.cu:633): same solution, same final error
+    scalar — trigger schedules replayed under GPU semantics take the same
+    path in either engine."""
+    cfg = mg.SolverConfig(compat_error="gpu")
+    program = mg.v_cycle(65, n_min=8, steps=steps, coarse_target=1e-7)
+    rep = mg.solve(PROBLEM, program, cfg)
+    cc, u1, err = _run_compiled(program, config=cfg)
+    np.testing.assert_allclose(np.asarray(u1), np.asarray(rep.u),
+                               rtol=1e-4, atol=1e-6)
+    finest = [n for n in rep.nodes if n.kind == "ascend" and n.n == 65]
+    assert float(err) == pytest.approx(finest[-1].error, rel=1e-3)
+
+
+def test_gpu_metric_trigger_takes_different_sweeps_than_cpu():
+    """The GPU metric is a genuinely different quantity from the CPU
+    color-bugged one, so the same trigger schedule lands on different sweep
+    counts (SURVEY §5's three coexisting metrics)."""
+    program = mg.v_cycle(65, n_min=8, steps=-1, coarse_target=1e-7)
+    sweeps = {}
+    for name, compat in [("cpu", True), ("gpu", "gpu")]:
+        rep = mg.solve(PROBLEM, program, mg.SolverConfig(compat_error=compat))
+        sweeps[name] = [n.steps for n in rep.nodes if n.kind == "descend"]
+    assert sweeps["cpu"] != sweeps["gpu"]
+
+
 def test_compiled_warm_restart_converges():
     program = mg.v_cycle(65, n_min=8, steps=3, coarse_target=1e-8)
     cold = compile_program(program, PROBLEM, warm=False, donate=False)

@@ -112,6 +112,45 @@ def test_smoothing_error_compat_matches_reference_metric(fields):
     assert got == pytest.approx(np_smoothing_error_compat(u, f, h), rel=1e-12)
 
 
+def np_gpu_smoothing_error(u_new, u_old, h):
+    """Direct transcription of ker_Smoothing_GPU's metric: interior
+    |U_new − U_old|·4/h² summed, host divides by N² (MG_solver_GPU.cu:633,
+    1266-1272)."""
+    n = u_new.shape[0]
+    s = 0.0
+    for iy in range(1, n - 1):
+        for ix in range(1, n - 1):
+            s += abs(u_new[iy, ix] - u_old[iy, ix]) * 4.0 / (h * h)
+    return s / (n * n)
+
+
+def test_gpu_smoothing_error_matches_reference_formula(fields):
+    from multigrid_poisson_solver_tpu.ops.stencils import gpu_smoothing_error
+
+    u, f, h = fields
+    u_new = np_jacobi(u, f, h)
+    got = float(gpu_smoothing_error(jnp.asarray(u_new), jnp.asarray(u), h))
+    assert got == pytest.approx(np_gpu_smoothing_error(u_new, u, h), rel=1e-12)
+
+
+def test_smooth_gpu_metric_is_last_sweep_delta(fields):
+    """smooth(compat='gpu') returns the GPU ping-pong metric of the FINAL
+    sweep (the reference overwrites err each kernel launch,
+    MG_solver_GPU.cu:1233-1245), which for Jacobi equals
+    mean |residual(u_before_last)| over N²."""
+    u, f, h = fields
+    uj, err = smooth(jnp.asarray(u), jnp.asarray(f), h, steps=3, compat="gpu")
+    u1 = np_jacobi(np_jacobi(u, f, h), f, h)
+    u2 = np_jacobi(u1, f, h)
+    np.testing.assert_allclose(np.asarray(uj), u2, rtol=1e-12, atol=1e-12)
+    assert float(err) == pytest.approx(np_gpu_smoothing_error(u2, u1, h),
+                                       rel=1e-10)
+    # ω=1 Jacobi identity: |ΔU|·4/h² == |residual(old)|
+    n = u.shape[0]
+    r = np.abs(np_residual(u1, f, h))[1:-1, 1:-1].sum() / (n * n)
+    assert float(err) == pytest.approx(r, rel=1e-10)
+
+
 def test_smooth_multi_step_equals_repeated_sweeps(fields):
     u, f, h = fields
     uj, err = smooth(jnp.asarray(u), jnp.asarray(f), h, steps=3)

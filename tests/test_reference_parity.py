@@ -59,7 +59,7 @@ def _run_ours(schedule: Path) -> float:
     return report.error_vs_analytic
 
 
-@pytest.mark.parametrize("name", ["test.txt", "Vcycle.txt"])
+@pytest.mark.parametrize("name", ["test.txt", "Vcycle.txt", "Wcycle.txt"])
 def test_final_error_matches_reference(ref_binary, name):
     ref = _run_reference(ref_binary, SCHEDULES / name)
     ours = _run_ours(SCHEDULES / name)
