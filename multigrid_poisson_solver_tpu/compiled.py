@@ -51,7 +51,7 @@ from .grid import GridSpec
 from .models.problems import Problem
 from .ops import coarse as coarse_ops
 from .ops import padded as P
-from .ops.layout import pad_grid, padded_shape, unpad_grid
+from .ops.layout import pad_grid, pad_grid_to, padded_shape, unpad_grid
 from .parallel.mesh import ShardingPolicy
 from .schedule import Ascend, CoarseSolve, CycleProgram, Descend
 from .solver import SolverConfig
@@ -62,6 +62,18 @@ def _use_pallas(config: SolverConfig) -> bool:
     if mode == "auto":
         return jax.default_backend() == "tpu"
     return mode == "pallas"
+
+
+def _pallas_interpret() -> bool:
+    """Explicit kernels='pallas' off-TPU (tests, the driver dryrun) runs the
+    kernels in Pallas interpret mode; on TPU they compile through Mosaic."""
+    return jax.default_backend() != "tpu"
+
+
+def _pshape(n: int, policy: Optional[ShardingPolicy]) -> tuple[int, int]:
+    """Padded tile shape for level n: policy-aware so sharded levels keep
+    per-device (8, 128) tile alignment (parallel.mesh.padded_shape)."""
+    return padded_shape(n) if policy is None else policy.padded_shape(n)
 
 
 @dataclasses.dataclass
@@ -110,9 +122,12 @@ class CompiledCycle:
         cfg, spec = self.config, self.finest_spec
 
         def build():
-            f = pad_grid(self.problem.source_grid(spec, cfg.dtype)
-                         + self.problem.boundary_grid(spec, cfg.dtype))
-            u = pad_grid(self.problem.boundary_grid(spec, cfg.dtype))
+            shape = _pshape(spec.n, self.policy)
+            f = pad_grid_to(self.problem.source_grid(spec, cfg.dtype)
+                            + self.problem.boundary_grid(spec, cfg.dtype),
+                            shape)
+            u = pad_grid_to(self.problem.boundary_grid(spec, cfg.dtype),
+                            shape)
             if self.policy is not None:
                 sh = self.policy.sharding(spec.n)
                 u = lax.with_sharding_constraint(u, sh)
@@ -162,15 +177,22 @@ def _zoom(cfg: SolverConfig):
 
 def _residual(u, f, h, n: int, cfg: SolverConfig, policy):
     """5-point residual: the Pallas strip kernel on the hot path (XLA's
-    roll-based form materializes 4 shifted copies — measured 3.5× slower);
-    Pallas kernels don't partition under GSPMD, so sharded runs use XLA."""
-    if _use_pallas(cfg) and policy is None:
-        from .ops.pallas_kernels import residual_pallas
-        return residual_pallas(u, f, n, h)
+    roll-based form materializes 4 shifted copies — measured 3.5× slower).
+    Sharded levels run the same kernel per shard under shard_map with an
+    explicit ppermute halo exchange (parallel.pallas_shard); replicated
+    levels and non-Pallas configs use the XLA form."""
+    if _use_pallas(cfg):
+        if policy is None:
+            from .ops.pallas_kernels import residual_pallas
+            return residual_pallas(u, f, n, h, interpret=_pallas_interpret())
+        if policy.is_sharded(n):
+            from .parallel.pallas_shard import sharded_residual_pallas
+            return sharded_residual_pallas(u, f, n, h, policy,
+                                           interpret=_pallas_interpret())
     return P.residual_p(u, f, h, n)
 
 
-def _restrict(d, n: int, m: int, cfg: SolverConfig):
+def _restrict(d, n: int, m: int, cfg: SolverConfig, policy=None):
     """Coarse RHS from the negated fine residual, per the restriction policy."""
     if cfg.restriction == "full_weighting":
         if n != 2 * m - 1:
@@ -180,17 +202,19 @@ def _restrict(d, n: int, m: int, cfg: SolverConfig):
                 f"restriction='full_weighting' requires 2:1 vertex-aligned "
                 f"levels (n == 2m-1), got {n} -> {m}; build the schedule "
                 f"with coarsen=3 (odd-halve) or use restriction='sampling'")
-        return P.full_weighting_restrict_p(-d, n, m, padded_shape(m))
-    return _zoom(cfg)(-d, n, m, padded_shape(m), zero_boundary=True)
+        return P.full_weighting_restrict_p(-d, n, m, _pshape(m, policy))
+    return _zoom(cfg)(-d, n, m, _pshape(m, policy), zero_boundary=True)
 
 
 def _sweeps(u, f, h, n: int, steps: int, cfg: SolverConfig, policy=None,
             from_zero: bool = False):
     """``steps`` smoothing sweeps on padded arrays, Pallas-fused when enabled.
 
-    Pallas kernels do not partition under GSPMD, so sharded programs
-    (policy set) always take the XLA path — its shifted-window ops are what
-    GSPMD knows how to cut along the mesh with halo collectives.
+    Sharded levels run the fused kernel PER SHARD under shard_map, with one
+    8-row/128-lane ppermute halo exchange per ≤8-sweep pass
+    (parallel.pallas_shard) — multi-chip inherits the single-chip fusion win
+    instead of falling back to XLA roll stencils. Replicated levels and
+    non-Pallas configs use the XLA path.
 
     ``from_zero``: the caller guarantees u ≡ 0 (a freshly-reset correction
     level); the first Jacobi sweep is then closed-form — u₁ = −(ω/4)h²f on
@@ -200,7 +224,13 @@ def _sweeps(u, f, h, n: int, steps: int, cfg: SolverConfig, policy=None,
         if _use_pallas(cfg) and policy is None:
             from .ops.pallas_kernels import fused_jacobi_padded
             return fused_jacobi_padded(u, f, n, h, steps, omega=cfg.omega,
-                                       from_zero=from_zero)
+                                       from_zero=from_zero,
+                                       interpret=_pallas_interpret())
+        if _use_pallas(cfg) and policy.is_sharded(n) and steps > 0:
+            from .parallel.pallas_shard import sharded_fused_jacobi
+            return sharded_fused_jacobi(u, f, n, h, steps, cfg.omega, policy,
+                                        from_zero=from_zero,
+                                        interpret=_pallas_interpret())
         sweep = partial(P.jacobi_sweep_p, h=h, n=n, omega=cfg.omega)
         if from_zero and steps >= 1:
             from .ops.layout import interior_mask
@@ -263,7 +293,8 @@ def _smooth_traced(u, f, h, n: int, steps: int, cfg: SolverConfig,
     return u, err
 
 
-def _coarse_solve_traced(f_pad, h, n: int, ins: CoarseSolve, cfg: SolverConfig):
+def _coarse_solve_traced(f_pad, h, n: int, ins: CoarseSolve, cfg: SolverConfig,
+                         policy=None):
     """Exact solve on the (tiny) coarsest level: unpad → solve → repad.
 
     Coarse grids are far below the tile-alignment scales, so the slice/pad
@@ -286,7 +317,7 @@ def _coarse_solve_traced(f_pad, h, n: int, ins: CoarseSolve, cfg: SolverConfig):
         u, _, _ = coarse_ops.gauss_seidel_solve(
             f.astype(dt), h, ins.target_error, norm=cfg.coarse_gs_norm)
         u = u.astype(cfg.dtype)
-    return pad_grid(u)
+    return pad_grid_to(u, _pshape(n, policy))
 
 
 def _run_traced(u0, f0, *, program: CycleProgram, problem: Problem,
@@ -304,10 +335,11 @@ def _run_traced(u0, f0, *, program: CycleProgram, problem: Problem,
     last_err = jnp.asarray(0.0, cfg.dtype)
 
     def boundary_pad(spec):
-        return pad_grid(problem.boundary_grid(spec, cfg.dtype))
+        return pad_grid_to(problem.boundary_grid(spec, cfg.dtype),
+                           _pshape(spec.n, policy))
 
     def zeros_pad(spec):
-        return jnp.zeros(padded_shape(spec.n), cfg.dtype)
+        return jnp.zeros(_pshape(spec.n, policy), cfg.dtype)
 
     for ins in program.instructions:
         lvl = levels[-1]
@@ -328,7 +360,7 @@ def _run_traced(u0, f0, *, program: CycleProgram, problem: Problem,
             if ins.steps == 0:
                 # FMG descent: restrict the full RHS, no smoothing
                 # (the reference's TODO branch, MG_solver_CPU.cpp:296-299).
-                f_c = _zoom(cfg)(lvl.f, n, m, padded_shape(m),
+                f_c = _zoom(cfg)(lvl.f, n, m, _pshape(m, policy),
                                  zero_boundary=True)
                 f_c = f_c + boundary_pad(next_spec)
                 levels.append(_TraceLevel(
@@ -343,20 +375,22 @@ def _run_traced(u0, f0, *, program: CycleProgram, problem: Problem,
             if finest and err is not None:
                 last_err = err
             d = _residual(lvl.u, lvl.f, h, n, cfg, policy)
-            f_c = _restrict(d, n, m, cfg)
+            f_c = _restrict(d, n, m, cfg, policy)
             levels.append(_TraceLevel(
                 next_spec, _constrain(zeros_pad(next_spec), policy, m),
                 _constrain(f_c, policy, m)))
 
         elif isinstance(ins, CoarseSolve):
             lvl.u = _constrain(
-                _coarse_solve_traced(lvl.f, h, n, ins, cfg), policy, n)
+                _coarse_solve_traced(lvl.f, h, n, ins, cfg, policy),
+                policy, n)
 
         elif isinstance(ins, Ascend):
             child = levels.pop()
             lvl = levels[-1]
             n, h = lvl.spec.n, lvl.spec.h
-            corr = _zoom(cfg)(child.u, child.spec.n, n, padded_shape(n))
+            corr = _zoom(cfg)(child.u, child.spec.n, n,
+                              _pshape(n, policy))
             lvl.u = _constrain(P.add_correction_p(lvl.u, corr, n), policy, n)
             if len(levels) == 1:
                 warm_now = True

@@ -49,6 +49,14 @@ def pad_grid(a: jnp.ndarray) -> jnp.ndarray:
     return jnp.zeros((rp, cp), a.dtype).at[:n, :n].set(a)
 
 
+def pad_grid_to(a: jnp.ndarray, shape: tuple[int, int]) -> jnp.ndarray:
+    """(n, n) → ``shape`` with zero fill (policy-padded layouts: sharded
+    levels round rows/lanes up to per-device tile multiples)."""
+    if tuple(a.shape) == tuple(shape):
+        return a
+    return jnp.zeros(shape, a.dtype).at[:a.shape[0], :a.shape[1]].set(a)
+
+
 def unpad_grid(a: jnp.ndarray, n: int) -> jnp.ndarray:
     return a[:n, :n]
 

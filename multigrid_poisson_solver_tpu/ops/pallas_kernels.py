@@ -45,7 +45,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .layout import SUBLANE, padded_shape
+from .layout import LANE, SUBLANE, padded_shape
 
 HALO = 8                      # rows of halo per cut edge; also max fused sweeps
 MAX_FUSED_SWEEPS = HALO
@@ -74,21 +74,37 @@ def _i32(v):
     return jnp.asarray(v, jnp.int32)
 
 
-def _fused_jacobi_kernel(u_hbm, f_hbm, out_hbm,
+def _fused_jacobi_kernel(offs_smem, u_hbm, f_hbm, out_hbm,
                          u_slots, fc_slots, work, a_buf,
                          load_sems, out_sems,
-                         *, n: int, rp: int, cp: int, steps: int,
+                         *, n: int, erows: int, cp: int, out_rows: int,
+                         ext_r: int, ext_c: int, steps: int,
                          num_strips: int, strip: int, owned: int,
                          h2: float, omega: float, from_zero: bool):
+    """Kernel body, generalized over halo-extended shard blocks.
+
+    Single-device: u/f/out are all (erows, cp) with ext_r = 0 and the offset
+    vector zero. Sharded (parallel.pallas_shard): u/f are a shard's block
+    EXTENDED by ext_r halo rows on each side (erows = out_rows + 2·ext_r, the
+    halos freshly ppermuted from ring neighbors), ``out`` is the bare block,
+    and offs_smem = (row0, col0) holds the *global* grid coordinates of the
+    extended block's [0, 0] so the Dirichlet/padding masks stay correct under
+    partitioning. Trapezoid staleness at the extended edges is bounded by the
+    same ≤8-sweep argument as interior strip cuts (module docstring).
+    """
+    row0 = offs_smem[0]
+    col0 = offs_smem[1]
+
     def load_start(i):
-        # owned, HALO, rp, strip are all multiples of 8, so the clip result
-        # is too — but Mosaic's alignment prover can't see through clip/mul,
-        # hence the explicit hints.
-        return _mul8(jnp.clip(_i32(i) * _i32(owned) - _i32(HALO),
-                              _i32(0), _i32(rp - strip)))
+        # owned, HALO, erows, strip are all multiples of 8, so the clip
+        # result is too — but Mosaic's alignment prover can't see through
+        # clip/mul, hence the explicit hints.
+        return _mul8(jnp.clip(_i32(i) * _i32(owned) + _i32(ext_r - HALO),
+                              _i32(0), _i32(erows - strip)))
 
     def write_start(i):
-        return _mul8(jnp.clip(_i32(i) * _i32(owned), _i32(0), _i32(rp - owned)))
+        return _mul8(jnp.clip(_i32(i) * _i32(owned), _i32(0),
+                              _i32(out_rows - owned)))
 
     def load_copies(i, slot):
         # from_zero: the initial iterate is identically zero (correction
@@ -106,9 +122,10 @@ def _fused_jacobi_kernel(u_hbm, f_hbm, out_hbm,
 
     def out_copy(i, slot):
         wstart = write_start(i)
-        wlo = _mul8(wstart - load_start(i))
+        wlo = _mul8(wstart + _i32(ext_r) - load_start(i))
         return pltpu.make_async_copy(
-            u_slots.at[slot, pl.ds(wlo, owned), :],
+            u_slots.at[slot, pl.ds(wlo, owned),
+                       pl.ds(ext_c, cp - 2 * ext_c)],
             out_hbm.at[pl.ds(wstart, owned), :],
             out_sems.at[slot])
 
@@ -137,10 +154,15 @@ def _fused_jacobi_kernel(u_hbm, f_hbm, out_hbm,
         # --- per-strip coefficients (amortized over the sweeps) -------------
         rows = jax.lax.broadcasted_iota(jnp.int32, (strip, cp), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (strip, cp), 1)
-        g = rows + start_c
-        ok_global = ((g >= 1) & (g <= n - 2)         # Dirichlet + pad rows
-                     & (cols >= 1) & (cols <= n - 2))  # Dirichlet + pad cols
-        ok = ok_global & (rows >= 1) & (rows <= strip - 2)  # cut edges frozen
+        g = rows + start_c + row0
+        gc = cols + col0
+        ok_global = ((g >= 1) & (g <= n - 2)           # Dirichlet + pad rows
+                     & (gc >= 1) & (gc <= n - 2))      # Dirichlet + pad cols
+        # cut edges frozen: strip edges (rows) and — for column-sharded
+        # blocks — the lane-halo edges (a no-op single-device: col 0 is the
+        # global boundary and col cp−1 is padding, both already masked)
+        ok = (ok_global & (rows >= 1) & (rows <= strip - 2)
+              & (cols >= 1) & (cols <= cp - 2))
         a = jnp.where(ok, jnp.float32(0.25 * omega), jnp.float32(0.0)
                       ).astype(u_hbm.dtype)
         a_buf[:] = a
@@ -189,32 +211,48 @@ def _fused_jacobi_kernel(u_hbm, f_hbm, out_hbm,
     out_copy(_i32(last), _i32(last % 2)).wait()
 
 
-@partial(jax.jit, static_argnames=("n", "h", "steps", "omega", "from_zero",
-                                   "interpret"))
-def _fused_jacobi_call(u, f, n: int, h: float, steps: int, omega: float,
-                       from_zero: bool, interpret: bool):
-    rp, cp = u.shape
-    assert (rp, cp) == padded_shape(n), (
-        f"expected padded layout {padded_shape(n)} for n={n}, got {u.shape}")
+def _check_padded(shape, n):
+    rp, cp = shape
+    assert rp % SUBLANE == 0 and cp % LANE == 0 and rp >= n and cp >= n, (
+        f"expected a tile-aligned padded layout covering n={n}, got {shape}")
+
+
+def _strip_geometry(erows: int, out_rows: int, cp: int, itemsize: int):
+    """(strip, owned, num_strips) tiling the ``out_rows`` owned rows of an
+    ``erows``-row (possibly halo-extended) block."""
+    strip = min(_strip_rows(cp, itemsize), erows)
+    if strip >= erows:
+        return erows, out_rows, 1
+    owned = strip - 2 * HALO
+    return strip, owned, math.ceil(out_rows / owned)
+
+
+def _fused_jacobi_shard_call(offs, u, f, n: int, h: float, steps: int,
+                             omega: float, ext_r: int, from_zero: bool,
+                             interpret: bool, ext_c: int = 0):
+    """One ≤8-sweep fused pass on a (possibly halo-extended) block.
+
+    ``offs`` = int32 (2,) global (row, col) coordinates of u[0, 0];
+    ``ext_r`` halo rows / ``ext_c`` halo lanes on each side are consumed but
+    not written: the output is (erows − 2·ext_r, cp − 2·ext_c).
+    """
+    erows, cp = u.shape
+    out_rows = erows - 2 * ext_r
     itemsize = jnp.dtype(u.dtype).itemsize
+    strip, owned, num_strips = _strip_geometry(erows, out_rows, cp, itemsize)
 
-    strip = min(_strip_rows(cp, itemsize), rp)
-    if strip >= rp:
-        strip, owned, num_strips = rp, rp, 1
-    else:
-        owned = strip - 2 * HALO
-        num_strips = math.ceil(rp / owned)
-
-    kernel = partial(_fused_jacobi_kernel, n=n, rp=rp, cp=cp, steps=steps,
+    kernel = partial(_fused_jacobi_kernel, n=n, erows=erows, cp=cp,
+                     out_rows=out_rows, ext_r=ext_r, ext_c=ext_c, steps=steps,
                      num_strips=num_strips, strip=strip, owned=owned,
                      h2=h * h, omega=omega, from_zero=from_zero)
 
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((rp, cp), u.dtype),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((out_rows, cp - 2 * ext_c), u.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, strip, cp), u.dtype),   # u load slots
             pltpu.VMEM((2, strip, cp), u.dtype),   # f load slots -> C coeff
@@ -226,27 +264,44 @@ def _fused_jacobi_call(u, f, n: int, h: float, steps: int, omega: float,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=2 * _VMEM_BUDGET_BYTES),
         interpret=interpret,
-    )(u, f)
+    )(offs, u, f)
 
 
-def _residual_kernel(u_hbm, f_hbm, out_hbm,
+@partial(jax.jit, static_argnames=("n", "h", "steps", "omega", "from_zero",
+                                   "interpret"))
+def _fused_jacobi_call(u, f, n: int, h: float, steps: int, omega: float,
+                       from_zero: bool, interpret: bool):
+    _check_padded(u.shape, n)
+    return _fused_jacobi_shard_call(
+        jnp.zeros((2,), jnp.int32), u, f, n, h, steps, omega,
+        ext_r=0, from_zero=from_zero, interpret=interpret)
+
+
+def _residual_kernel(offs_smem, u_hbm, f_hbm, out_hbm,
                      u_slots, f_slots, out_slots,
                      load_sems, out_sems,
-                     *, n: int, rp: int, cp: int, num_strips: int,
+                     *, n: int, erows: int, cp: int, out_rows: int,
+                     ext_r: int, ext_c: int, num_strips: int,
                      strip: int, owned: int, inv_h2: float, negate: bool):
     """Strip-pipelined 5-point residual: r = (Σnb − 4u)/h² − f on the
     interior, 0 elsewhere; optionally negated (the restriction source).
 
     Single pass over HBM (read u, f; write r) — XLA's roll-based residual
     materializes four shifted copies (~44 B/point observed); this is 12.
+    Generalized over halo-extended shard blocks exactly like
+    ``_fused_jacobi_kernel`` (offs_smem = global (row0, col0); ext_r halo
+    rows consumed, out_rows = erows − 2·ext_r written).
     """
+    row0 = offs_smem[0]
+    col0 = offs_smem[1]
 
     def load_start(i):
-        return _mul8(jnp.clip(_i32(i) * _i32(owned) - _i32(HALO),
-                              _i32(0), _i32(rp - strip)))
+        return _mul8(jnp.clip(_i32(i) * _i32(owned) + _i32(ext_r - HALO),
+                              _i32(0), _i32(erows - strip)))
 
     def write_start(i):
-        return _mul8(jnp.clip(_i32(i) * _i32(owned), _i32(0), _i32(rp - owned)))
+        return _mul8(jnp.clip(_i32(i) * _i32(owned), _i32(0),
+                              _i32(out_rows - owned)))
 
     def load_copies(i, slot):
         s = load_start(i)
@@ -260,9 +315,10 @@ def _residual_kernel(u_hbm, f_hbm, out_hbm,
         # Mosaic can't lower dynamic_slice on VALUES, but pl.ds sub-slicing
         # of a REF as a DMA source is fine (same pattern as the smoother)
         wstart = write_start(i)
-        wlo = pl.multiple_of(wstart - load_start(i), SUBLANE)
+        wlo = _mul8(wstart + _i32(ext_r) - load_start(i))
         return pltpu.make_async_copy(
-            out_slots.at[slot, pl.ds(wlo, owned), :],
+            out_slots.at[slot, pl.ds(wlo, owned),
+                         pl.ds(ext_c, cp - 2 * ext_c)],
             out_hbm.at[pl.ds(wstart, owned), :],
             out_sems.at[slot])
 
@@ -296,8 +352,9 @@ def _residual_kernel(u_hbm, f_hbm, out_hbm,
 
         rows = jax.lax.broadcasted_iota(jnp.int32, (strip, cp), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (strip, cp), 1)
-        g = rows + start_c
-        ok = ((g >= 1) & (g <= n - 2) & (cols >= 1) & (cols <= n - 2))
+        g = rows + start_c + row0
+        gc = cols + col0
+        ok = ((g >= 1) & (g <= n - 2) & (gc >= 1) & (gc <= n - 2))
         out_slots[slot] = jnp.where(ok, r, jnp.zeros_like(r))
         out_copy(i, slot).start()
         return _i32(0)
@@ -312,33 +369,25 @@ def _residual_kernel(u_hbm, f_hbm, out_hbm,
     out_copy(_i32(last), _i32(last % 2)).wait()
 
 
-@partial(jax.jit, static_argnames=("n", "h", "negate", "interpret"))
-def residual_pallas(u, f, n: int, h: float, negate: bool = False,
-                    interpret: bool = False):
-    """Pallas 5-point residual on the padded layout; matches
-    ops.padded.residual_p (getResidual, MG_solver_CPU.cpp:554-564)."""
-    rp, cp = u.shape
-    assert (rp, cp) == padded_shape(n), (
-        f"expected padded layout {padded_shape(n)} for n={n}, got {u.shape}")
+def _residual_shard_call(offs, u, f, n: int, h: float, negate: bool,
+                         ext_r: int, interpret: bool, ext_c: int = 0):
+    erows, cp = u.shape
+    out_rows = erows - 2 * ext_r
     itemsize = jnp.dtype(u.dtype).itemsize
+    strip, owned, num_strips = _strip_geometry(erows, out_rows, cp, itemsize)
 
-    strip = min(_strip_rows(cp, itemsize), rp)
-    if strip >= rp:
-        strip, owned, num_strips = rp, rp, 1
-    else:
-        owned = strip - 2 * HALO
-        num_strips = math.ceil(rp / owned)
-
-    kernel = partial(_residual_kernel, n=n, rp=rp, cp=cp,
+    kernel = partial(_residual_kernel, n=n, erows=erows, cp=cp,
+                     out_rows=out_rows, ext_r=ext_r, ext_c=ext_c,
                      num_strips=num_strips, strip=strip, owned=owned,
                      inv_h2=1.0 / (h * h), negate=negate)
 
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((rp, cp), u.dtype),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((out_rows, cp - 2 * ext_c), u.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, strip, cp), u.dtype),
             pltpu.VMEM((2, strip, cp), u.dtype),
@@ -349,7 +398,17 @@ def residual_pallas(u, f, n: int, h: float, negate: bool = False,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=2 * _VMEM_BUDGET_BYTES),
         interpret=interpret,
-    )(u, f)
+    )(offs, u, f)
+
+
+@partial(jax.jit, static_argnames=("n", "h", "negate", "interpret"))
+def residual_pallas(u, f, n: int, h: float, negate: bool = False,
+                    interpret: bool = False):
+    """Pallas 5-point residual on the padded layout; matches
+    ops.padded.residual_p (getResidual, MG_solver_CPU.cpp:554-564)."""
+    _check_padded(u.shape, n)
+    return _residual_shard_call(jnp.zeros((2,), jnp.int32), u, f, n, h,
+                                negate, ext_r=0, interpret=interpret)
 
 
 def _two_sum(a, b):
@@ -399,7 +458,8 @@ def _residual_mw_kernel(*args, n: int, rp: int, cp: int, num_strips: int,
         wstart = write_start(i)
         wlo = _mul8(wstart - load_start(i))
         return pltpu.make_async_copy(
-            out_slots.at[slot, pl.ds(wlo, owned), :],
+            out_slots.at[slot, pl.ds(wlo, owned),
+                         pl.ds(ext_c, cp - 2 * ext_c)],
             out_hbm.at[pl.ds(wstart, owned), :],
             out_sems.at[slot])
 
@@ -518,8 +578,8 @@ def _residual_mw_call(words, f, n: int, h: float, interpret: bool):
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((rp, cp), f.dtype),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * (nwords + 1),
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (nwords + 1),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((nwords, 2, strip, cp), f.dtype),
             pltpu.VMEM((2, strip, cp), f.dtype),

@@ -72,6 +72,12 @@ class ShardingPolicy:
     def sharding(self, n: int) -> NamedSharding:
         return NamedSharding(self.mesh, self.spec(n))
 
+    def padded_shape(self, n: int) -> tuple[int, int]:
+        """Tile layout for level-n arrays under this policy: sharded levels
+        pad rows so every device's block is a multiple of the 8-row sublane
+        tile (the per-shard Pallas kernels' DMA alignment contract)."""
+        return _policy_padded_shape(n, self.spec(n), self.mesh)
+
 
 COL_AXIS = "cols"
 
@@ -120,6 +126,28 @@ class BlockShardingPolicy:
 
     def sharding(self, n: int) -> NamedSharding:
         return NamedSharding(self.mesh, self.spec(n))
+
+    def padded_shape(self, n: int) -> tuple[int, int]:
+        """Tile layout for level-n arrays: rows ×(8·row_devices), lanes
+        ×(128·col_devices) when the respective axis is sharded."""
+        return _policy_padded_shape(n, self.spec(n), self.mesh)
+
+
+def _policy_padded_shape(n: int, spec: P, mesh: Mesh) -> tuple[int, int]:
+    """Padded tile shape for a level sharded as ``spec`` over ``mesh``:
+    rows a multiple of 8·(row-axis devices), lanes a multiple of
+    128·(col-axis devices) — so every shard block keeps Mosaic's (8, 128)
+    tiling and the per-shard Pallas kernels need no repacking."""
+    from ..ops.layout import LANE, SUBLANE, padded_shape
+
+    rp, cp = padded_shape(n)
+    if len(spec) >= 1 and spec[0] is not None:
+        q = SUBLANE * mesh.shape[spec[0]]
+        rp = -(-rp // q) * q
+    if len(spec) >= 2 and spec[1] is not None:
+        q = LANE * mesh.shape[spec[1]]
+        cp = -(-cp // q) * q
+    return rp, cp
 
 
 def padded_rows(n: int, n_devices: int) -> int:

@@ -1,0 +1,167 @@
+"""shard_map + per-shard Pallas: the fused kernels under partitioning.
+
+Round 1 left sharded programs on the XLA roll-stencil fallback (measured
+~10× slower per sweep than the fused Pallas smoother), so multi-chip would
+have lost the single-chip kernel win. This module closes that gap the
+SPMD-native way:
+
+  * the grid stays a global array under GSPMD everywhere else in the
+    compiled program; each smoothing/residual call drops into ``shard_map``
+    (manual mode) over the policy's mesh;
+  * per fused pass (≤8 sweeps), every device ``lax.ppermute``s its 8
+    edge rows (and, under 2-D block policies, its 128 edge lanes) to its
+    ring neighbors — the one-shot halo exchange that replaces 8 per-sweep
+    GSPMD halo collectives, riding ICI;
+  * each shard then runs the SAME strip-pipelined Pallas kernel as the
+    single-device path (ops.pallas_kernels) on its halo-extended block,
+    with the block's global (row, col) origin passed in SMEM so the
+    Dirichlet/padding masks stay exact under partitioning;
+  * the trapezoid argument that makes interior strip cuts exact for ≤8
+    fused sweeps applies verbatim to the 8-row shard halos, so the result
+    BIT-MATCHES the unsharded kernel on owned cells.
+
+Alignment contract: shard-local blocks must keep Mosaic's tiling rules —
+rows per device a multiple of 8, lanes per device a multiple of 128. The
+sharding policies' ``padded_shape(n)`` (parallel.mesh) provides compliant
+global shapes; this module asserts them.
+
+The reference has no counterpart (single GPU, SURVEY.md §2); the per-shard
+kernel replaces ker_Smoothing_GPU's grid-stride loop (MG_solver_GPU.cu:584-661)
+under a decomposition it never had.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from ..ops.layout import LANE, SUBLANE
+from ..ops.pallas_kernels import (
+    HALO,
+    MAX_FUSED_SWEEPS,
+    _fused_jacobi_shard_call,
+    _residual_shard_call,
+)
+
+
+def _ring_perms(ndev: int):
+    fwd = [(i, (i + 1) % ndev) for i in range(ndev)]   # receive from previous
+    bwd = [(i, (i - 1) % ndev) for i in range(ndev)]   # receive from next
+    return fwd, bwd
+
+
+def _extend_rows(x, axis: str):
+    """Prepend/append the 8 edge rows of the ring neighbors (wrap-around
+    values land only on globally-masked rows and never propagate past the
+    frozen Dirichlet ring)."""
+    fwd, bwd = _ring_perms(lax.axis_size(axis))
+    above = lax.ppermute(x[-HALO:], axis, fwd)
+    below = lax.ppermute(x[:HALO], axis, bwd)
+    return jnp.concatenate([above, x, below], axis=0)
+
+
+def _extend_cols(x, axis: str):
+    """Prepend/append the 128 edge lanes of the ring neighbors (128, not 1,
+    so shard-local lane offsets stay multiples of the tile width)."""
+    fwd, bwd = _ring_perms(lax.axis_size(axis))
+    left = lax.ppermute(x[:, -LANE:], axis, fwd)
+    right = lax.ppermute(x[:, :LANE], axis, bwd)
+    return jnp.concatenate([left, x, right], axis=1)
+
+
+def _axes_of(policy, n: int):
+    """(row_axis, col_axis_or_None) of the policy's spec for level n."""
+    spec = policy.spec(n)
+    assert len(spec) >= 1 and spec[0] is not None, (
+        f"sharded Pallas needs a row-sharded level, got spec {spec}")
+    row_axis = spec[0]
+    col_axis = spec[1] if len(spec) > 1 else None
+    return row_axis, col_axis
+
+
+def _check_alignment(shape, policy, row_axis, col_axis):
+    nr = policy.mesh.shape[row_axis]
+    nc = policy.mesh.shape[col_axis] if col_axis else 1
+    rp, cp = shape
+    assert rp % (nr * SUBLANE) == 0 and cp % (nc * LANE) == 0, (
+        f"global padded shape {shape} not tile-aligned for a {nr}x{nc} "
+        f"device grid; build level arrays with policy.padded_shape(n)")
+
+
+@partial(jax.jit, static_argnames=("n", "h", "steps", "omega", "policy",
+                                   "from_zero", "interpret"))
+def sharded_fused_jacobi(u, f, n: int, h: float, steps: int, omega: float,
+                         policy, from_zero: bool = False,
+                         interpret: bool = False):
+    """``steps`` fused damped-Jacobi sweeps on a policy-sharded global array.
+
+    Semantics identical to ops.pallas_kernels.fused_jacobi_padded (itself
+    doSmoothing, MG_solver_CPU.cpp:573-604): owned cells bit-match the
+    unsharded kernel. One halo exchange per ≤8-sweep pass.
+    """
+    row_axis, col_axis = _axes_of(policy, n)
+    _check_alignment(u.shape, policy, row_axis, col_axis)
+
+    def body(u_loc, f_loc):
+        r_loc, c_loc = u_loc.shape
+        ri = lax.axis_index(row_axis)
+        ci = lax.axis_index(col_axis) if col_axis else jnp.int32(0)
+        ext_c = LANE if col_axis else 0
+        offs = jnp.stack([ri * r_loc - HALO, ci * c_loc - ext_c]
+                         ).astype(jnp.int32)
+
+        f_e = _extend_cols(f_loc, col_axis) if col_axis else f_loc
+        f_e = _extend_rows(f_e, row_axis)
+
+        out, remaining, first = u_loc, steps, True
+        while remaining > 0:
+            k = min(remaining, MAX_FUSED_SWEEPS)
+            u_e = _extend_cols(out, col_axis) if col_axis else out
+            u_e = _extend_rows(u_e, row_axis)
+            out = _fused_jacobi_shard_call(
+                offs, u_e, f_e, n, h, k, omega, ext_r=HALO,
+                from_zero=from_zero and first, interpret=interpret,
+                ext_c=ext_c)
+            remaining -= k
+            first = False
+        return out
+
+    spec = policy.spec(n)
+    return shard_map(body, mesh=policy.mesh, in_specs=(spec, spec),
+                     out_specs=spec, check_vma=False)(u, f)
+
+
+@partial(jax.jit, static_argnames=("n", "h", "policy", "negate", "interpret"))
+def sharded_residual_pallas(u, f, n: int, h: float, policy,
+                            negate: bool = False, interpret: bool = False):
+    """Pallas 5-point residual on a policy-sharded global array; matches
+    ops.padded.residual_p / ops.pallas_kernels.residual_pallas."""
+    row_axis, col_axis = _axes_of(policy, n)
+    _check_alignment(u.shape, policy, row_axis, col_axis)
+
+    def body(u_loc, f_loc):
+        r_loc, c_loc = u_loc.shape
+        ri = lax.axis_index(row_axis)
+        ci = lax.axis_index(col_axis) if col_axis else jnp.int32(0)
+        ext_c = LANE if col_axis else 0
+        offs = jnp.stack([ri * r_loc - HALO, ci * c_loc - ext_c]
+                         ).astype(jnp.int32)
+        u_e = _extend_cols(u_loc, col_axis) if col_axis else u_loc
+        u_e = _extend_rows(u_e, row_axis)
+        f_e = _extend_cols(f_loc, col_axis) if col_axis else f_loc
+        f_e = _extend_rows(f_e, row_axis)
+        return _residual_shard_call(offs, u_e, f_e, n, h, negate,
+                                    ext_r=HALO, interpret=interpret,
+                                    ext_c=ext_c)
+
+    spec = policy.spec(n)
+    return shard_map(body, mesh=policy.mesh, in_specs=(spec, spec),
+                     out_specs=spec, check_vma=False)(u, f)
+
+
+__all__ = ["sharded_fused_jacobi", "sharded_residual_pallas"]

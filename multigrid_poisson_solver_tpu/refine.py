@@ -47,7 +47,8 @@ from jax import lax
 from .grid import GridSpec
 from .models.problems import Problem
 from .ops import padded as P
-from .ops.layout import interior_mask, pad_grid, padded_shape, unpad_grid
+from .ops.layout import (interior_mask, pad_grid, pad_grid_to, padded_shape,
+                         unpad_grid)
 from .ops.precision import two_sum
 from .parallel.mesh import ShardingPolicy
 from .schedule import CycleProgram, v_cycle
@@ -205,7 +206,10 @@ class IterativeRefinementSolver:
                         problem=zero_problem, config=config, policy=policy,
                         warm=False)
         h = self.spec.h
-        rp_cp = padded_shape(n)
+        # policy-aware layout: sharded levels round rows/lanes up to
+        # per-device tile multiples (parallel.mesh.padded_shape)
+        rp_cp = padded_shape(n) if policy is None else policy.padded_shape(n)
+        self._shape = rp_cp
         if state not in ("df32", "tw32", "f64"):
             raise ValueError(
                 f"unknown state {state!r}; expected 'df32', 'tw32', or 'f64'")
@@ -219,16 +223,20 @@ class IterativeRefinementSolver:
 
         use_pk = _use_pallas(config) and policy is None
 
+        interp = jax.default_backend() != "tpu"
+
         def res_df(u_hi, u_lo, f):
             if use_pk:
                 from .ops.pallas_kernels import residual_df_pallas
-                return residual_df_pallas(u_hi, u_lo, f, n, h)
+                return residual_df_pallas(u_hi, u_lo, f, n, h,
+                                          interpret=interp)
             return residual_df_p(u_hi, u_lo, f, h, n)
 
         def res_tw(u0, u1, u2, f):
             if use_pk:
                 from .ops.pallas_kernels import residual_tw_pallas
-                return residual_tw_pallas(u0, u1, u2, f, n, h)
+                return residual_tw_pallas(u0, u1, u2, f, n, h,
+                                          interpret=interp)
             return residual_tw_p(u0, u1, u2, f, h, n)
 
         def fnorm(f):
@@ -251,8 +259,8 @@ class IterativeRefinementSolver:
             can checkpoint between chunks)."""
             f64 = f.astype(jnp.float64)
             res64 = partial(P.residual_p, h=h, n=n)
-            i0 = pad_grid(problem.boundary_grid(self.spec, config.dtype)
-                          ).astype(jnp.float64)
+            i0 = pad_grid_to(problem.boundary_grid(self.spec, config.dtype),
+                             rp_cp).astype(jnp.float64)
             den = make_den(f, jnp.linalg.norm(jnp.ravel(res64(i0, f64))))
             r = res64(u, f64)
 
@@ -335,13 +343,15 @@ class IterativeRefinementSolver:
         """(u_hi0, u_lo0): Dirichlet ring + zero interior (the stencil reads
         boundary neighbors; zero there would be wrong for problems with
         nonzero boundary)."""
-        u_hi = pad_grid(self.problem.boundary_grid(self.spec, self.config.dtype))
+        u_hi = pad_grid_to(
+            self.problem.boundary_grid(self.spec, self.config.dtype),
+            self._shape)
         return u_hi, jnp.zeros_like(u_hi)
 
     def init_rhs(self) -> jnp.ndarray:
         f = (self.problem.source_grid(self.spec, self.config.dtype)
              + self.problem.boundary_grid(self.spec, self.config.dtype))
-        return pad_grid(f)
+        return pad_grid_to(f, self._shape)
 
     def solve(self, tol: float = 1e-8, checkpoints=None,
               checkpoint_chunk: int = 10) -> RefineReport:
@@ -353,8 +363,8 @@ class IterativeRefinementSolver:
         f = self.init_rhs()
         start = time.perf_counter()
         if self._is_f64 and checkpoints is None:
-            u0 = pad_grid(self.problem.boundary_grid(self.spec, cfg.dtype)
-                          ).astype(jnp.float64)
+            u0 = pad_grid_to(self.problem.boundary_grid(self.spec, cfg.dtype),
+                             self._shape).astype(jnp.float64)
             u64, rel, k = self._run(u0, f, tol, self.max_cycles)
             u_hi = u64.astype(cfg.dtype)
             u_lo = (u64 - u_hi.astype(jnp.float64)).astype(cfg.dtype)
@@ -371,7 +381,8 @@ class IterativeRefinementSolver:
                 f, tol, checkpoints, checkpoint_chunk)
         # boundary values live in f's identity rows; refinement corrections
         # are interior-only so add the Dirichlet ring back explicitly
-        b = pad_grid(self.problem.boundary_grid(self.spec, cfg.dtype))
+        b = pad_grid_to(self.problem.boundary_grid(self.spec, cfg.dtype),
+                        self._shape)
         u_hi = jnp.where(interior_mask(n, u_hi.shape), u_hi, b)
         rel_f = float(jax.device_get(rel))
         wall = time.perf_counter() - start
@@ -379,7 +390,8 @@ class IterativeRefinementSolver:
 
         err = None
         if self.problem.analytic is not None:
-            ua = pad_grid(self.problem.analytic_grid(self.spec, cfg.dtype))
+            ua = pad_grid_to(self.problem.analytic_grid(self.spec, cfg.dtype),
+                             self._shape)
             err = float(jax.device_get(P.mean_abs_error_p(u_hi, ua, n)))
         return RefineReport(u=unpad_grid(u_hi, n), u_lo=unpad_grid(u_lo, n),
                             rel_residual=rel_f, cycles=cycles,
@@ -401,14 +413,15 @@ class IterativeRefinementSolver:
         resumed = manager.latest()
         ok = (resumed is not None and resumed.meta
               and resumed.meta.get("schedule") == fp
-              and resumed.u.shape == padded_shape(self.spec.n))
+              and resumed.u.shape == self._shape)
         if self._is_f64:
             if ok:
                 u64 = jnp.asarray(resumed.u, jnp.float64)
                 done = resumed.cycle
             else:
-                u64 = pad_grid(self.problem.boundary_grid(
-                    self.spec, self.config.dtype)).astype(jnp.float64)
+                u64 = pad_grid_to(self.problem.boundary_grid(
+                    self.spec, self.config.dtype),
+                    self._shape).astype(jnp.float64)
         elif ok:
             u_hi = jnp.asarray(resumed.u)
             u_lo = (jnp.asarray(resumed.u_lo) if resumed.u_lo is not None

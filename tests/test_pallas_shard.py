@@ -1,0 +1,127 @@
+"""Sharded Pallas: the fused kernels under shard_map partitioning.
+
+VERDICT r1's top item: sharded programs must run the fused Pallas smoother
+per shard (parallel.pallas_shard) instead of falling back to XLA roll
+stencils, under BOTH sharding policies, bit-matching the unsharded kernel.
+Runs on the virtual 8-device CPU mesh in Pallas interpret mode.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding
+
+import multigrid_poisson_solver_tpu as mg
+from multigrid_poisson_solver_tpu.compiled import compile_program
+from multigrid_poisson_solver_tpu.ops import pallas_kernels as pk
+from multigrid_poisson_solver_tpu.parallel.mesh import (
+    BlockShardingPolicy,
+    ShardingPolicy,
+    make_mesh,
+    make_mesh_2d,
+)
+from multigrid_poisson_solver_tpu.parallel.pallas_shard import (
+    sharded_fused_jacobi,
+    sharded_residual_pallas,
+)
+
+PROBLEM = mg.REFERENCE_PROBLEM
+
+
+def _policies():
+    return [
+        pytest.param(lambda: ShardingPolicy(make_mesh(), threshold_rows=8),
+                     id="rows-1d"),
+        pytest.param(lambda: BlockShardingPolicy(make_mesh_2d((2, 4)),
+                                                 threshold_rows=8),
+                     id="block-2d"),
+    ]
+
+
+def _fields(policy, n, seed=7):
+    rng = np.random.default_rng(seed)
+    rp, cp = policy.padded_shape(n)
+    u = jnp.zeros((rp, cp), jnp.float32).at[:n, :n].set(
+        jnp.asarray(rng.random((n, n)), jnp.float32))
+    f = jnp.zeros((rp, cp), jnp.float32).at[:n, :n].set(
+        jnp.asarray(rng.random((n, n)), jnp.float32))
+    sh = NamedSharding(policy.mesh, policy.spec(n))
+    return u, f, jax.device_put(u, sh), jax.device_put(f, sh)
+
+
+@pytest.mark.parametrize("make_policy", _policies())
+@pytest.mark.parametrize("steps", [1, 8, 11])
+def test_sharded_smoother_bitmatches_unsharded(make_policy, steps):
+    """Owned cells of the per-shard fused kernel are BIT-identical to the
+    unsharded kernel (same fp32 expression tree per point; halos carry the
+    true neighbor values for ≤8 sweeps per exchange)."""
+    policy = make_policy()
+    n, h = 129, 1.0 / 128
+    u, f, us, fs = _fields(policy, n)
+    got = sharded_fused_jacobi(us, fs, n, h, steps, 0.8, policy,
+                               interpret=True)
+    want = pk.fused_jacobi_padded(u, f, n, h, steps, omega=0.8,
+                                  interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("make_policy", _policies())
+def test_sharded_smoother_from_zero_bitmatches(make_policy):
+    policy = make_policy()
+    n, h = 129, 1.0 / 128
+    _, f, _, fs = _fields(policy, n)
+    z = jnp.zeros_like(f)
+    zs = jax.device_put(z, NamedSharding(policy.mesh, policy.spec(n)))
+    got = sharded_fused_jacobi(zs, fs, n, h, 3, 1.0, policy, from_zero=True,
+                               interpret=True)
+    want = pk.fused_jacobi_padded(z, f, n, h, 3, from_zero=True,
+                                  interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("make_policy", _policies())
+def test_sharded_residual_bitmatches_unsharded(make_policy):
+    policy = make_policy()
+    n, h = 129, 1.0 / 128
+    u, f, us, fs = _fields(policy, n)
+    got = sharded_residual_pallas(us, fs, n, h, policy, negate=True,
+                                  interpret=True)
+    want = pk.residual_pallas(u, f, n, h, negate=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("make_policy", _policies())
+@pytest.mark.parametrize("steps", [3, -1])
+def test_compiled_pallas_sharded_matches_xla(make_policy, steps):
+    """The compiled engine with kernels='pallas' under a sharding policy
+    (fixed-step AND trigger schedules) matches the kernels='xla' sharded
+    engine and the unsharded Pallas engine."""
+    policy = make_policy()
+    program = mg.v_cycle(129, n_min=8, steps=steps, coarse_target=1e-7)
+
+    def run(config, policy):
+        cc = compile_program(program, PROBLEM, config, policy=policy,
+                             donate=False)
+        u, f = cc.init()
+        u1, _ = cc(u, f)
+        return np.asarray(cc.unpad(u1))
+
+    u_pallas_sharded = run(mg.SolverConfig(kernels="pallas"), policy)
+    u_xla_sharded = run(mg.SolverConfig(kernels="xla"), policy)
+    u_pallas_single = run(mg.SolverConfig(kernels="pallas"), None)
+    np.testing.assert_allclose(u_pallas_sharded, u_xla_sharded,
+                               rtol=1e-4, atol=1e-6)
+    # vs the single-device Pallas engine the only fp32 differences are XLA
+    # op-order in the non-smoother glue; the smoother itself bit-matches
+    np.testing.assert_allclose(u_pallas_sharded, u_pallas_single,
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_compiled_pallas_sharded_converges_deep():
+    """End-to-end: refinement with a sharded Pallas cycle reaches 1e-9."""
+    policy = ShardingPolicy(make_mesh(), threshold_rows=8)
+    rep = mg.solve_to_tolerance(PROBLEM, 129, tol=1e-9, policy=policy,
+                                config=mg.SolverConfig(omega=0.8,
+                                                       kernels="pallas"))
+    assert rep.rel_residual <= 1e-9
