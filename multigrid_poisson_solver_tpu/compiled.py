@@ -245,18 +245,30 @@ def _sweeps(u, f, h, n: int, steps: int, cfg: SolverConfig, policy=None,
 
 def _trigger_smooth_traced(u, f, h, n: int, cfg: SolverConfig, policy=None):
     """Device-side error-trigger loop (MG_solver_CPU.cpp:194-240): smooth one
-    sweep at a time while |err_k − err_{k−1}| > trigger."""
-    def one(v):
-        return _sweeps(v, f, h, n, 1, cfg, policy)
+    sweep at a time while |err_k − err_{k−1}| > trigger.
 
-    def err_of(u_new, u_old):
-        if cfg.compat_error == "gpu":
-            return P.gpu_smoothing_error_p(u_new, u_old, h, n)
-        return P.smoothing_error_p(u_new, f, h, n, compat=cfg.compat_error)
+    On the single-chip Pallas path each sweep fuses the error reduction into
+    the smoothing kernel (ker_Smoothing_GPU's fusion, MG_solver_GPU.cu:640-661)
+    — 3 HBM passes per trigger sweep instead of sweep + separate residual."""
+    fuse_err = (cfg.smoother == "jacobi" and _use_pallas(cfg)
+                and policy is None)
 
-    u0 = u
-    u = one(u)
-    err0 = err_of(u, u0)
+    if fuse_err:
+        from .ops.pallas_kernels import fused_jacobi_err_padded
+
+        def step(v):
+            return fused_jacobi_err_padded(v, f, n, h, 1, omega=cfg.omega,
+                                           compat=cfg.compat_error,
+                                           interpret=_pallas_interpret())
+    else:
+        def step(v):
+            v_new = _sweeps(v, f, h, n, 1, cfg, policy)
+            if cfg.compat_error == "gpu":
+                return v_new, P.gpu_smoothing_error_p(v_new, v, h, n)
+            return v_new, P.smoothing_error_p(v_new, f, h, n,
+                                              compat=cfg.compat_error)
+
+    u, err0 = step(u)
 
     def cond(state):
         _, _, slope, k = state
@@ -264,8 +276,7 @@ def _trigger_smooth_traced(u, f, h, n: int, cfg: SolverConfig, policy=None):
 
     def body(state):
         u, prev, _, k = state
-        u_new = one(u)
-        err = err_of(u_new, u)
+        u_new, err = step(u)
         return u_new, err, jnp.abs(err - prev), k + 1
 
     init = (u, err0, jnp.asarray(cfg.trigger + 1.0, err0.dtype),
@@ -278,6 +289,15 @@ def _smooth_traced(u, f, h, n: int, steps: int, cfg: SolverConfig,
                    want_err: bool, policy=None, from_zero: bool = False):
     if steps == -1:
         return _trigger_smooth_traced(u, f, h, n, cfg, policy)
+    if (want_err and steps >= 1 and cfg.smoother == "jacobi"
+            and _use_pallas(cfg) and policy is None):
+        # single-chip Pallas: error reduction fused into the smoother's last
+        # HBM pass (zero extra traffic)
+        from .ops.pallas_kernels import fused_jacobi_err_padded
+        return fused_jacobi_err_padded(u, f, n, h, steps, omega=cfg.omega,
+                                       compat=cfg.compat_error,
+                                       from_zero=from_zero,
+                                       interpret=_pallas_interpret())
     if want_err and cfg.compat_error == "gpu" and steps >= 1:
         # the GPU metric needs the final sweep's ping-pong pair: fuse the
         # first steps−1 sweeps, keep the pre-final iterate, sweep once more

@@ -74,13 +74,12 @@ def _i32(v):
     return jnp.asarray(v, jnp.int32)
 
 
-def _fused_jacobi_kernel(offs_smem, u_hbm, f_hbm, out_hbm,
-                         u_slots, fc_slots, work, a_buf,
-                         load_sems, out_sems,
-                         *, n: int, erows: int, cp: int, out_rows: int,
+def _fused_jacobi_kernel(offs_smem, u_hbm, f_hbm, *rest,
+                         n: int, erows: int, cp: int, out_rows: int,
                          ext_r: int, ext_c: int, steps: int,
                          num_strips: int, strip: int, owned: int,
-                         h2: float, omega: float, from_zero: bool):
+                         h2: float, omega: float, from_zero: bool,
+                         err_mode=None):
     """Kernel body, generalized over halo-extended shard blocks.
 
     Single-device: u/f/out are all (erows, cp) with ext_r = 0 and the offset
@@ -91,7 +90,24 @@ def _fused_jacobi_kernel(offs_smem, u_hbm, f_hbm, out_hbm,
     extended block's [0, 0] so the Dirichlet/padding masks stay correct under
     partitioning. Trapezoid staleness at the extended edges is bounded by the
     same ≤8-sweep argument as interior strip cuts (module docstring).
+
+    ``err_mode`` fuses the smoothing-error reduction into the same HBM pass
+    (the reference's ker_Smoothing_GPU fusion, MG_solver_GPU.cu:584-661):
+      * "gpu"   — Σ|Δu| of the final sweep over owned∩interior cells;
+      * "cpu"   — Σ|residual(u_final)| over the even color, computed from
+        one EXTRA in-VMEM sweep (Δu_{k+1} = (ω/4)h²·r(u_k)), no extra HBM
+        traffic — requires steps ≤ 7 so the neighbors feeding the extra
+        sweep are trapezoid-exact;
+      * "clean" — same extra sweep, all interior cells.
+    The raw partial lands in a (1, 1) SMEM output; callers scale it.
     """
+    if err_mode is None:
+        out_hbm, = rest[:1]
+        rest = rest[1:]
+    else:
+        out_hbm, err_smem = rest[:2]
+        rest = rest[2:]
+    u_slots, fc_slots, work, a_buf, load_sems, out_sems = rest
     row0 = offs_smem[0]
     col0 = offs_smem[1]
 
@@ -132,7 +148,7 @@ def _fused_jacobi_kernel(offs_smem, u_hbm, f_hbm, out_hbm,
     for cp_ in load_copies(_i32(0), _i32(0)):
         cp_.start()
 
-    def body(i, _):
+    def body(i, acc):
         slot = jax.lax.rem(_i32(i), _i32(2))
         nxt = jax.lax.rem(_i32(i) + _i32(1), _i32(2))
 
@@ -181,26 +197,59 @@ def _fused_jacobi_kernel(offs_smem, u_hbm, f_hbm, out_hbm,
                 jnp.zeros((strip, cp), u_hbm.dtype))
 
         # --- k sweeps, pure fp32 vector arithmetic --------------------------
+        def nb_sum(u):
+            return (pltpu.roll(u, shift=_i32(1), axis=0)
+                    + pltpu.roll(u, shift=_i32(strip - 1), axis=0)
+                    + pltpu.roll(u, shift=_i32(1), axis=1)
+                    + pltpu.roll(u, shift=_i32(cp - 1), axis=1))
+
         def sweep(src, dst):
             u = src[:]
-            nb = (pltpu.roll(u, shift=_i32(1), axis=0)
-                  + pltpu.roll(u, shift=_i32(strip - 1), axis=0)
-                  + pltpu.roll(u, shift=_i32(1), axis=1)
-                  + pltpu.roll(u, shift=_i32(cp - 1), axis=1))
-            dst[:] = u + a_buf[:] * (nb - 4.0 * u) - fc_slots[slot][:]
+            dst[:] = u + a_buf[:] * (nb_sum(u) - 4.0 * u) - fc_slots[slot][:]
 
         n_sweeps = steps - 1 if from_zero else steps
         bufs = [u_slots.at[slot], work]
         for s in range(n_sweeps):
             sweep(bufs[s % 2], bufs[(s + 1) % 2])
+
+        part = acc
+        if err_mode is not None:
+            # non-overlapping ownership for the reduction: out row o belongs
+            # to strip i iff i·owned ≤ o < min((i+1)·owned, out_rows) —
+            # unlike the (harmlessly overlapping) clamped write windows
+            o = rows + (start_c - _i32(ext_r))
+            sel = (ok_global & (o >= _i32(i) * _i32(owned))
+                   & (o < jnp.minimum((_i32(i) + 1) * _i32(owned),
+                                      _i32(out_rows))))
+            fin = bufs[n_sweeps % 2][:]
+            if err_mode == "gpu":
+                prev = (jnp.zeros((strip, cp), u_hbm.dtype)
+                        if (from_zero and n_sweeps == 0)
+                        else bufs[(n_sweeps - 1) % 2][:])
+                val = jnp.abs(fin - prev)
+            else:
+                # one extra in-VMEM sweep: Δu_{k+1} = (ω/4)·h²·r(u_k) on
+                # unfrozen cells — the residual of the FINAL iterate with
+                # zero extra HBM traffic (caller rescales by 4/(ω·h²))
+                val = jnp.abs(a_buf[:] * (nb_sum(fin) - 4.0 * fin)
+                              - fc_slots[slot][:])
+                if err_mode == "cpu":
+                    # the reference's color bug: even-color cells only
+                    # (caller doubles the sum), MG_solver_CPU.cpp:606-622
+                    sel = sel & ((g + gc) % 2 == 0)
+            part = acc + jnp.sum(jnp.where(sel, val, jnp.zeros_like(val)))
+
         if n_sweeps % 2 == 1:
             # result must sit in the slot buffer for the direct out-DMA
             u_slots[slot] = work[:]
 
         out_copy(i, slot).start()
-        return _i32(0)
+        return part
 
-    jax.lax.fori_loop(_i32(0), _i32(num_strips), body, _i32(0), unroll=False)
+    total = jax.lax.fori_loop(_i32(0), _i32(num_strips), body,
+                              jnp.zeros((), u_hbm.dtype), unroll=False)
+    if err_mode is not None:
+        err_smem[0, 0] = total
 
     # drain the last (up to) two outstanding writes
     last = num_strips - 1     # static python ints: no traced math needed
@@ -229,30 +278,44 @@ def _strip_geometry(erows: int, out_rows: int, cp: int, itemsize: int):
 
 def _fused_jacobi_shard_call(offs, u, f, n: int, h: float, steps: int,
                              omega: float, ext_r: int, from_zero: bool,
-                             interpret: bool, ext_c: int = 0):
+                             interpret: bool, ext_c: int = 0, err_mode=None):
     """One ≤8-sweep fused pass on a (possibly halo-extended) block.
 
     ``offs`` = int32 (2,) global (row, col) coordinates of u[0, 0];
     ``ext_r`` halo rows / ``ext_c`` halo lanes on each side are consumed but
     not written: the output is (erows − 2·ext_r, cp − 2·ext_c).
+    With ``err_mode`` set, also returns the raw fused error partial
+    (see _fused_jacobi_kernel); the caller applies metric scaling.
     """
     erows, cp = u.shape
     out_rows = erows - 2 * ext_r
     itemsize = jnp.dtype(u.dtype).itemsize
     strip, owned, num_strips = _strip_geometry(erows, out_rows, cp, itemsize)
+    if err_mode in ("cpu", "clean"):
+        k = steps - 1 if from_zero else steps
+        assert k <= HALO - 1, (
+            f"fused cpu/clean error needs ≤{HALO - 1} sweeps per pass, "
+            f"got {k} (the extra in-VMEM residual sweep consumes one halo row)")
 
     kernel = partial(_fused_jacobi_kernel, n=n, erows=erows, cp=cp,
                      out_rows=out_rows, ext_r=ext_r, ext_c=ext_c, steps=steps,
                      num_strips=num_strips, strip=strip, owned=owned,
-                     h2=h * h, omega=omega, from_zero=from_zero)
+                     h2=h * h, omega=omega, from_zero=from_zero,
+                     err_mode=err_mode)
 
-    return pl.pallas_call(
+    out_shape = jax.ShapeDtypeStruct((out_rows, cp - 2 * ext_c), u.dtype)
+    out_spec = pl.BlockSpec(memory_space=pl.ANY)
+    if err_mode is not None:
+        out_shape = (out_shape, jax.ShapeDtypeStruct((1, 1), u.dtype))
+        out_spec = (out_spec, pl.BlockSpec(memory_space=pltpu.SMEM))
+
+    result = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((out_rows, cp - 2 * ext_c), u.dtype),
+        out_shape=out_shape,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_specs=out_spec,
         scratch_shapes=[
             pltpu.VMEM((2, strip, cp), u.dtype),   # u load slots
             pltpu.VMEM((2, strip, cp), u.dtype),   # f load slots -> C coeff
@@ -265,6 +328,9 @@ def _fused_jacobi_shard_call(offs, u, f, n: int, h: float, steps: int,
             vmem_limit_bytes=2 * _VMEM_BUDGET_BYTES),
         interpret=interpret,
     )(offs, u, f)
+    if err_mode is not None:
+        return result[0], result[1][0, 0]
+    return result
 
 
 @partial(jax.jit, static_argnames=("n", "h", "steps", "omega", "from_zero",
@@ -617,3 +683,46 @@ def fused_jacobi_padded(u: jnp.ndarray, f: jnp.ndarray, n: int, h: float,
         steps -= k
         first = False
     return u
+
+
+@partial(jax.jit, static_argnames=("n", "h", "steps", "omega", "compat",
+                                   "from_zero", "interpret"))
+def fused_jacobi_err_padded(u, f, n: int, h: float, steps: int,
+                            omega: float = 1.0, compat=True,
+                            from_zero: bool = False,
+                            interpret: bool = False):
+    """``steps`` sweeps WITH the smoothing-error metric fused into the same
+    HBM pass — the TPU form of ker_Smoothing_GPU's in-kernel block reduction
+    (MG_solver_GPU.cu:584-661). Returns (u, err).
+
+    ``compat`` selects the metric exactly like stencils.smooth: True (the
+    CPU color-bugged sum), False (clean mean |residual|), "gpu" (|ΔU|·4/h²
+    of the final sweep). Semantically identical to fused_jacobi_padded +
+    smoothing_error_p / gpu_smoothing_error_p, but the error pass costs zero
+    extra HBM traffic — trigger-mode sweeps drop from ~5 to 3 passes each.
+    """
+    _check_padded(u.shape, n)
+    if steps <= 0:
+        return u, jnp.zeros((), u.dtype)
+    err_mode = "gpu" if compat == "gpu" else ("cpu" if compat else "clean")
+    # the cpu/clean extra in-VMEM residual sweep consumes one halo row, so
+    # the final (error-emitting) pass fuses at most 7 sweeps
+    last_cap = MAX_FUSED_SWEEPS if err_mode == "gpu" else MAX_FUSED_SWEEPS - 1
+    last = min(steps, last_cap)
+    first = True
+    if steps > last:
+        u = fused_jacobi_padded(u, f, n, h, steps - last, omega,
+                                from_zero=from_zero, interpret=interpret)
+        first = False
+    u, raw = _fused_jacobi_shard_call(
+        jnp.zeros((2,), jnp.int32), u, f, n, h, last, omega, ext_r=0,
+        from_zero=from_zero and first, interpret=interpret,
+        err_mode=err_mode)
+    npts = n * n
+    if err_mode == "gpu":
+        err = raw * jnp.asarray(4.0 / (h * h) / npts, u.dtype)
+    else:
+        scale = 4.0 / (omega * h * h) / npts
+        err = raw * jnp.asarray(scale * (2.0 if err_mode == "cpu" else 1.0),
+                                u.dtype)
+    return u, err

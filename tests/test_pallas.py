@@ -104,6 +104,67 @@ def test_residual_pallas_matches_oracle(rng, n, negate):
     assert not pad.any()
 
 
+@pytest.mark.parametrize("n,steps", [
+    (257, 1),      # the trigger-mode call shape (single strip)
+    (257, 3),      # typical fixed-step want_err
+    (1030, 7),     # multi-strip, cpu/clean cap
+    (1030, 8),     # gpu metric at the full fusion cap
+    (2049, 11),    # chunked: plain-fused prefix + error-emitting tail
+])
+@pytest.mark.parametrize("compat", [True, False, "gpu"])
+def test_fused_error_matches_separate_metric(rng, n, steps, compat):
+    """The in-kernel fused error reduction (ker_Smoothing_GPU's fusion,
+    MG_solver_GPU.cu:640-661) must agree with smoothing after-the-fact
+    metrics for all three reference metrics."""
+    from multigrid_poisson_solver_tpu.ops import padded as P
+
+    if compat != "gpu" and steps == 8:
+        steps = 7          # cpu/clean fused cap is 7 per pass
+    u = jnp.asarray(rng.standard_normal((n, n)), jnp.float32)
+    f = jnp.asarray(rng.standard_normal((n, n)), jnp.float32)
+    h = 1.0 / (n - 1)
+    up, fp = layout.pad_grid(u), layout.pad_grid(f)
+    got_u, got_err = pk.fused_jacobi_err_padded(
+        up, fp, n, h, steps, omega=0.8, compat=compat, interpret=True)
+    want_u = pk.fused_jacobi_padded(up, fp, n, h, steps, omega=0.8,
+                                    interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_u), np.asarray(want_u))
+    if compat == "gpu":
+        prev = pk.fused_jacobi_padded(up, fp, n, h, steps - 1, omega=0.8,
+                                      interpret=True)
+        want_err = P.gpu_smoothing_error_p(want_u, prev, h, n)
+    else:
+        want_err = P.smoothing_error_p(want_u, fp, h, n, compat=compat)
+    assert float(got_err) == pytest.approx(float(want_err), rel=2e-5)
+
+
+def test_fused_error_from_zero(rng):
+    """from_zero + fused error: the closed-form first sweep feeds the metric
+    correctly (gpu: Δ from the implicit zero iterate; cpu: extra sweep)."""
+    from multigrid_poisson_solver_tpu.ops import padded as P
+
+    n, h = 257, 1.0 / 256
+    f = jnp.asarray(rng.standard_normal((n, n)), jnp.float32)
+    fp = layout.pad_grid(f)
+    z = jnp.zeros_like(fp)
+    for compat, steps in [("gpu", 1), ("gpu", 3), (True, 1), (True, 3)]:
+        got_u, got_err = pk.fused_jacobi_err_padded(
+            z, fp, n, h, steps, compat=compat, from_zero=True,
+            interpret=True)
+        want_u = pk.fused_jacobi_padded(z, fp, n, h, steps, from_zero=True,
+                                        interpret=True)
+        np.testing.assert_array_equal(np.asarray(got_u), np.asarray(want_u))
+        if compat == "gpu":
+            prev = (z if steps == 1 else
+                    pk.fused_jacobi_padded(z, fp, n, h, steps - 1,
+                                           from_zero=True, interpret=True))
+            want_err = P.gpu_smoothing_error_p(want_u, prev, h, n)
+        else:
+            want_err = P.smoothing_error_p(want_u, fp, h, n, compat=True)
+        assert float(got_err) == pytest.approx(float(want_err), rel=2e-5), \
+            (compat, steps)
+
+
 def test_zero_steps_is_identity(rng):
     n = 65
     u = jnp.asarray(rng.standard_normal((n, n)), jnp.float32)
