@@ -175,6 +175,18 @@ def _zoom(cfg: SolverConfig):
     return P.zoom_take_p if cfg.zoom == "take" else P.zoom_p
 
 
+def _fuse_descend_ok(cfg: SolverConfig, policy, n: int, m: int,
+                     steps: int) -> bool:
+    """Whether the one-kernel fused descend leg applies: single-chip Pallas,
+    Jacobi smoothing, a 2:1 vertex-aligned coarse level, and a sweep count
+    within the kernel's trapezoid budget."""
+    if not (_use_pallas(cfg) and policy is None
+            and cfg.smoother == "jacobi" and n == 2 * m - 1):
+        return False
+    cap = 6 if cfg.restriction == "full_weighting" else 7
+    return 1 <= steps <= cap
+
+
 def _residual(u, f, h, n: int, cfg: SolverConfig, policy):
     """5-point residual: the Pallas strip kernel on the hot path (XLA's
     roll-based form materializes 4 shifted copies — measured 3.5× slower).
@@ -388,14 +400,28 @@ def _run_traced(u0, f0, *, program: CycleProgram, problem: Problem,
                     _constrain(f_c, policy, m), is_fmg=True))
                 continue
 
-            lvl.u, err = _smooth_traced(lvl.u, lvl.f, h, n, ins.steps, cfg,
-                                        want_err=finest, policy=policy,
-                                        from_zero=was_zeroed)
-            lvl.u = _constrain(lvl.u, policy, n)
+            if _fuse_descend_ok(cfg, policy, n, m, ins.steps):
+                # single-chip Pallas + 2:1-aligned coarsening: the whole
+                # descend leg (sweeps + residual + row-restriction) is ONE
+                # strip-pipelined kernel; only the cheap half-height lane
+                # decimation runs in XLA
+                from .ops.pallas_kernels import fused_descend_padded
+                lvl.u, dwide, err = fused_descend_padded(
+                    lvl.u, lvl.f, n, h, ins.steps, omega=cfg.omega,
+                    restriction=cfg.restriction, compat=cfg.compat_error,
+                    want_err=finest, from_zero=was_zeroed,
+                    interpret=_pallas_interpret())
+                f_c = P.restrict_lanes_p(dwide, n, m, _pshape(m, policy))
+            else:
+                lvl.u, err = _smooth_traced(lvl.u, lvl.f, h, n, ins.steps,
+                                            cfg, want_err=finest,
+                                            policy=policy,
+                                            from_zero=was_zeroed)
+                lvl.u = _constrain(lvl.u, policy, n)
+                d = _residual(lvl.u, lvl.f, h, n, cfg, policy)
+                f_c = _restrict(d, n, m, cfg, policy)
             if finest and err is not None:
                 last_err = err
-            d = _residual(lvl.u, lvl.f, h, n, cfg, policy)
-            f_c = _restrict(d, n, m, cfg, policy)
             levels.append(_TraceLevel(
                 next_spec, _constrain(zeros_pad(next_spec), policy, m),
                 _constrain(f_c, policy, m)))

@@ -25,10 +25,14 @@ import jax.numpy as jnp
 
 SUBLANE = 8
 LANE = 128
+# Rows pad to ×16 (two sublane tiles), not just ×8: the fused descend kernel
+# (ops.pallas_kernels) halves row windows for its in-kernel restriction, and
+# the halves must stay ×8 for Mosaic's sliced DMAs.
+ROW_PAD = 16
 
 
 def pad_rows_to(n: int) -> int:
-    return -(-n // SUBLANE) * SUBLANE
+    return -(-n // ROW_PAD) * ROW_PAD
 
 
 def pad_cols_to(n: int) -> int:

@@ -251,6 +251,27 @@ def full_weighting_restrict_p(d: jnp.ndarray, n_src: int, n_dst: int,
     return jnp.where(interior_mask(n_dst, out.shape), out, jnp.zeros_like(out))
 
 
+def restrict_lanes_p(dwide: jnp.ndarray, n_src: int, n_dst: int,
+                     dst_shape: tuple[int, int]) -> jnp.ndarray:
+    """Finish the fused descend's restriction (pallas_kernels.
+    fused_descend_padded): even-LANE decimation of the row-restricted
+    (rp/2, cp_fine) array into the coarse padded layout, boundary zeroed.
+    Requires the 2:1 vertex alignment n_src == 2·n_dst − 1."""
+    if n_src != 2 * n_dst - 1:
+        raise ValueError(
+            f"lane decimation needs n_src == 2*n_dst-1, got {n_src} -> {n_dst}")
+    rpd, cpd = dst_shape
+    rw, cw = dwide.shape
+    ix = np.minimum(2 * np.arange(cpd), cw - 1).astype(np.int32)
+    out = jnp.take(dwide, jnp.asarray(ix), axis=1)        # (rw, cpd)
+    if rw < rpd:
+        out = jnp.pad(out, ((0, rpd - rw), (0, 0)))
+    else:
+        out = out[:rpd]
+    return jnp.where(interior_mask(n_dst, (rpd, cpd)), out,
+                     jnp.zeros_like(out))
+
+
 def add_correction_p(u: jnp.ndarray, corr: jnp.ndarray, n: int) -> jnp.ndarray:
     """u += corr on the interior only (doGridAddition + the scheduler's
     interior-only application, MG_solver_CPU.cpp:350-368)."""

@@ -343,6 +343,197 @@ def _fused_jacobi_call(u, f, n: int, h: float, steps: int, omega: float,
         ext_r=0, from_zero=from_zero, interpret=interpret)
 
 
+def _fused_descend_kernel(u_hbm, f_hbm, out_hbm, dw_hbm, *rest,
+                          n: int, rp: int, cp: int, steps: int,
+                          num_strips: int, strip: int, owned: int,
+                          h2: float, omega: float, from_zero: bool,
+                          restriction: str, err_mode=None):
+    """The WHOLE descend leg in one HBM pass: k Jacobi sweeps + residual +
+    row-restriction (+ optional fused smoothing error).
+
+    Replaces smooth → getResidual → doRestriction (MG_solver_CPU.cpp:574-680;
+    three kernel launches re-reading device memory in the GPU reference) with
+    a single strip pipeline. The residual of the final iterate is recovered
+    from one EXTRA in-VMEM sweep (Δu_{k+1} = (ω/4)·(Σnb − 4u − h²f), so
+    r(u_k) = 4Δ/(ω·h²)) — it never touches HBM. Requires a 2:1 vertex-aligned
+    coarse level (n = 2m − 1, the odd-halve rule): restriction then samples
+    even rows/cols, with the optional full-weighting [¼,½,¼]² pre-smooth.
+
+    Outputs: the smoothed fine iterate (rp, cp) and ``dwide`` (rp/2, cp) —
+    the NEGATED, restriction-combined residual at coarse rows × FINE lanes.
+    Lane decimation (even lanes) happens outside in XLA: Mosaic has no lane
+    de-interleave, and the half-height array makes that pass cheap. Sweep cap:
+    steps ≤ 6 for full weighting (the ±1-row combine consumes one more halo
+    row), ≤ 7 for sampling.
+
+    Row-halving alignment: rp and owned are multiples of 16, so coarse
+    windows (fine/2) stay ×8 for the dwide DMA (layout.ROW_PAD).
+    """
+    if err_mode is None:
+        (u_slots, fc_slots, work, a_buf, dec_scr, dec_out,
+         load_sems, out_sems, dw_sems) = rest
+    else:
+        err_smem = rest[0]
+        (u_slots, fc_slots, work, a_buf, dec_scr, dec_out,
+         load_sems, out_sems, dw_sems) = rest[1:]
+    fw = restriction == "full_weighting"
+    oc = owned // 2
+
+    def load_start(i):
+        return _mul8(jnp.clip(_i32(i) * _i32(owned) - _i32(HALO),
+                              _i32(0), _i32(rp - strip)))
+
+    def write_start(i):
+        return _mul8(jnp.clip(_i32(i) * _i32(owned), _i32(0),
+                              _i32(rp - owned)))
+
+    def load_copies(i, slot):
+        s = load_start(i)
+        copies = (pltpu.make_async_copy(f_hbm.at[pl.ds(s, strip), :],
+                                        fc_slots.at[slot],
+                                        load_sems.at[slot, _i32(1)]),)
+        if not from_zero:
+            copies += (pltpu.make_async_copy(
+                u_hbm.at[pl.ds(s, strip), :], u_slots.at[slot],
+                load_sems.at[slot, _i32(0)]),)
+        return copies
+
+    def out_copy(i, slot):
+        wstart = write_start(i)
+        wlo = _mul8(wstart - load_start(i))
+        return pltpu.make_async_copy(
+            u_slots.at[slot, pl.ds(wlo, owned), :],
+            out_hbm.at[pl.ds(wstart, owned), :],
+            out_sems.at[slot])
+
+    def dw_copy(i, slot):
+        cw = _mul8(write_start(i) // _i32(2))
+        return pltpu.make_async_copy(
+            dec_out.at[slot],
+            dw_hbm.at[pl.ds(cw, oc), :],
+            dw_sems.at[slot])
+
+    for cp_ in load_copies(_i32(0), _i32(0)):
+        cp_.start()
+
+    def body(i, acc):
+        slot = jax.lax.rem(_i32(i), _i32(2))
+        nxt = jax.lax.rem(_i32(i) + _i32(1), _i32(2))
+
+        @pl.when(i + 1 < num_strips)
+        def _():
+            @pl.when(i >= 1)
+            def _():
+                out_copy(i - 1, nxt).wait()
+                dw_copy(i - 1, nxt).wait()
+            for cp_ in load_copies(i + 1, nxt):
+                cp_.start()
+
+        for cp_ in load_copies(i, slot):
+            cp_.wait()
+
+        start_c = load_start(i)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (strip, cp), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (strip, cp), 1)
+        g = rows + start_c
+        ok_global = ((g >= 1) & (g <= n - 2) & (cols >= 1) & (cols <= n - 2))
+        ok = ok_global & (rows >= 1) & (rows <= strip - 2)
+        a = jnp.where(ok, jnp.float32(0.25 * omega), jnp.float32(0.0)
+                      ).astype(u_hbm.dtype)
+        a_buf[:] = a
+        raw_f = fc_slots[slot]
+        fc_slots[slot] = a * (jnp.asarray(h2, u_hbm.dtype) * raw_f)
+
+        if from_zero:
+            u_slots[slot] = jnp.where(
+                ok_global,
+                -(jnp.float32(0.25 * omega)
+                  * (jnp.asarray(h2, u_hbm.dtype) * raw_f)),
+                jnp.zeros((strip, cp), u_hbm.dtype))
+
+        def nb_sum(u):
+            return (pltpu.roll(u, shift=_i32(1), axis=0)
+                    + pltpu.roll(u, shift=_i32(strip - 1), axis=0)
+                    + pltpu.roll(u, shift=_i32(1), axis=1)
+                    + pltpu.roll(u, shift=_i32(cp - 1), axis=1))
+
+        def sweep(src, dst):
+            u = src[:]
+            dst[:] = u + a_buf[:] * (nb_sum(u) - 4.0 * u) - fc_slots[slot][:]
+
+        n_sweeps = steps - 1 if from_zero else steps
+        bufs = [u_slots.at[slot], work]
+        for s in range(n_sweeps):
+            sweep(bufs[s % 2], bufs[(s + 1) % 2])
+        fin = bufs[n_sweeps % 2][:]
+
+        # extra in-VMEM sweep: Δ = (ω/4)(Σnb − 4u − h²f); frozen cells give
+        # Δ = 0 exactly (a and the folded source both vanish there)
+        delta = a_buf[:] * (nb_sum(fin) - 4.0 * fin) - fc_slots[slot][:]
+
+        part = acc
+        if err_mode is not None:
+            o = rows + start_c
+            sel = (ok_global & (o >= _i32(i) * _i32(owned))
+                   & (o < jnp.minimum((_i32(i) + 1) * _i32(owned), _i32(rp))))
+            if err_mode == "gpu":
+                prev = (jnp.zeros((strip, cp), u_hbm.dtype)
+                        if (from_zero and n_sweeps == 0)
+                        else bufs[(n_sweeps - 1) % 2][:])
+                val = jnp.abs(fin - prev)
+            else:
+                val = jnp.abs(delta)
+                if err_mode == "cpu":
+                    sel = sel & ((g + cols) % 2 == 0)
+            part = acc + jnp.sum(jnp.where(sel, val, jnp.zeros_like(val)))
+
+        # negated residual for the coarse RHS (restrict(−r), the reference's
+        # down-leg, MG_solver_CPU.cpp:274-287)
+        rneg = delta * jnp.asarray(-4.0 / (omega * h2), u_hbm.dtype)
+        if fw:
+            # separable [¼,½,¼] pre-smooth (both axes); the even-row/col
+            # sample below completes full weighting
+            rneg = (0.25 * pltpu.roll(rneg, shift=_i32(1), axis=1)
+                    + 0.5 * rneg
+                    + 0.25 * pltpu.roll(rneg, shift=_i32(cp - 1), axis=1))
+            rneg = (0.25 * pltpu.roll(rneg, shift=_i32(1), axis=0)
+                    + 0.5 * rneg
+                    + 0.25 * pltpu.roll(rneg, shift=_i32(strip - 1), axis=0))
+        dec_scr[:] = rneg
+
+        # even-row decimation via the sublane-split reshape (lane decimation
+        # is the caller's cheap half-height XLA pass)
+        wstart = write_start(i)
+        wlo = _mul8(wstart - start_c)
+        win = dec_scr[pl.ds(wlo, owned), :]
+        dec = win.reshape(oc, 2, cp)[:, 0, :]
+        # coarse-row interior mask (m = (n+1)//2): fine row 2t ↔ coarse t
+        crow = (jax.lax.broadcasted_iota(jnp.int32, (oc, cp), 0)
+                + wstart // _i32(2))
+        m_coarse = (n + 1) // 2
+        keep = (crow >= 1) & (crow <= m_coarse - 2)
+        dec_out[slot] = jnp.where(keep, dec, jnp.zeros_like(dec))
+        dw_copy(i, slot).start()
+
+        if n_sweeps % 2 == 1:
+            # result must sit in the slot buffer for the direct out-DMA
+            u_slots[slot] = work[:]
+        out_copy(i, slot).start()
+        return part
+
+    total = jax.lax.fori_loop(_i32(0), _i32(num_strips), body,
+                              jnp.zeros((), u_hbm.dtype), unroll=False)
+    if err_mode is not None:
+        err_smem[0, 0] = total
+
+    last = num_strips - 1
+    if num_strips >= 2:
+        out_copy(_i32(last - 1), _i32((last - 1) % 2)).wait()
+        dw_copy(_i32(last - 1), _i32((last - 1) % 2)).wait()
+    out_copy(_i32(last), _i32(last % 2)).wait()
+    dw_copy(_i32(last), _i32(last % 2)).wait()
+
+
 def _residual_kernel(offs_smem, u_hbm, f_hbm, out_hbm,
                      u_slots, f_slots, out_slots,
                      load_sems, out_sems,
@@ -465,6 +656,100 @@ def _residual_shard_call(offs, u, f, n: int, h: float, negate: bool,
             vmem_limit_bytes=2 * _VMEM_BUDGET_BYTES),
         interpret=interpret,
     )(offs, u, f)
+
+
+@partial(jax.jit, static_argnames=("n", "h", "steps", "omega", "restriction",
+                                   "compat", "want_err", "from_zero",
+                                   "interpret"))
+def fused_descend_padded(u, f, n: int, h: float, steps: int,
+                         omega: float = 1.0, restriction: str = "sampling",
+                         compat=True, want_err: bool = False,
+                         from_zero: bool = False, interpret: bool = False):
+    """The descend leg fused: ``steps`` sweeps + residual + row-restriction
+    in ONE HBM pass (see _fused_descend_kernel). Returns
+    (u_new, dwide, err) — ``dwide`` is the (rp/2, cp) row-restricted negated
+    residual awaiting the caller's lane decimation
+    (ops.padded.restrict_lanes_p); ``err`` is None unless ``want_err``.
+
+    Constraints: n = 2m−1 vertex-aligned coarsening; 1 ≤ steps ≤ 6 for
+    full_weighting (7 for sampling, 6 with a fused cpu/clean error — each
+    ±1-row consumer costs one halo row).
+    """
+    _check_padded(u.shape, n)
+    rp, cp = u.shape
+    assert rp % 16 == 0, f"fused descend needs rows % 16 == 0, got {rp}"
+    err_mode = (None if not want_err
+                else "gpu" if compat == "gpu" else "cpu" if compat
+                else "clean")
+    cap = MAX_FUSED_SWEEPS - 1
+    if restriction == "full_weighting":
+        cap -= 1
+    if err_mode in ("cpu", "clean"):
+        cap = min(cap, MAX_FUSED_SWEEPS - 2 if restriction == "full_weighting"
+                  else MAX_FUSED_SWEEPS - 1)
+    assert 1 <= steps <= cap, (
+        f"fused descend supports 1..{cap} sweeps for "
+        f"restriction={restriction!r}, err={err_mode!r}; got {steps}")
+
+    itemsize = jnp.dtype(u.dtype).itemsize
+    # extra buffers vs the plain smoother: dec_scr + 2 half-height dec_out
+    s = _VMEM_BUDGET_BYTES // (8 * cp * itemsize)
+    strip = max(4 * HALO, min((s // 16) * 16, 1024))
+    strip = min(strip, rp)
+    if strip >= rp:
+        strip, owned, num_strips = rp, rp, 1
+    else:
+        owned = strip - 2 * HALO            # strip ×16 ⇒ owned ×16
+        num_strips = math.ceil(rp / owned)
+    assert owned % 16 == 0
+
+    kernel = partial(_fused_descend_kernel, n=n, rp=rp, cp=cp, steps=steps,
+                     num_strips=num_strips, strip=strip, owned=owned,
+                     h2=h * h, omega=omega, from_zero=from_zero,
+                     restriction=restriction, err_mode=err_mode)
+
+    oc = owned // 2
+    out_shape = [jax.ShapeDtypeStruct((rp, cp), u.dtype),
+                 jax.ShapeDtypeStruct((rp // 2, cp), u.dtype)]
+    out_specs = [pl.BlockSpec(memory_space=pl.ANY),
+                 pl.BlockSpec(memory_space=pl.ANY)]
+    if err_mode is not None:
+        out_shape.append(jax.ShapeDtypeStruct((1, 1), u.dtype))
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+
+    result = pl.pallas_call(
+        kernel,
+        out_shape=tuple(out_shape),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=tuple(out_specs),
+        scratch_shapes=[
+            pltpu.VMEM((2, strip, cp), u.dtype),   # u load slots
+            pltpu.VMEM((2, strip, cp), u.dtype),   # f load slots -> C coeff
+            pltpu.VMEM((strip, cp), u.dtype),      # ping-pong work buffer
+            pltpu.VMEM((strip, cp), u.dtype),      # A coefficient
+            pltpu.VMEM((strip, cp), u.dtype),      # restriction staging
+            pltpu.VMEM((2, oc, cp), u.dtype),      # decimated out slots
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=2 * _VMEM_BUDGET_BYTES),
+        interpret=interpret,
+    )(u, f)
+    u_new, dwide = result[0], result[1]
+    if err_mode is None:
+        return u_new, dwide, None
+    raw = result[2][0, 0]
+    npts = n * n
+    if err_mode == "gpu":
+        err = raw * jnp.asarray(4.0 / (h * h) / npts, u.dtype)
+    else:
+        scale = 4.0 / (omega * h * h) / npts
+        err = raw * jnp.asarray(scale * (2.0 if err_mode == "cpu" else 1.0),
+                                u.dtype)
+    return u_new, dwide, err
 
 
 @partial(jax.jit, static_argnames=("n", "h", "negate", "interpret"))

@@ -30,8 +30,8 @@ def _pad_zeros(a, n):
 @pytest.mark.parametrize("n", SIZES)
 def test_padded_shapes(n):
     rp, cp = layout.padded_shape(n)
-    assert rp % 8 == 0 and cp % 128 == 0 and rp >= n and cp >= n
-    assert rp - n < 8 and cp - n < 128
+    assert rp % layout.ROW_PAD == 0 and cp % 128 == 0 and rp >= n and cp >= n
+    assert rp - n < layout.ROW_PAD and cp - n < 128
 
 
 @pytest.mark.parametrize("n", SIZES)

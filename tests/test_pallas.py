@@ -165,6 +165,70 @@ def test_fused_error_from_zero(rng):
             (compat, steps)
 
 
+@pytest.mark.parametrize("n,steps", [(129, 3), (257, 1), (1031, 6)])
+@pytest.mark.parametrize("restriction", ["sampling", "full_weighting"])
+@pytest.mark.parametrize("from_zero", [False, True])
+def test_fused_descend_matches_separate_ops(rng, n, steps, restriction,
+                                            from_zero):
+    """One-kernel descend leg (sweeps + residual + restriction) vs the
+    separate oracle ops on a 2:1-aligned hierarchy."""
+    from multigrid_poisson_solver_tpu.ops import padded as P
+
+    if restriction == "full_weighting" and steps > 6:
+        steps = 6
+    m = (n + 1) // 2
+    h = 1.0 / (n - 1)
+    u0 = (jnp.zeros((n, n), jnp.float32) if from_zero
+          else jnp.asarray(rng.standard_normal((n, n)), jnp.float32))
+    f = jnp.asarray(rng.standard_normal((n, n)), jnp.float32)
+    up, fp = layout.pad_grid(u0), layout.pad_grid(f)
+
+    got_u, dwide, err = pk.fused_descend_padded(
+        up, fp, n, h, steps, omega=0.8, restriction=restriction,
+        want_err=True, from_zero=from_zero, interpret=True)
+    got_fc = P.restrict_lanes_p(dwide, n, m, layout.padded_shape(m))
+
+    want_u = pk.fused_jacobi_padded(up, fp, n, h, steps, omega=0.8,
+                                    from_zero=from_zero, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_u), np.asarray(want_u))
+
+    d = P.residual_p(want_u, fp, h, n)
+    if restriction == "full_weighting":
+        want_fc = P.full_weighting_restrict_p(-d, n, m, layout.padded_shape(m))
+    else:
+        want_fc = P.zoom_take_p(-d, n, m, layout.padded_shape(m),
+                                zero_boundary=True)
+    # residual via the Δ-trick and a different combine order: fp32 op-order
+    # differences only
+    atol = 2e-6 * float(jnp.abs(d).max() + 1)
+    np.testing.assert_allclose(np.asarray(got_fc), np.asarray(want_fc),
+                               rtol=0, atol=atol)
+
+    want_err = P.smoothing_error_p(want_u, fp, h, n, compat=True)
+    assert float(err) == pytest.approx(float(want_err), rel=1e-4)
+
+
+def test_fused_descend_in_compiled_engine():
+    """Compiled engine with kernels='pallas' on an aligned (coarsen=3)
+    schedule routes descends through the fused kernel and matches the XLA
+    engine."""
+    import multigrid_poisson_solver_tpu as mg
+    from multigrid_poisson_solver_tpu.compiled import compile_program
+
+    program = mg.v_cycle(129, n_min=8, steps=3, coarse_option=0, coarsen=3)
+    outs = {}
+    for kern in ("pallas", "xla"):
+        cc = compile_program(program, mg.REFERENCE_PROBLEM,
+                             mg.SolverConfig(omega=0.8, kernels=kern),
+                             donate=False)
+        u, f = cc.init()
+        u1, err = cc(u, f)
+        outs[kern] = (np.asarray(cc.unpad(u1)), float(err))
+    np.testing.assert_allclose(outs["pallas"][0], outs["xla"][0],
+                               rtol=1e-4, atol=1e-6)
+    assert outs["pallas"][1] == pytest.approx(outs["xla"][1], rel=1e-3)
+
+
 def test_zero_steps_is_identity(rng):
     n = 65
     u = jnp.asarray(rng.standard_normal((n, n)), jnp.float32)
