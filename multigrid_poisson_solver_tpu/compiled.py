@@ -187,6 +187,17 @@ def _fuse_descend_ok(cfg: SolverConfig, policy, n: int, m: int,
     return 1 <= steps <= cap
 
 
+def _fuse_ascend_ok(cfg: SolverConfig, policy, n: int, n_child: int,
+                    steps: int, finest: bool) -> bool:
+    """Whether the one-kernel fused ascend leg applies (see _fuse_descend_ok;
+    the error budget only binds when this level reports the metric)."""
+    if not (_use_pallas(cfg) and policy is None
+            and cfg.smoother == "jacobi" and n == 2 * n_child - 1):
+        return False
+    cap = 8 if (not finest or cfg.compat_error == "gpu") else 7
+    return 1 <= steps <= cap
+
+
 def _residual(u, f, h, n: int, cfg: SolverConfig, policy):
     """5-point residual: the Pallas strip kernel on the hot path (XLA's
     roll-based form materializes 4 shifted copies — measured 3.5× slower).
@@ -435,13 +446,29 @@ def _run_traced(u0, f0, *, program: CycleProgram, problem: Problem,
             child = levels.pop()
             lvl = levels[-1]
             n, h = lvl.spec.n, lvl.spec.h
+            if len(levels) == 1:
+                warm_now = True
+            finest = len(levels) == 1
+            if _fuse_ascend_ok(cfg, policy, n, child.spec.n, ins.steps,
+                               finest):
+                # single-chip Pallas + 2:1 alignment: lane-expand the coarse
+                # solution (cheap half-height XLA pass), then ONE kernel does
+                # row-prolongation + interior add + post-sweeps (+ error)
+                from .ops.pallas_kernels import fused_ascend_padded
+                rp = _pshape(n, policy)[0]
+                cwide = P.prolong_lanes_p(child.u, child.spec.n, n,
+                                          (rp // 2 + 8, _pshape(n, policy)[1]))
+                lvl.u, err = fused_ascend_padded(
+                    lvl.u, lvl.f, cwide, n, h, ins.steps, omega=cfg.omega,
+                    compat=cfg.compat_error, want_err=finest,
+                    interpret=_pallas_interpret())
+                if finest and err is not None:
+                    last_err = err
+                continue
             corr = _zoom(cfg)(child.u, child.spec.n, n,
                               _pshape(n, policy))
             lvl.u = _constrain(P.add_correction_p(lvl.u, corr, n), policy, n)
-            if len(levels) == 1:
-                warm_now = True
             if ins.steps != 0:
-                finest = len(levels) == 1
                 lvl.u, err = _smooth_traced(lvl.u, lvl.f, h, n, ins.steps,
                                             cfg, want_err=finest,
                                             policy=policy)

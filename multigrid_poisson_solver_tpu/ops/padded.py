@@ -272,6 +272,28 @@ def restrict_lanes_p(dwide: jnp.ndarray, n_src: int, n_dst: int,
                      jnp.zeros_like(out))
 
 
+def prolong_lanes_p(uc: jnp.ndarray, n_src: int, n_dst: int,
+                    out_shape: tuple[int, int]) -> jnp.ndarray:
+    """Lane half of the 2:1 prolongation for the fused ascend kernel
+    (pallas_kernels.fused_ascend_padded): expand the coarse solution's LANES
+    to fine width (rows stay coarse — the kernel interleaves rows in VMEM).
+    ``out_shape`` = (rp_fine/2 + 8, cp_fine). n_src == 2·n_dst... inverse:
+    n_dst == 2·n_src − 1 required."""
+    if n_dst != 2 * n_src - 1:
+        raise ValueError(
+            f"lane expansion needs n_dst == 2*n_src-1, got {n_src} -> {n_dst}")
+    rows_out, cpw = out_shape
+    ix, w0, w1 = _zoom_take_taps_np(n_src, n_dst, cpw, False)
+    w0 = jnp.asarray(w0, uc.dtype)[None, :]
+    w1 = jnp.asarray(w1, uc.dtype)[None, :]
+    wide = (jnp.take(uc, jnp.asarray(ix), axis=1) * w0
+            + jnp.take(uc, jnp.asarray(ix) + 1, axis=1) * w1)
+    rw = wide.shape[0]
+    if rw < rows_out:
+        wide = jnp.pad(wide, ((0, rows_out - rw), (0, 0)))
+    return wide[:rows_out]
+
+
 def add_correction_p(u: jnp.ndarray, corr: jnp.ndarray, n: int) -> jnp.ndarray:
     """u += corr on the interior only (doGridAddition + the scheduler's
     interior-only application, MG_solver_CPU.cpp:350-368)."""

@@ -534,6 +534,149 @@ def _fused_descend_kernel(u_hbm, f_hbm, out_hbm, dw_hbm, *rest,
     dw_copy(_i32(last), _i32(last % 2)).wait()
 
 
+def _fused_ascend_kernel(u_hbm, f_hbm, cw_hbm, out_hbm, *rest,
+                         n: int, rp: int, cp: int, steps: int,
+                         num_strips: int, strip: int, owned: int,
+                         cwrows: int, h2: float, omega: float, err_mode=None):
+    """The WHOLE ascend leg in one HBM pass: 2:1 row-prolongation + interior
+    correction add + k post-sweeps (+ optional fused smoothing error).
+
+    Replaces doProlongation + doGridAddition + doSmoothing
+    (MG_solver_CPU.cpp:682-724, 566-571, 573-604). ``cw`` is the coarse
+    solution already lane-expanded to fine width by the caller
+    (ops.padded.prolong_lanes_p — the cheap half-height XLA pass); this
+    kernel expands ROWS in VMEM via the sublane interleave reshape
+    (fine 2t ← coarse t; fine 2t+1 ← ½(coarse t + t+1)), adds on the global
+    interior, then sweeps. The correction is exact everywhere (coarse data
+    has no staleness), so the usual ≤8-sweep trapezoid bound applies
+    unchanged; fused cpu/clean error costs one halo row (≤7 sweeps).
+    """
+    if err_mode is None:
+        (u_slots, fc_slots, cw_slots, work, a_buf,
+         load_sems, out_sems) = rest
+    else:
+        err_smem = rest[0]
+        (u_slots, fc_slots, cw_slots, work, a_buf,
+         load_sems, out_sems) = rest[1:]
+
+    # 16-row halo (not 8): load offsets stay ×16, so the halved coarse-side
+    # DMA offsets stay ×8 AND even-parity for the row interleave
+    def load_start(i):
+        return _mul8(jnp.clip(_i32(i) * _i32(owned) - _i32(2 * HALO),
+                              _i32(0), _i32(rp - strip)))
+
+    def write_start(i):
+        return _mul8(jnp.clip(_i32(i) * _i32(owned), _i32(0),
+                              _i32(rp - owned)))
+
+    def load_copies(i, slot):
+        s = load_start(i)
+        cws = _mul8(s // _i32(2))
+        return (pltpu.make_async_copy(u_hbm.at[pl.ds(s, strip), :],
+                                      u_slots.at[slot],
+                                      load_sems.at[slot, _i32(0)]),
+                pltpu.make_async_copy(f_hbm.at[pl.ds(s, strip), :],
+                                      fc_slots.at[slot],
+                                      load_sems.at[slot, _i32(1)]),
+                pltpu.make_async_copy(cw_hbm.at[pl.ds(cws, cwrows), :],
+                                      cw_slots.at[slot],
+                                      load_sems.at[slot, _i32(2)]))
+
+    def out_copy(i, slot):
+        wstart = write_start(i)
+        wlo = _mul8(wstart - load_start(i))
+        return pltpu.make_async_copy(
+            u_slots.at[slot, pl.ds(wlo, owned), :],
+            out_hbm.at[pl.ds(wstart, owned), :],
+            out_sems.at[slot])
+
+    for cp_ in load_copies(_i32(0), _i32(0)):
+        cp_.start()
+
+    def body(i, acc):
+        slot = jax.lax.rem(_i32(i), _i32(2))
+        nxt = jax.lax.rem(_i32(i) + _i32(1), _i32(2))
+
+        @pl.when(i + 1 < num_strips)
+        def _():
+            @pl.when(i >= 1)
+            def _():
+                out_copy(i - 1, nxt).wait()
+            for cp_ in load_copies(i + 1, nxt):
+                cp_.start()
+
+        for cp_ in load_copies(i, slot):
+            cp_.wait()
+
+        start_c = load_start(i)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (strip, cp), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (strip, cp), 1)
+        g = rows + start_c
+        ok_global = ((g >= 1) & (g <= n - 2) & (cols >= 1) & (cols <= n - 2))
+        ok = ok_global & (rows >= 1) & (rows <= strip - 2)
+        a = jnp.where(ok, jnp.float32(0.25 * omega), jnp.float32(0.0)
+                      ).astype(u_hbm.dtype)
+        a_buf[:] = a
+        raw_f = fc_slots[slot]
+        fc_slots[slot] = a * (jnp.asarray(h2, u_hbm.dtype) * raw_f)
+
+        # --- in-VMEM 2:1 row prolongation + interior add -------------------
+        # local fine row r ↔ global fine row start_c + r; start_c is even,
+        # so local parity == global parity: even rows copy coarse row r/2,
+        # odd rows average r/2 and r/2 + 1 (doProlongation's aligned case)
+        cw = cw_slots[slot]
+        ev = cw[0:strip // 2, :]
+        od = 0.5 * (ev + cw[1:strip // 2 + 1, :])
+        corr = jnp.stack([ev, od], axis=1).reshape(strip, cp)
+        u_slots[slot] = u_slots[slot][:] + jnp.where(
+            ok_global, corr, jnp.zeros_like(corr))
+
+        def nb_sum(u):
+            return (pltpu.roll(u, shift=_i32(1), axis=0)
+                    + pltpu.roll(u, shift=_i32(strip - 1), axis=0)
+                    + pltpu.roll(u, shift=_i32(1), axis=1)
+                    + pltpu.roll(u, shift=_i32(cp - 1), axis=1))
+
+        def sweep(src, dst):
+            u = src[:]
+            dst[:] = u + a_buf[:] * (nb_sum(u) - 4.0 * u) - fc_slots[slot][:]
+
+        bufs = [u_slots.at[slot], work]
+        for s in range(steps):
+            sweep(bufs[s % 2], bufs[(s + 1) % 2])
+        fin = bufs[steps % 2][:]
+
+        part = acc
+        if err_mode is not None:
+            o = rows + start_c
+            sel = (ok_global & (o >= _i32(i) * _i32(owned))
+                   & (o < jnp.minimum((_i32(i) + 1) * _i32(owned), _i32(rp))))
+            if err_mode == "gpu":
+                prev = bufs[(steps - 1) % 2][:]
+                val = jnp.abs(fin - prev)
+            else:
+                val = jnp.abs(a_buf[:] * (nb_sum(fin) - 4.0 * fin)
+                              - fc_slots[slot][:])
+                if err_mode == "cpu":
+                    sel = sel & ((g + cols) % 2 == 0)
+            part = acc + jnp.sum(jnp.where(sel, val, jnp.zeros_like(val)))
+
+        if steps % 2 == 1:
+            u_slots[slot] = work[:]
+        out_copy(i, slot).start()
+        return part
+
+    total = jax.lax.fori_loop(_i32(0), _i32(num_strips), body,
+                              jnp.zeros((), u_hbm.dtype), unroll=False)
+    if err_mode is not None:
+        err_smem[0, 0] = total
+
+    last = num_strips - 1
+    if num_strips >= 2:
+        out_copy(_i32(last - 1), _i32((last - 1) % 2)).wait()
+    out_copy(_i32(last), _i32(last % 2)).wait()
+
+
 def _residual_kernel(offs_smem, u_hbm, f_hbm, out_hbm,
                      u_slots, f_slots, out_slots,
                      load_sems, out_sems,
@@ -750,6 +893,82 @@ def fused_descend_padded(u, f, n: int, h: float, steps: int,
         err = raw * jnp.asarray(scale * (2.0 if err_mode == "cpu" else 1.0),
                                 u.dtype)
     return u_new, dwide, err
+
+
+@partial(jax.jit, static_argnames=("n", "h", "steps", "omega", "compat",
+                                   "want_err", "interpret"))
+def fused_ascend_padded(u, f, cwide, n: int, h: float, steps: int,
+                        omega: float = 1.0, compat=True,
+                        want_err: bool = False, interpret: bool = False):
+    """The ascend leg fused: 2:1 row-prolongation + interior add + ``steps``
+    post-sweeps in ONE HBM pass (see _fused_ascend_kernel). ``cwide`` is the
+    lane-expanded coarse solution from ops.padded.prolong_lanes_p, shape
+    (rp/2 + 8, cp). Returns (u_new, err) — err None unless ``want_err``.
+    """
+    _check_padded(u.shape, n)
+    rp, cp = u.shape
+    assert rp % 16 == 0
+    assert cwide.shape == (rp // 2 + 8, cp), (
+        f"cwide must be {(rp // 2 + 8, cp)}, got {cwide.shape}")
+    err_mode = (None if not want_err
+                else "gpu" if compat == "gpu" else "cpu" if compat
+                else "clean")
+    cap = MAX_FUSED_SWEEPS if err_mode in (None, "gpu") else MAX_FUSED_SWEEPS - 1
+    assert 1 <= steps <= cap, (
+        f"fused ascend supports 1..{cap} sweeps (err={err_mode!r}), got {steps}")
+
+    itemsize = jnp.dtype(u.dtype).itemsize
+    # buffers: 2 u + 2 f + 2 half cw + work + A ≈ 7 full-height equivalents
+    s = _VMEM_BUDGET_BYTES // (7 * cp * itemsize)
+    strip = max(6 * HALO, min((s // 16) * 16, 1024))
+    strip = min(strip, rp)
+    if strip >= rp:
+        strip, owned, num_strips = rp, rp, 1
+    else:
+        owned = strip - 4 * HALO          # 16-row halo each side (see kernel)
+        num_strips = math.ceil(rp / owned)
+    assert strip % 16 == 0 and owned % 16 == 0
+    cwrows = strip // 2 + 8
+
+    kernel = partial(_fused_ascend_kernel, n=n, rp=rp, cp=cp, steps=steps,
+                     num_strips=num_strips, strip=strip, owned=owned,
+                     cwrows=cwrows, h2=h * h, omega=omega, err_mode=err_mode)
+
+    out_shape = [jax.ShapeDtypeStruct((rp, cp), u.dtype)]
+    out_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+    if err_mode is not None:
+        out_shape.append(jax.ShapeDtypeStruct((1, 1), u.dtype))
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+
+    result = pl.pallas_call(
+        kernel,
+        out_shape=tuple(out_shape),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        out_specs=tuple(out_specs),
+        scratch_shapes=[
+            pltpu.VMEM((2, strip, cp), u.dtype),       # u load slots
+            pltpu.VMEM((2, strip, cp), u.dtype),       # f load slots -> C
+            pltpu.VMEM((2, cwrows, cp), u.dtype),      # coarse-wide slots
+            pltpu.VMEM((strip, cp), u.dtype),          # ping-pong work
+            pltpu.VMEM((strip, cp), u.dtype),          # A coefficient
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=2 * _VMEM_BUDGET_BYTES),
+        interpret=interpret,
+    )(u, f, cwide)
+    if err_mode is None:
+        return result[0], None
+    u_new, raw = result[0], result[1][0, 0]
+    npts = n * n
+    if err_mode == "gpu":
+        err = raw * jnp.asarray(4.0 / (h * h) / npts, u.dtype)
+    else:
+        scale = 4.0 / (omega * h * h) / npts
+        err = raw * jnp.asarray(scale * (2.0 if err_mode == "cpu" else 1.0),
+                                u.dtype)
+    return u_new, err
 
 
 @partial(jax.jit, static_argnames=("n", "h", "negate", "interpret"))

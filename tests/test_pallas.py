@@ -208,6 +208,43 @@ def test_fused_descend_matches_separate_ops(rng, n, steps, restriction,
     assert float(err) == pytest.approx(float(want_err), rel=1e-4)
 
 
+@pytest.mark.parametrize("n,steps", [(129, 3), (257, 1), (1031, 8)])
+@pytest.mark.parametrize("want_err", [False, True])
+def test_fused_ascend_matches_separate_ops(rng, n, steps, want_err):
+    """One-kernel ascend leg (prolong + add + post-sweeps) vs the separate
+    padded ops on a 2:1-aligned hierarchy."""
+    from multigrid_poisson_solver_tpu.ops import padded as P
+
+    if want_err and steps > 7:
+        steps = 7
+    m = (n + 1) // 2
+    h = 1.0 / (n - 1)
+    uf = jnp.asarray(rng.standard_normal((n, n)), jnp.float32)
+    uc = jnp.asarray(rng.standard_normal((m, m)), jnp.float32)
+    uc = uc.at[0, :].set(0).at[-1, :].set(0).at[:, 0].set(0).at[:, -1].set(0)
+    f = jnp.asarray(rng.standard_normal((n, n)), jnp.float32)
+    ufp, fp = layout.pad_grid(uf), layout.pad_grid(f)
+    ucp = layout.pad_grid(uc)
+    rp, cp = ufp.shape
+
+    cwide = P.prolong_lanes_p(ucp, m, n, (rp // 2 + 8, cp))
+    got_u, err = pk.fused_ascend_padded(ufp, fp, cwide, n, h, steps,
+                                        omega=0.8, want_err=want_err,
+                                        interpret=True)
+
+    corr = P.zoom_take_p(ucp, m, n, (rp, cp))
+    want_u = P.add_correction_p(ufp, corr, n)
+    want_u = pk.fused_jacobi_padded(want_u, fp, n, h, steps, omega=0.8,
+                                    interpret=True)
+    np.testing.assert_allclose(np.asarray(got_u), np.asarray(want_u),
+                               rtol=0, atol=1e-6)
+    if want_err:
+        want_err_v = P.smoothing_error_p(want_u, fp, h, n, compat=True)
+        assert float(err) == pytest.approx(float(want_err_v), rel=1e-4)
+    else:
+        assert err is None
+
+
 def test_fused_descend_in_compiled_engine():
     """Compiled engine with kernels='pallas' on an aligned (coarsen=3)
     schedule routes descends through the fused kernel and matches the XLA
