@@ -108,7 +108,9 @@ def _converging_engines(n: int):
     converges: ω = 0.8 damped Jacobi (checkerboard mode damped; plain ω = 1
     leaves it undamped and the cycle stalls at ~2e-1) + dense coarse solve."""
     cfg = mg.SolverConfig(omega=0.8, collect_node_stats=False)
-    program = mg.v_cycle(n, n_min=8, steps=3, coarse_option=0)
+    # coarsen=3 (odd-halve): 2:1 vertex-aligned levels — the fused
+    # descend/ascend Pallas kernels apply on every level transition
+    program = mg.v_cycle(n, n_min=8, steps=3, coarse_option=0, coarsen=3)
     cold = mg.compile_program(program, mg.REFERENCE_PROBLEM, cfg,
                               donate=False)
     warm = mg.compile_program(program, mg.REFERENCE_PROBLEM, cfg,

@@ -191,8 +191,10 @@ class IterativeRefinementSolver:
         # tight absolute targets and would spin its stagnation window.
         config = config or SolverConfig(omega=0.8)
         self.config = config
+        # coarsen=3 (odd-halve): 2:1-aligned levels so the inner cycles run
+        # the fused descend/ascend Pallas kernels on TPU
         self.program = program or v_cycle(n, n_min=8, steps=3,
-                                          coarse_option=0)
+                                          coarse_option=0, coarsen=3)
         self.spec = GridSpec(self.program.n_max, self.program.length,
                              self.program.min_x, self.program.min_y)
         n = self.spec.n
