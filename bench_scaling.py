@@ -6,9 +6,10 @@ grid is square), so the efficiency column is *throughput-normalized*:
 eff = (work/time) / (devices × work₁/time₁). Strong scaling: fixed grid,
 growing mesh, eff = t₁ / (c·t_c).
 
-All device counts run the same XLA kernel path (SolverConfig(kernels="xla"))
-— Pallas kernels only run unsharded, and comparing a Pallas baseline against
-XLA sharded points would conflate a kernel swap with scaling loss.
+All device counts run the same kernel path (default kernels="xla"; set
+SCALING_KERNELS=pallas for the production path — since round 2 the fused
+Pallas kernels run sharded too, via shard_map + ppermute halo exchange in
+parallel.pallas_shard) so scaling loss is never conflated with a kernel swap.
 
 On real multi-chip TPU hardware this is the BASELINE.md weak-scaling
 measurement; on a single host it runs against virtual CPU devices as a
@@ -17,7 +18,7 @@ bounded by host cores, not interconnect.
 
     python bench_scaling.py                  # weak scaling on all devices
     SCALING_MODE=strong python bench_scaling.py
-    SCALING_BASE_N=2049 python bench_scaling.py
+    SCALING_BASE_N=2049 SCALING_KERNELS=pallas python bench_scaling.py
 """
 
 from __future__ import annotations
@@ -52,8 +53,10 @@ def cycle_time(n: int, devices, iters: int = 8, reps: int = 3) -> float:
     policy = None
     if len(devices) > 1:
         policy = ShardingPolicy(make_mesh(devices), threshold_rows=16)
-    config = SolverConfig(kernels="xla")   # same kernels at every device count
-    program = mg.v_cycle(n, n_min=8, steps=3, coarse_option=0)
+    # same kernels at every device count (pallas = the production path)
+    config = SolverConfig(kernels=os.environ.get("SCALING_KERNELS", "xla"))
+    program = mg.v_cycle(n, n_min=8, steps=3, coarse_option=0,
+                         coarsen=int(os.environ.get("SCALING_COARSEN", "1")))
     cold = mg.compile_program(program, mg.REFERENCE_PROBLEM, config,
                               policy=policy, donate=False)
     warm = mg.compile_program(program, mg.REFERENCE_PROBLEM, config,
