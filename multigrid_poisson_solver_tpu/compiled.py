@@ -175,13 +175,25 @@ def _zoom(cfg: SolverConfig):
     return P.zoom_take_p if cfg.zoom == "take" else P.zoom_p
 
 
+def _rows_only_sharded(policy, n: int) -> bool:
+    """policy shards level n by rows ONLY (the 1-D layout the sharded fused
+    descend/ascend wrappers support)."""
+    if policy is None or not policy.is_sharded(n):
+        return False
+    spec = policy.spec(n)
+    return spec[0] is not None and (len(spec) < 2 or spec[1] is None)
+
+
 def _fuse_descend_ok(cfg: SolverConfig, policy, n: int, m: int,
                      steps: int) -> bool:
-    """Whether the one-kernel fused descend leg applies: single-chip Pallas,
-    Jacobi smoothing, a 2:1 vertex-aligned coarse level, and a sweep count
-    within the kernel's trapezoid budget."""
-    if not (_use_pallas(cfg) and policy is None
-            and cfg.smoother == "jacobi" and n == 2 * m - 1):
+    """Whether the one-kernel fused descend leg applies: Pallas, Jacobi
+    smoothing, a 2:1 vertex-aligned coarse level, a sweep count within the
+    kernel's trapezoid budget — single-chip, or sharded by rows only
+    (parallel.pallas_shard.sharded_fused_descend)."""
+    if not (_use_pallas(cfg) and cfg.smoother == "jacobi"
+            and n == 2 * m - 1):
+        return False
+    if policy is not None and not _rows_only_sharded(policy, n):
         return False
     cap = 6 if cfg.restriction == "full_weighting" else 7
     return 1 <= steps <= cap
@@ -191,9 +203,17 @@ def _fuse_ascend_ok(cfg: SolverConfig, policy, n: int, n_child: int,
                     steps: int, finest: bool) -> bool:
     """Whether the one-kernel fused ascend leg applies (see _fuse_descend_ok;
     the error budget only binds when this level reports the metric)."""
-    if not (_use_pallas(cfg) and policy is None
-            and cfg.smoother == "jacobi" and n == 2 * n_child - 1):
+    if not (_use_pallas(cfg) and cfg.smoother == "jacobi"
+            and n == 2 * n_child - 1):
         return False
+    if policy is not None:
+        if not _rows_only_sharded(policy, n):
+            return False
+        # the shard wrapper exchanges 16-row fine / 16-row coarse halos:
+        # needs ≥ 32 fine rows per device (coarse blocks ≥ 16)
+        ndev = policy.mesh.shape[policy.spec(n)[0]]
+        if policy.padded_shape(n)[0] // ndev < 32:
+            return False
     cap = 8 if (not finest or cfg.compat_error == "gpu") else 7
     return 1 <= steps <= cap
 
@@ -412,17 +432,29 @@ def _run_traced(u0, f0, *, program: CycleProgram, problem: Problem,
                 continue
 
             if _fuse_descend_ok(cfg, policy, n, m, ins.steps):
-                # single-chip Pallas + 2:1-aligned coarsening: the whole
-                # descend leg (sweeps + residual + row-restriction) is ONE
-                # strip-pipelined kernel; only the cheap half-height lane
-                # decimation runs in XLA
-                from .ops.pallas_kernels import fused_descend_padded
-                lvl.u, dwide, err = fused_descend_padded(
-                    lvl.u, lvl.f, n, h, ins.steps, omega=cfg.omega,
-                    restriction=cfg.restriction, compat=cfg.compat_error,
-                    want_err=finest, from_zero=was_zeroed,
-                    interpret=_pallas_interpret())
-                f_c = P.restrict_lanes_p(dwide, n, m, _pshape(m, policy))
+                # Pallas + 2:1-aligned coarsening: the whole descend leg
+                # (sweeps + residual + row-restriction) is ONE strip-
+                # pipelined kernel — per shard under a rows policy; only the
+                # cheap half-height lane decimation runs in XLA
+                if policy is not None:
+                    from .parallel.pallas_shard import sharded_fused_descend
+                    err_mode = (None if not finest
+                                else "gpu" if cfg.compat_error == "gpu"
+                                else "cpu" if cfg.compat_error else "clean")
+                    lvl.u, dwide, err = sharded_fused_descend(
+                        lvl.u, lvl.f, n, h, ins.steps, cfg.omega,
+                        cfg.restriction, err_mode, policy,
+                        from_zero=was_zeroed, interpret=_pallas_interpret())
+                else:
+                    from .ops.pallas_kernels import fused_descend_padded
+                    lvl.u, dwide, err = fused_descend_padded(
+                        lvl.u, lvl.f, n, h, ins.steps, omega=cfg.omega,
+                        restriction=cfg.restriction, compat=cfg.compat_error,
+                        want_err=finest, from_zero=was_zeroed,
+                        interpret=_pallas_interpret())
+                f_c = _constrain(
+                    P.restrict_lanes_p(dwide, n, m, _pshape(m, policy)),
+                    policy, m)
             else:
                 lvl.u, err = _smooth_traced(lvl.u, lvl.f, h, n, ins.steps,
                                             cfg, want_err=finest,
@@ -451,17 +483,30 @@ def _run_traced(u0, f0, *, program: CycleProgram, problem: Problem,
             finest = len(levels) == 1
             if _fuse_ascend_ok(cfg, policy, n, child.spec.n, ins.steps,
                                finest):
-                # single-chip Pallas + 2:1 alignment: lane-expand the coarse
-                # solution (cheap half-height XLA pass), then ONE kernel does
-                # row-prolongation + interior add + post-sweeps (+ error)
-                from .ops.pallas_kernels import fused_ascend_padded
-                rp = _pshape(n, policy)[0]
-                cwide = P.prolong_lanes_p(child.u, child.spec.n, n,
-                                          (rp // 2 + 8, _pshape(n, policy)[1]))
-                lvl.u, err = fused_ascend_padded(
-                    lvl.u, lvl.f, cwide, n, h, ins.steps, omega=cfg.omega,
-                    compat=cfg.compat_error, want_err=finest,
-                    interpret=_pallas_interpret())
+                # Pallas + 2:1 alignment: lane-expand the coarse solution
+                # (cheap half-height XLA pass), then ONE kernel does row-
+                # prolongation + interior add + post-sweeps (+ error) — per
+                # shard under a rows policy
+                rp, cpn = _pshape(n, policy)
+                if policy is not None:
+                    from .parallel.pallas_shard import sharded_fused_ascend
+                    cwide = _constrain(
+                        P.prolong_lanes_p(child.u, child.spec.n, n,
+                                          (rp // 2, cpn)), policy, n)
+                    err_mode = (None if not finest
+                                else "gpu" if cfg.compat_error == "gpu"
+                                else "cpu" if cfg.compat_error else "clean")
+                    lvl.u, err = sharded_fused_ascend(
+                        lvl.u, lvl.f, cwide, n, h, ins.steps, cfg.omega,
+                        err_mode, policy, interpret=_pallas_interpret())
+                else:
+                    from .ops.pallas_kernels import fused_ascend_padded
+                    cwide = P.prolong_lanes_p(child.u, child.spec.n, n,
+                                              (rp // 2 + 8, cpn))
+                    lvl.u, err = fused_ascend_padded(
+                        lvl.u, lvl.f, cwide, n, h, ins.steps, omega=cfg.omega,
+                        compat=cfg.compat_error, want_err=finest,
+                        interpret=_pallas_interpret())
                 if finest and err is not None:
                     last_err = err
                 continue

@@ -343,8 +343,9 @@ def _fused_jacobi_call(u, f, n: int, h: float, steps: int, omega: float,
         ext_r=0, from_zero=from_zero, interpret=interpret)
 
 
-def _fused_descend_kernel(u_hbm, f_hbm, out_hbm, dw_hbm, *rest,
-                          n: int, rp: int, cp: int, steps: int,
+def _fused_descend_kernel(offs_smem, u_hbm, f_hbm, out_hbm, dw_hbm, *rest,
+                          n: int, erows: int, cp: int, out_rows: int,
+                          ext_r: int, ext_c: int, steps: int,
                           num_strips: int, strip: int, owned: int,
                           h2: float, omega: float, from_zero: bool,
                           restriction: str, err_mode=None):
@@ -366,8 +367,13 @@ def _fused_descend_kernel(u_hbm, f_hbm, out_hbm, dw_hbm, *rest,
     steps ≤ 6 for full weighting (the ±1-row combine consumes one more halo
     row), ≤ 7 for sampling.
 
-    Row-halving alignment: rp and owned are multiples of 16, so coarse
-    windows (fine/2) stay ×8 for the dwide DMA (layout.ROW_PAD).
+    Row-halving alignment: block rows and owned are multiples of 16, so
+    coarse windows (fine/2) stay ×8 for the dwide DMA (layout.ROW_PAD).
+
+    Generalized over halo-extended shard blocks like _fused_jacobi_kernel:
+    offs_smem = global (row0, col0) of u[0, 0]; ext_r/ext_c halo rows/lanes
+    are consumed but not written (out_rows = erows − 2·ext_r; dwide gets
+    out_rows/2 rows × cp − 2·ext_c lanes).
     """
     if err_mode is None:
         (u_slots, fc_slots, work, a_buf, dec_scr, dec_out,
@@ -378,14 +384,16 @@ def _fused_descend_kernel(u_hbm, f_hbm, out_hbm, dw_hbm, *rest,
          load_sems, out_sems, dw_sems) = rest[1:]
     fw = restriction == "full_weighting"
     oc = owned // 2
+    row0 = offs_smem[0]
+    col0 = offs_smem[1]
 
     def load_start(i):
-        return _mul8(jnp.clip(_i32(i) * _i32(owned) - _i32(HALO),
-                              _i32(0), _i32(rp - strip)))
+        return _mul8(jnp.clip(_i32(i) * _i32(owned) + _i32(ext_r - HALO),
+                              _i32(0), _i32(erows - strip)))
 
     def write_start(i):
         return _mul8(jnp.clip(_i32(i) * _i32(owned), _i32(0),
-                              _i32(rp - owned)))
+                              _i32(out_rows - owned)))
 
     def load_copies(i, slot):
         s = load_start(i)
@@ -400,16 +408,17 @@ def _fused_descend_kernel(u_hbm, f_hbm, out_hbm, dw_hbm, *rest,
 
     def out_copy(i, slot):
         wstart = write_start(i)
-        wlo = _mul8(wstart - load_start(i))
+        wlo = _mul8(wstart + _i32(ext_r) - load_start(i))
         return pltpu.make_async_copy(
-            u_slots.at[slot, pl.ds(wlo, owned), :],
+            u_slots.at[slot, pl.ds(wlo, owned),
+                       pl.ds(ext_c, cp - 2 * ext_c)],
             out_hbm.at[pl.ds(wstart, owned), :],
             out_sems.at[slot])
 
     def dw_copy(i, slot):
         cw = _mul8(write_start(i) // _i32(2))
         return pltpu.make_async_copy(
-            dec_out.at[slot],
+            dec_out.at[slot, :, pl.ds(ext_c, cp - 2 * ext_c)],
             dw_hbm.at[pl.ds(cw, oc), :],
             dw_sems.at[slot])
 
@@ -435,9 +444,11 @@ def _fused_descend_kernel(u_hbm, f_hbm, out_hbm, dw_hbm, *rest,
         start_c = load_start(i)
         rows = jax.lax.broadcasted_iota(jnp.int32, (strip, cp), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (strip, cp), 1)
-        g = rows + start_c
-        ok_global = ((g >= 1) & (g <= n - 2) & (cols >= 1) & (cols <= n - 2))
-        ok = ok_global & (rows >= 1) & (rows <= strip - 2)
+        g = rows + start_c + row0
+        gc = cols + col0
+        ok_global = ((g >= 1) & (g <= n - 2) & (gc >= 1) & (gc <= n - 2))
+        ok = (ok_global & (rows >= 1) & (rows <= strip - 2)
+              & (cols >= 1) & (cols <= cp - 2))
         a = jnp.where(ok, jnp.float32(0.25 * omega), jnp.float32(0.0)
                       ).astype(u_hbm.dtype)
         a_buf[:] = a
@@ -473,9 +484,10 @@ def _fused_descend_kernel(u_hbm, f_hbm, out_hbm, dw_hbm, *rest,
 
         part = acc
         if err_mode is not None:
-            o = rows + start_c
+            o = rows + start_c - _i32(ext_r)
             sel = (ok_global & (o >= _i32(i) * _i32(owned))
-                   & (o < jnp.minimum((_i32(i) + 1) * _i32(owned), _i32(rp))))
+                   & (o < jnp.minimum((_i32(i) + 1) * _i32(owned),
+                                      _i32(out_rows))))
             if err_mode == "gpu":
                 prev = (jnp.zeros((strip, cp), u_hbm.dtype)
                         if (from_zero and n_sweeps == 0)
@@ -484,7 +496,7 @@ def _fused_descend_kernel(u_hbm, f_hbm, out_hbm, dw_hbm, *rest,
             else:
                 val = jnp.abs(delta)
                 if err_mode == "cpu":
-                    sel = sel & ((g + cols) % 2 == 0)
+                    sel = sel & ((g + gc) % 2 == 0)
             part = acc + jnp.sum(jnp.where(sel, val, jnp.zeros_like(val)))
 
         # negated residual for the coarse RHS (restrict(−r), the reference's
@@ -502,14 +514,15 @@ def _fused_descend_kernel(u_hbm, f_hbm, out_hbm, dw_hbm, *rest,
         dec_scr[:] = rneg
 
         # even-row decimation via the sublane-split reshape (lane decimation
-        # is the caller's cheap half-height XLA pass)
+        # is the caller's cheap half-height XLA pass). Global parity of the
+        # window's first row is even: wstart and the block origin are ×16.
         wstart = write_start(i)
-        wlo = _mul8(wstart - start_c)
+        wlo = _mul8(wstart + _i32(ext_r) - start_c)
         win = dec_scr[pl.ds(wlo, owned), :]
         dec = win.reshape(oc, 2, cp)[:, 0, :]
         # coarse-row interior mask (m = (n+1)//2): fine row 2t ↔ coarse t
         crow = (jax.lax.broadcasted_iota(jnp.int32, (oc, cp), 0)
-                + wstart // _i32(2))
+                + (wstart + row0 + _i32(ext_r)) // _i32(2))
         m_coarse = (n + 1) // 2
         keep = (crow >= 1) & (crow <= m_coarse - 2)
         dec_out[slot] = jnp.where(keep, dec, jnp.zeros_like(dec))
@@ -534,8 +547,9 @@ def _fused_descend_kernel(u_hbm, f_hbm, out_hbm, dw_hbm, *rest,
     dw_copy(_i32(last), _i32(last % 2)).wait()
 
 
-def _fused_ascend_kernel(u_hbm, f_hbm, cw_hbm, out_hbm, *rest,
-                         n: int, rp: int, cp: int, steps: int,
+def _fused_ascend_kernel(offs_smem, u_hbm, f_hbm, cw_hbm, out_hbm, *rest,
+                         n: int, erows: int, cp: int, out_rows: int,
+                         ext_r: int, ext_c: int, steps: int,
                          num_strips: int, strip: int, owned: int,
                          cwrows: int, h2: float, omega: float, err_mode=None):
     """The WHOLE ascend leg in one HBM pass: 2:1 row-prolongation + interior
@@ -558,16 +572,21 @@ def _fused_ascend_kernel(u_hbm, f_hbm, cw_hbm, out_hbm, *rest,
         err_smem = rest[0]
         (u_slots, fc_slots, cw_slots, work, a_buf,
          load_sems, out_sems) = rest[1:]
+    row0 = offs_smem[0]
+    col0 = offs_smem[1]
 
     # 16-row halo (not 8): load offsets stay ×16, so the halved coarse-side
-    # DMA offsets stay ×8 AND even-parity for the row interleave
+    # DMA offsets stay ×8 AND even-parity for the row interleave. Shard
+    # blocks (ext_r = 16) reuse the same geometry: cw_hbm row 0 corresponds
+    # to the coarse row of the extended block's fine row 0, so the in-kernel
+    # coarse window offset stays load_start/2 unchanged.
     def load_start(i):
-        return _mul8(jnp.clip(_i32(i) * _i32(owned) - _i32(2 * HALO),
-                              _i32(0), _i32(rp - strip)))
+        return _mul8(jnp.clip(_i32(i) * _i32(owned) + _i32(ext_r - 2 * HALO),
+                              _i32(0), _i32(erows - strip)))
 
     def write_start(i):
         return _mul8(jnp.clip(_i32(i) * _i32(owned), _i32(0),
-                              _i32(rp - owned)))
+                              _i32(out_rows - owned)))
 
     def load_copies(i, slot):
         s = load_start(i)
@@ -584,9 +603,10 @@ def _fused_ascend_kernel(u_hbm, f_hbm, cw_hbm, out_hbm, *rest,
 
     def out_copy(i, slot):
         wstart = write_start(i)
-        wlo = _mul8(wstart - load_start(i))
+        wlo = _mul8(wstart + _i32(ext_r) - load_start(i))
         return pltpu.make_async_copy(
-            u_slots.at[slot, pl.ds(wlo, owned), :],
+            u_slots.at[slot, pl.ds(wlo, owned),
+                       pl.ds(ext_c, cp - 2 * ext_c)],
             out_hbm.at[pl.ds(wstart, owned), :],
             out_sems.at[slot])
 
@@ -611,9 +631,11 @@ def _fused_ascend_kernel(u_hbm, f_hbm, cw_hbm, out_hbm, *rest,
         start_c = load_start(i)
         rows = jax.lax.broadcasted_iota(jnp.int32, (strip, cp), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (strip, cp), 1)
-        g = rows + start_c
-        ok_global = ((g >= 1) & (g <= n - 2) & (cols >= 1) & (cols <= n - 2))
-        ok = ok_global & (rows >= 1) & (rows <= strip - 2)
+        g = rows + start_c + row0
+        gc = cols + col0
+        ok_global = ((g >= 1) & (g <= n - 2) & (gc >= 1) & (gc <= n - 2))
+        ok = (ok_global & (rows >= 1) & (rows <= strip - 2)
+              & (cols >= 1) & (cols <= cp - 2))
         a = jnp.where(ok, jnp.float32(0.25 * omega), jnp.float32(0.0)
                       ).astype(u_hbm.dtype)
         a_buf[:] = a
@@ -648,9 +670,10 @@ def _fused_ascend_kernel(u_hbm, f_hbm, cw_hbm, out_hbm, *rest,
 
         part = acc
         if err_mode is not None:
-            o = rows + start_c
+            o = rows + start_c - _i32(ext_r)
             sel = (ok_global & (o >= _i32(i) * _i32(owned))
-                   & (o < jnp.minimum((_i32(i) + 1) * _i32(owned), _i32(rp))))
+                   & (o < jnp.minimum((_i32(i) + 1) * _i32(owned),
+                                      _i32(out_rows))))
             if err_mode == "gpu":
                 prev = bufs[(steps - 1) % 2][:]
                 val = jnp.abs(fin - prev)
@@ -658,7 +681,7 @@ def _fused_ascend_kernel(u_hbm, f_hbm, cw_hbm, out_hbm, *rest,
                 val = jnp.abs(a_buf[:] * (nb_sum(fin) - 4.0 * fin)
                               - fc_slots[slot][:])
                 if err_mode == "cpu":
-                    sel = sel & ((g + cols) % 2 == 0)
+                    sel = sel & ((g + gc) % 2 == 0)
             part = acc + jnp.sum(jnp.where(sel, val, jnp.zeros_like(val)))
 
         if steps % 2 == 1:
@@ -819,17 +842,32 @@ def fused_descend_padded(u, f, n: int, h: float, steps: int,
     ±1-row consumer costs one halo row).
     """
     _check_padded(u.shape, n)
-    rp, cp = u.shape
-    assert rp % 16 == 0, f"fused descend needs rows % 16 == 0, got {rp}"
     err_mode = (None if not want_err
                 else "gpu" if compat == "gpu" else "cpu" if compat
                 else "clean")
+    return _fused_descend_shard_call(
+        jnp.zeros((2,), jnp.int32), u, f, n, h, steps, omega, restriction,
+        err_mode, ext_r=0, ext_c=0, from_zero=from_zero, interpret=interpret)
+
+
+def descend_sweep_cap(restriction: str, err_mode) -> int:
+    """Max fused sweeps for the descend kernel: the extra residual sweep
+    costs one halo row, the full-weighting ±1-row combine one more."""
     cap = MAX_FUSED_SWEEPS - 1
     if restriction == "full_weighting":
         cap -= 1
-    if err_mode in ("cpu", "clean"):
-        cap = min(cap, MAX_FUSED_SWEEPS - 2 if restriction == "full_weighting"
-                  else MAX_FUSED_SWEEPS - 1)
+    return cap
+
+
+def _fused_descend_shard_call(offs, u, f, n: int, h: float, steps: int,
+                              omega: float, restriction: str, err_mode,
+                              ext_r: int, ext_c: int, from_zero: bool,
+                              interpret: bool):
+    erows, cp = u.shape
+    out_rows = erows - 2 * ext_r
+    assert out_rows % 16 == 0, (
+        f"fused descend needs block rows % 16 == 0, got {out_rows}")
+    cap = descend_sweep_cap(restriction, err_mode)
     assert 1 <= steps <= cap, (
         f"fused descend supports 1..{cap} sweeps for "
         f"restriction={restriction!r}, err={err_mode!r}; got {steps}")
@@ -838,22 +876,24 @@ def fused_descend_padded(u, f, n: int, h: float, steps: int,
     # extra buffers vs the plain smoother: dec_scr + 2 half-height dec_out
     s = _VMEM_BUDGET_BYTES // (8 * cp * itemsize)
     strip = max(4 * HALO, min((s // 16) * 16, 1024))
-    strip = min(strip, rp)
-    if strip >= rp:
-        strip, owned, num_strips = rp, rp, 1
+    strip = min(strip, erows)
+    if strip >= erows:
+        strip, owned, num_strips = erows, out_rows, 1
     else:
         owned = strip - 2 * HALO            # strip ×16 ⇒ owned ×16
-        num_strips = math.ceil(rp / owned)
+        num_strips = math.ceil(out_rows / owned)
     assert owned % 16 == 0
 
-    kernel = partial(_fused_descend_kernel, n=n, rp=rp, cp=cp, steps=steps,
+    kernel = partial(_fused_descend_kernel, n=n, erows=erows, cp=cp,
+                     out_rows=out_rows, ext_r=ext_r, ext_c=ext_c, steps=steps,
                      num_strips=num_strips, strip=strip, owned=owned,
                      h2=h * h, omega=omega, from_zero=from_zero,
                      restriction=restriction, err_mode=err_mode)
 
     oc = owned // 2
-    out_shape = [jax.ShapeDtypeStruct((rp, cp), u.dtype),
-                 jax.ShapeDtypeStruct((rp // 2, cp), u.dtype)]
+    out_cols = cp - 2 * ext_c
+    out_shape = [jax.ShapeDtypeStruct((out_rows, out_cols), u.dtype),
+                 jax.ShapeDtypeStruct((out_rows // 2, out_cols), u.dtype)]
     out_specs = [pl.BlockSpec(memory_space=pl.ANY),
                  pl.BlockSpec(memory_space=pl.ANY)]
     if err_mode is not None:
@@ -863,7 +903,8 @@ def fused_descend_padded(u, f, n: int, h: float, steps: int,
     result = pl.pallas_call(
         kernel,
         out_shape=tuple(out_shape),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=tuple(out_specs),
         scratch_shapes=[
@@ -880,7 +921,7 @@ def fused_descend_padded(u, f, n: int, h: float, steps: int,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=2 * _VMEM_BUDGET_BYTES),
         interpret=interpret,
-    )(u, f)
+    )(offs, u, f)
     u_new, dwide = result[0], result[1]
     if err_mode is None:
         return u_new, dwide, None
@@ -906,13 +947,22 @@ def fused_ascend_padded(u, f, cwide, n: int, h: float, steps: int,
     (rp/2 + 8, cp). Returns (u_new, err) — err None unless ``want_err``.
     """
     _check_padded(u.shape, n)
-    rp, cp = u.shape
-    assert rp % 16 == 0
-    assert cwide.shape == (rp // 2 + 8, cp), (
-        f"cwide must be {(rp // 2 + 8, cp)}, got {cwide.shape}")
     err_mode = (None if not want_err
                 else "gpu" if compat == "gpu" else "cpu" if compat
                 else "clean")
+    return _fused_ascend_shard_call(
+        jnp.zeros((2,), jnp.int32), u, f, cwide, n, h, steps, omega,
+        err_mode, ext_r=0, ext_c=0, interpret=interpret)
+
+
+def _fused_ascend_shard_call(offs, u, f, cwide, n: int, h: float, steps: int,
+                             omega: float, err_mode, ext_r: int, ext_c: int,
+                             interpret: bool):
+    erows, cp = u.shape
+    out_rows = erows - 2 * ext_r
+    assert out_rows % 16 == 0 and (ext_r % 16 == 0)
+    assert cwide.shape == (erows // 2 + 8, cp), (
+        f"cwide must be {(erows // 2 + 8, cp)}, got {cwide.shape}")
     cap = MAX_FUSED_SWEEPS if err_mode in (None, "gpu") else MAX_FUSED_SWEEPS - 1
     assert 1 <= steps <= cap, (
         f"fused ascend supports 1..{cap} sweeps (err={err_mode!r}), got {steps}")
@@ -921,20 +971,21 @@ def fused_ascend_padded(u, f, cwide, n: int, h: float, steps: int,
     # buffers: 2 u + 2 f + 2 half cw + work + A ≈ 7 full-height equivalents
     s = _VMEM_BUDGET_BYTES // (7 * cp * itemsize)
     strip = max(6 * HALO, min((s // 16) * 16, 1024))
-    strip = min(strip, rp)
-    if strip >= rp:
-        strip, owned, num_strips = rp, rp, 1
+    strip = min(strip, erows)
+    if strip >= erows:
+        strip, owned, num_strips = erows, out_rows, 1
     else:
         owned = strip - 4 * HALO          # 16-row halo each side (see kernel)
-        num_strips = math.ceil(rp / owned)
+        num_strips = math.ceil(out_rows / owned)
     assert strip % 16 == 0 and owned % 16 == 0
     cwrows = strip // 2 + 8
 
-    kernel = partial(_fused_ascend_kernel, n=n, rp=rp, cp=cp, steps=steps,
+    kernel = partial(_fused_ascend_kernel, n=n, erows=erows, cp=cp,
+                     out_rows=out_rows, ext_r=ext_r, ext_c=ext_c, steps=steps,
                      num_strips=num_strips, strip=strip, owned=owned,
                      cwrows=cwrows, h2=h * h, omega=omega, err_mode=err_mode)
 
-    out_shape = [jax.ShapeDtypeStruct((rp, cp), u.dtype)]
+    out_shape = [jax.ShapeDtypeStruct((out_rows, cp - 2 * ext_c), u.dtype)]
     out_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     if err_mode is not None:
         out_shape.append(jax.ShapeDtypeStruct((1, 1), u.dtype))
@@ -943,7 +994,8 @@ def fused_ascend_padded(u, f, cwide, n: int, h: float, steps: int,
     result = pl.pallas_call(
         kernel,
         out_shape=tuple(out_shape),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * 3,
         out_specs=tuple(out_specs),
         scratch_shapes=[
             pltpu.VMEM((2, strip, cp), u.dtype),       # u load slots
@@ -957,7 +1009,7 @@ def fused_ascend_padded(u, f, cwide, n: int, h: float, steps: int,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=2 * _VMEM_BUDGET_BYTES),
         interpret=interpret,
-    )(u, f, cwide)
+    )(offs, u, f, cwide)
     if err_mode is None:
         return result[0], None
     u_new, raw = result[0], result[1][0, 0]

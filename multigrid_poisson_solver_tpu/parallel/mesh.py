@@ -138,11 +138,14 @@ def _policy_padded_shape(n: int, spec: P, mesh: Mesh) -> tuple[int, int]:
     rows a multiple of 8·(row-axis devices), lanes a multiple of
     128·(col-axis devices) — so every shard block keeps Mosaic's (8, 128)
     tiling and the per-shard Pallas kernels need no repacking."""
-    from ..ops.layout import LANE, SUBLANE, padded_shape
+    from ..ops.layout import LANE, ROW_PAD, padded_shape
 
     rp, cp = padded_shape(n)
     if len(spec) >= 1 and spec[0] is not None:
-        q = SUBLANE * mesh.shape[spec[0]]
+        # ROW_PAD (16) per device, not just the 8-row sublane tile: shard
+        # blocks stay ×16 so the fused descend/ascend kernels' halved row
+        # windows keep ×8 DMA alignment per shard
+        q = ROW_PAD * mesh.shape[spec[0]]
         rp = -(-rp // q) * q
     if len(spec) >= 2 and spec[1] is not None:
         q = LANE * mesh.shape[spec[1]]

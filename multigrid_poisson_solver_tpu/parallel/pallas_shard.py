@@ -40,10 +40,12 @@ from jax import lax
 from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
-from ..ops.layout import LANE, SUBLANE
+from ..ops.layout import LANE, ROW_PAD, SUBLANE
 from ..ops.pallas_kernels import (
     HALO,
     MAX_FUSED_SWEEPS,
+    _fused_ascend_shard_call,
+    _fused_descend_shard_call,
     _fused_jacobi_shard_call,
     _residual_shard_call,
 )
@@ -164,4 +166,105 @@ def sharded_residual_pallas(u, f, n: int, h: float, policy,
                      out_specs=spec, check_vma=False)(u, f)
 
 
-__all__ = ["sharded_fused_jacobi", "sharded_residual_pallas"]
+def _extend_rows_k(x, axis: str, k: int):
+    """Prepend/append k edge rows of the ring neighbors (k ∈ {8, 16})."""
+    fwd, bwd = _ring_perms(lax.axis_size(axis))
+    above = lax.ppermute(x[-k:], axis, fwd)
+    below = lax.ppermute(x[:k], axis, bwd)
+    return jnp.concatenate([above, x, below], axis=0)
+
+
+def _rows_only_axis(policy, n: int) -> str:
+    row_axis, col_axis = _axes_of(policy, n)
+    assert col_axis is None, (
+        "sharded fused descend/ascend support the 1-D rows policy; "
+        f"got a column-sharded spec for n={n}")
+    return row_axis
+
+
+@partial(jax.jit, static_argnames=("n", "h", "steps", "omega", "restriction",
+                                   "err_mode", "policy", "from_zero",
+                                   "interpret"))
+def sharded_fused_descend(u, f, n: int, h: float, steps: int, omega: float,
+                          restriction: str, err_mode, policy,
+                          from_zero: bool = False, interpret: bool = False):
+    """The fused descend leg (sweeps + residual + row-restriction) per shard
+    under a 1-D rows policy. Returns (u_new, dwide, err) with ``dwide``
+    row-sharded at half height (the caller's lane decimation runs under
+    GSPMD on the half-height array). err (if requested) is psum-reduced.
+    """
+    row_axis = _rows_only_axis(policy, n)
+    _check_alignment(u.shape, policy, row_axis, None)
+    ndev = policy.mesh.shape[row_axis]
+    assert (u.shape[0] // ndev) % ROW_PAD == 0, (
+        "sharded fused descend needs ROW_PAD-aligned shard blocks; build "
+        "arrays with policy.padded_shape(n)")
+
+    def body(u_loc, f_loc):
+        r_loc = u_loc.shape[0]
+        ri = lax.axis_index(row_axis)
+        offs = jnp.stack([ri * r_loc - HALO, jnp.int32(0)]).astype(jnp.int32)
+        u_e = _extend_rows_k(u_loc, row_axis, HALO)
+        f_e = _extend_rows_k(f_loc, row_axis, HALO)
+        u_new, dwide, err = _fused_descend_shard_call(
+            offs, u_e, f_e, n, h, steps, omega, restriction, err_mode,
+            ext_r=HALO, ext_c=0, from_zero=from_zero, interpret=interpret)
+        if err is not None:
+            err = lax.psum(err, row_axis)
+        else:
+            err = jnp.zeros((), u_loc.dtype)
+        return u_new, dwide, err
+
+    spec = policy.spec(n)
+    u_new, dwide, err = shard_map(
+        body, mesh=policy.mesh, in_specs=(spec, spec),
+        out_specs=(spec, spec, P()), check_vma=False)(u, f)
+    return u_new, dwide, (err if err_mode is not None else None)
+
+
+@partial(jax.jit, static_argnames=("n", "h", "steps", "omega", "err_mode",
+                                   "policy", "interpret"))
+def sharded_fused_ascend(u, f, cwide, n: int, h: float, steps: int,
+                         omega: float, err_mode, policy,
+                         interpret: bool = False):
+    """The fused ascend leg (row-prolongation + add + post-sweeps) per shard
+    under a 1-D rows policy. ``cwide`` is the lane-expanded coarse solution
+    (ops.padded.prolong_lanes_p) with rp/2 GLOBAL rows, row-sharded like u.
+    """
+    row_axis = _rows_only_axis(policy, n)
+    _check_alignment(u.shape, policy, row_axis, None)
+    ndev = policy.mesh.shape[row_axis]
+    assert (u.shape[0] // ndev) % ROW_PAD == 0
+    assert cwide.shape == (u.shape[0] // 2, u.shape[1])
+
+    def body(u_loc, f_loc, cw_loc):
+        r_loc = u_loc.shape[0]
+        ri = lax.axis_index(row_axis)
+        offs = jnp.stack([ri * r_loc - 2 * HALO, jnp.int32(0)]
+                         ).astype(jnp.int32)
+        u_e = _extend_rows_k(u_loc, row_axis, 2 * HALO)
+        f_e = _extend_rows_k(f_loc, row_axis, 2 * HALO)
+        # the kernel's coarse window sits at fine_ext_row/2: cw_ext row 0
+        # must be the coarse row of fine ext row 0 = (r0 − 16)/2 = r0/2 − 8,
+        # and it needs erows/2 + 8 rows — i.e. local cw ± 8/16:
+        cw_e = _extend_rows_k(cw_loc, row_axis, 2 * HALO)
+        cw_e = cw_e[2 * HALO - HALO:]                 # start at r0/2 − 8
+        cw_e = cw_e[:u_e.shape[0] // 2 + HALO]        # erows/2 + 8 rows
+        u_new, err = _fused_ascend_shard_call(
+            offs, u_e, f_e, cw_e, n, h, steps, omega, err_mode,
+            ext_r=2 * HALO, ext_c=0, interpret=interpret)
+        if err is not None:
+            err = lax.psum(err, row_axis)
+        else:
+            err = jnp.zeros((), u_loc.dtype)
+        return u_new, err
+
+    spec = policy.spec(n)
+    u_new, err = shard_map(
+        body, mesh=policy.mesh, in_specs=(spec, spec, spec),
+        out_specs=(spec, P()), check_vma=False)(u, f, cwide)
+    return u_new, (err if err_mode is not None else None)
+
+
+__all__ = ["sharded_fused_jacobi", "sharded_residual_pallas",
+           "sharded_fused_descend", "sharded_fused_ascend"]

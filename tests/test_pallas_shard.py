@@ -118,6 +118,101 @@ def test_compiled_pallas_sharded_matches_xla(make_policy, steps):
                                rtol=1e-5, atol=1e-7)
 
 
+@pytest.mark.parametrize("restriction", ["sampling", "full_weighting"])
+@pytest.mark.parametrize("from_zero", [False, True])
+def test_sharded_fused_descend_matches_single_device(restriction, from_zero):
+    """Sharded fused descend (rows policy) vs the single-device fused
+    descend: identical u and coarse RHS, matching fused error."""
+    from multigrid_poisson_solver_tpu.ops import layout
+    from multigrid_poisson_solver_tpu.ops import padded as P
+    from multigrid_poisson_solver_tpu.parallel.pallas_shard import (
+        sharded_fused_descend,
+    )
+
+    policy = ShardingPolicy(make_mesh(), threshold_rows=8)
+    n, steps = 129, 3
+    m = (n + 1) // 2
+    h = 1.0 / (n - 1)
+    rng = np.random.default_rng(11)
+    rp, cp = policy.padded_shape(n)
+    u = jnp.zeros((rp, cp), jnp.float32)
+    if not from_zero:
+        u = u.at[:n, :n].set(jnp.asarray(rng.random((n, n)), jnp.float32))
+    f = jnp.zeros((rp, cp), jnp.float32).at[:n, :n].set(
+        jnp.asarray(rng.random((n, n)), jnp.float32))
+    sh = NamedSharding(policy.mesh, policy.spec(n))
+    us, fs = jax.device_put(u, sh), jax.device_put(f, sh)
+
+    gu, gdw, gerr = sharded_fused_descend(
+        us, fs, n, h, steps, 0.8, restriction, "cpu", policy,
+        from_zero=from_zero, interpret=True)
+    gfc = P.restrict_lanes_p(gdw, n, m, layout.padded_shape(m))
+
+    wu, wdw, werr = pk.fused_descend_padded(
+        u, f, n, h, steps, omega=0.8, restriction=restriction,
+        compat=True, want_err=True, from_zero=from_zero, interpret=True)
+    wfc = P.restrict_lanes_p(wdw, n, m, layout.padded_shape(m))
+
+    np.testing.assert_array_equal(np.asarray(gu), np.asarray(wu))
+    np.testing.assert_array_equal(np.asarray(gfc), np.asarray(wfc))
+    assert float(gerr) == pytest.approx(float(werr), rel=1e-5)
+
+
+def test_sharded_fused_ascend_matches_single_device():
+    from multigrid_poisson_solver_tpu.ops import layout
+    from multigrid_poisson_solver_tpu.ops import padded as P
+    from multigrid_poisson_solver_tpu.parallel.pallas_shard import (
+        sharded_fused_ascend,
+    )
+
+    policy = ShardingPolicy(make_mesh(), threshold_rows=8)
+    n, steps = 129, 3
+    m = (n + 1) // 2
+    h = 1.0 / (n - 1)
+    rng = np.random.default_rng(12)
+    rp, cp = policy.padded_shape(n)
+    u = jnp.zeros((rp, cp), jnp.float32).at[:n, :n].set(
+        jnp.asarray(rng.random((n, n)), jnp.float32))
+    f = jnp.zeros((rp, cp), jnp.float32).at[:n, :n].set(
+        jnp.asarray(rng.random((n, n)), jnp.float32))
+    uc = jnp.zeros(layout.padded_shape(m), jnp.float32).at[1:m-1, 1:m-1].set(
+        jnp.asarray(rng.random((m - 2, m - 2)), jnp.float32))
+
+    sh = NamedSharding(policy.mesh, policy.spec(n))
+    cw_sharded = jax.device_put(
+        P.prolong_lanes_p(uc, m, n, (rp // 2, cp)), sh)
+    us, fs = jax.device_put(u, sh), jax.device_put(f, sh)
+    gu, gerr = sharded_fused_ascend(us, fs, cw_sharded, n, h, steps, 0.8,
+                                    "cpu", policy, interpret=True)
+
+    cw = P.prolong_lanes_p(uc, m, n, (rp // 2 + 8, cp))
+    wu, werr = pk.fused_ascend_padded(u, f, cw, n, h, steps, omega=0.8,
+                                      compat=True, want_err=True,
+                                      interpret=True)
+    np.testing.assert_array_equal(np.asarray(gu), np.asarray(wu))
+    assert float(gerr) == pytest.approx(float(werr), rel=1e-5)
+
+
+def test_compiled_pallas_sharded_aligned_uses_fused_legs():
+    """Engine-level: an aligned (coarsen=3) schedule under the rows policy
+    with kernels='pallas' (which routes descend/ascend through the sharded
+    fused kernels) matches the XLA sharded engine."""
+    policy = ShardingPolicy(make_mesh(), threshold_rows=8)
+    program = mg.v_cycle(129, n_min=8, steps=3, coarse_option=0, coarsen=3)
+
+    def run(config):
+        cc = compile_program(program, PROBLEM, config, policy=policy,
+                             donate=False)
+        u, f = cc.init()
+        u1, err = cc(u, f)
+        return np.asarray(cc.unpad(u1)), float(err)
+
+    up, ep = run(mg.SolverConfig(omega=0.8, kernels="pallas"))
+    ux, ex = run(mg.SolverConfig(omega=0.8, kernels="xla"))
+    np.testing.assert_allclose(up, ux, rtol=1e-4, atol=1e-6)
+    assert ep == pytest.approx(ex, rel=1e-3)
+
+
 def test_compiled_pallas_sharded_converges_deep():
     """End-to-end: refinement with a sharded Pallas cycle reaches 1e-9."""
     policy = ShardingPolicy(make_mesh(), threshold_rows=8)
