@@ -292,9 +292,50 @@ def _trigger_smooth_traced(u, f, h, n: int, cfg: SolverConfig, policy=None):
 
     On the single-chip Pallas path each sweep fuses the error reduction into
     the smoothing kernel (ker_Smoothing_GPU's fusion, MG_solver_GPU.cu:640-661)
-    — 3 HBM passes per trigger sweep instead of sweep + separate residual."""
+    — 3 HBM passes per trigger sweep instead of sweep + separate residual.
+
+    With cfg.trigger_batch > 1 (and the fused path available), ``batch``
+    sweeps run per HBM pass with per-iterate error partials
+    (pallas_kernels.fused_jacobi_errs_padded); the stop test replays the
+    reference's slope rule against the batch's error vector after the fact.
+    The iterate overshoots the reference's stop point by up to batch − 1
+    sweeps — extra smoothing, never less; gated behind the flag."""
     fuse_err = (cfg.smoother == "jacobi" and _use_pallas(cfg)
                 and policy is None)
+
+    if fuse_err and cfg.trigger_batch > 1:
+        from .ops.pallas_kernels import (errs_sweep_cap,
+                                         fused_jacobi_errs_padded)
+        B = min(cfg.trigger_batch, errs_sweep_cap(cfg.compat_error))
+
+        def batch_step(v, prev):
+            v, errs = fused_jacobi_errs_padded(v, f, n, h, B, omega=cfg.omega,
+                                               compat=cfg.compat_error,
+                                               interpret=_pallas_interpret())
+            prevs = jnp.concatenate([prev[None], errs[:-1]])
+            stop = jnp.abs(errs - prevs) <= cfg.trigger
+            found = jnp.any(stop)
+            err = jnp.where(found, errs[jnp.argmax(stop)], errs[-1])
+            return v, errs[-1], found, err
+
+        # first batch: the reference computes err after sweep 1 but only
+        # starts slope-testing at sweep 2 — prev = +inf masks slope 1
+        u, last, found, err = batch_step(
+            u, jnp.asarray(jnp.inf, cfg.dtype))
+
+        def cond(state):
+            _, _, found, _, k = state
+            return jnp.logical_and(jnp.logical_not(found),
+                                   k < cfg.max_trigger_sweeps)
+
+        def body(state):
+            v, last, _, _, k = state
+            v, last, found, err = batch_step(v, last)
+            return v, last, found, err, k + B
+
+        u, _, _, err, _ = lax.while_loop(
+            cond, body, (u, last, found, err, jnp.asarray(B, jnp.int32)))
+        return u, err
 
     if fuse_err:
         from .ops.pallas_kernels import fused_jacobi_err_padded

@@ -74,12 +74,50 @@ def _i32(v):
     return jnp.asarray(v, jnp.int32)
 
 
+# Lowering strategy for the ±1-shift neighbor sum (the VPU-bound inner loop
+# of every sweep kernel). pltpu.roll ALWAYS lowers to tpu.dynamic_rotate even
+# for constant shifts (jax/_src/pallas/mosaic/lowering.py:_roll_lowering_rule);
+# slice+concat lowers to vector.extract_strided_slice + tpu.concatenate.
+# Modes (perf knob, resolved at trace time):
+#   "rotate"  — 4 dynamic_rotates (round-1 behavior)
+#   "concat"  — 4 static slice+concat shifts
+#   "mixed"   — slice+concat on sublanes (axis 0), rotate on lanes (axis 1)
+_NB_MODE = "rotate"
+
+# Perf-probe knob for the ascend kernel's row-interleave (experiments only;
+# "no_od" / "no_interleave" produce WRONG results by design).
+_ASCEND_PROBE = None
+
+
+def _nb_sum(u, rows: int, cols: int):
+    """Σ of the four ±1 neighbors with periodic wrap (wrap rows/cols land in
+    frozen cells, masked by the A coefficient)."""
+    if _NB_MODE == "rotate":
+        return (pltpu.roll(u, shift=_i32(1), axis=0)
+                + pltpu.roll(u, shift=_i32(rows - 1), axis=0)
+                + pltpu.roll(u, shift=_i32(1), axis=1)
+                + pltpu.roll(u, shift=_i32(cols - 1), axis=1))
+    if _NB_MODE == "concat":
+        dn = jnp.concatenate([u[rows - 1:, :], u[:rows - 1, :]], axis=0)
+        up = jnp.concatenate([u[1:, :], u[:1, :]], axis=0)
+        rt = jnp.concatenate([u[:, cols - 1:], u[:, :cols - 1]], axis=1)
+        lt = jnp.concatenate([u[:, 1:], u[:, :1]], axis=1)
+        return dn + up + rt + lt
+    if _NB_MODE == "mixed":
+        dn = jnp.concatenate([u[rows - 1:, :], u[:rows - 1, :]], axis=0)
+        up = jnp.concatenate([u[1:, :], u[:1, :]], axis=0)
+        return (dn + up
+                + pltpu.roll(u, shift=_i32(1), axis=1)
+                + pltpu.roll(u, shift=_i32(cols - 1), axis=1))
+    raise ValueError(f"unknown _NB_MODE {_NB_MODE!r}")
+
+
 def _fused_jacobi_kernel(offs_smem, u_hbm, f_hbm, *rest,
                          n: int, erows: int, cp: int, out_rows: int,
                          ext_r: int, ext_c: int, steps: int,
                          num_strips: int, strip: int, owned: int,
                          h2: float, omega: float, from_zero: bool,
-                         err_mode=None):
+                         err_mode=None, per_sweep: bool = False):
     """Kernel body, generalized over halo-extended shard blocks.
 
     Single-device: u/f/out are all (erows, cp) with ext_r = 0 and the offset
@@ -100,6 +138,14 @@ def _fused_jacobi_kernel(offs_smem, u_hbm, f_hbm, *rest,
         sweep are trapezoid-exact;
       * "clean" — same extra sweep, all interior cells.
     The raw partial lands in a (1, 1) SMEM output; callers scale it.
+
+    ``per_sweep`` (trigger batching, requires err_mode and not from_zero):
+    emit ONE raw partial per iterate u_1..u_steps into a (1, steps) SMEM
+    output instead of a single final-iterate scalar. The per-sweep values
+    are free by the identity Δ_{s+1} = u_{s+1} − u_s = (ω/4)·h²·r(u_s):
+    the cpu/clean metric of iterate u_s is |Δ_{s+1}| (captured during sweep
+    s+1, plus one extra in-VMEM sweep for u_steps), the gpu metric of u_s
+    is |Δ_s| (captured during sweep s itself).
     """
     if err_mode is None:
         out_hbm, = rest[:1]
@@ -198,10 +244,7 @@ def _fused_jacobi_kernel(offs_smem, u_hbm, f_hbm, *rest,
 
         # --- k sweeps, pure fp32 vector arithmetic --------------------------
         def nb_sum(u):
-            return (pltpu.roll(u, shift=_i32(1), axis=0)
-                    + pltpu.roll(u, shift=_i32(strip - 1), axis=0)
-                    + pltpu.roll(u, shift=_i32(1), axis=1)
-                    + pltpu.roll(u, shift=_i32(cp - 1), axis=1))
+            return _nb_sum(u, strip, cp)
 
         def sweep(src, dst):
             u = src[:]
@@ -209,10 +252,7 @@ def _fused_jacobi_kernel(offs_smem, u_hbm, f_hbm, *rest,
 
         n_sweeps = steps - 1 if from_zero else steps
         bufs = [u_slots.at[slot], work]
-        for s in range(n_sweeps):
-            sweep(bufs[s % 2], bufs[(s + 1) % 2])
 
-        part = acc
         if err_mode is not None:
             # non-overlapping ownership for the reduction: out row o belongs
             # to strip i iff i·owned ≤ o < min((i+1)·owned, out_rows) —
@@ -221,23 +261,61 @@ def _fused_jacobi_kernel(offs_smem, u_hbm, f_hbm, *rest,
             sel = (ok_global & (o >= _i32(i) * _i32(owned))
                    & (o < jnp.minimum((_i32(i) + 1) * _i32(owned),
                                       _i32(out_rows))))
-            fin = bufs[n_sweeps % 2][:]
-            if err_mode == "gpu":
-                prev = (jnp.zeros((strip, cp), u_hbm.dtype)
-                        if (from_zero and n_sweeps == 0)
-                        else bufs[(n_sweeps - 1) % 2][:])
-                val = jnp.abs(fin - prev)
+            if err_mode == "cpu":
+                # the reference's color bug: even-color cells only
+                # (caller doubles the sum), MG_solver_CPU.cpp:606-622
+                selc = sel & ((g + gc) % 2 == 0)
             else:
-                # one extra in-VMEM sweep: Δu_{k+1} = (ω/4)·h²·r(u_k) on
-                # unfrozen cells — the residual of the FINAL iterate with
-                # zero extra HBM traffic (caller rescales by 4/(ω·h²))
-                val = jnp.abs(a_buf[:] * (nb_sum(fin) - 4.0 * fin)
-                              - fc_slots[slot][:])
-                if err_mode == "cpu":
-                    # the reference's color bug: even-color cells only
-                    # (caller doubles the sum), MG_solver_CPU.cpp:606-622
-                    sel = sel & ((g + gc) % 2 == 0)
-            part = acc + jnp.sum(jnp.where(sel, val, jnp.zeros_like(val)))
+                selc = sel
+
+        if per_sweep:
+            # trigger batching: per-iterate raw partials (see docstring).
+            # Sweeps keep the exact op order of the plain path (iterates stay
+            # bit-identical to the unbatched kernel); diffs come from buffer
+            # subtraction, so the cpu/clean per-iterate metric matches the
+            # single-err kernel up to one fp32 reassociation (~1e-7 rel).
+            def masked_sum(d, m):
+                v = jnp.abs(d)
+                return jnp.sum(jnp.where(m, v, jnp.zeros_like(v)))
+
+            parts = list(acc)
+            for s in range(1, n_sweeps + 1):
+                u = bufs[(s - 1) % 2][:]
+                sweep(bufs[(s - 1) % 2], bufs[s % 2])
+                if err_mode == "gpu":
+                    parts[s - 1] = parts[s - 1] + masked_sum(
+                        bufs[s % 2][:] - u, selc)
+                elif s >= 2:
+                    parts[s - 2] = parts[s - 2] + masked_sum(
+                        bufs[s % 2][:] - u, selc)
+            if err_mode != "gpu":
+                fin = bufs[n_sweeps % 2][:]
+                d = (a_buf[:] * (nb_sum(fin) - 4.0 * fin)
+                     - fc_slots[slot][:])
+                parts[n_sweeps - 1] = (parts[n_sweeps - 1]
+                                       + masked_sum(d, selc))
+            part = tuple(parts)
+        else:
+            for s in range(n_sweeps):
+                sweep(bufs[s % 2], bufs[(s + 1) % 2])
+
+            part = acc
+            if err_mode is not None:
+                fin = bufs[n_sweeps % 2][:]
+                if err_mode == "gpu":
+                    prev = (jnp.zeros((strip, cp), u_hbm.dtype)
+                            if (from_zero and n_sweeps == 0)
+                            else bufs[(n_sweeps - 1) % 2][:])
+                    val = jnp.abs(fin - prev)
+                    sel = selc
+                else:
+                    # one extra in-VMEM sweep: Δu_{k+1} = (ω/4)·h²·r(u_k) on
+                    # unfrozen cells — the residual of the FINAL iterate with
+                    # zero extra HBM traffic (caller rescales by 4/(ω·h²))
+                    val = jnp.abs(a_buf[:] * (nb_sum(fin) - 4.0 * fin)
+                                  - fc_slots[slot][:])
+                    sel = selc
+                part = acc + jnp.sum(jnp.where(sel, val, jnp.zeros_like(val)))
 
         if n_sweeps % 2 == 1:
             # result must sit in the slot buffer for the direct out-DMA
@@ -246,9 +324,15 @@ def _fused_jacobi_kernel(offs_smem, u_hbm, f_hbm, *rest,
         out_copy(i, slot).start()
         return part
 
-    total = jax.lax.fori_loop(_i32(0), _i32(num_strips), body,
-                              jnp.zeros((), u_hbm.dtype), unroll=False)
-    if err_mode is not None:
+    k_err = steps - 1 if from_zero else steps
+    acc0 = (tuple(jnp.zeros((), u_hbm.dtype) for _ in range(k_err))
+            if per_sweep else jnp.zeros((), u_hbm.dtype))
+    total = jax.lax.fori_loop(_i32(0), _i32(num_strips), body, acc0,
+                              unroll=False)
+    if per_sweep:
+        for s in range(k_err):
+            err_smem[0, s] = total[s]
+    elif err_mode is not None:
         err_smem[0, 0] = total
 
     # drain the last (up to) two outstanding writes
@@ -278,7 +362,8 @@ def _strip_geometry(erows: int, out_rows: int, cp: int, itemsize: int):
 
 def _fused_jacobi_shard_call(offs, u, f, n: int, h: float, steps: int,
                              omega: float, ext_r: int, from_zero: bool,
-                             interpret: bool, ext_c: int = 0, err_mode=None):
+                             interpret: bool, ext_c: int = 0, err_mode=None,
+                             per_sweep: bool = False):
     """One ≤8-sweep fused pass on a (possibly halo-extended) block.
 
     ``offs`` = int32 (2,) global (row, col) coordinates of u[0, 0];
@@ -286,11 +371,15 @@ def _fused_jacobi_shard_call(offs, u, f, n: int, h: float, steps: int,
     not written: the output is (erows − 2·ext_r, cp − 2·ext_c).
     With ``err_mode`` set, also returns the raw fused error partial
     (see _fused_jacobi_kernel); the caller applies metric scaling.
+    ``per_sweep`` returns a (steps,) vector of per-iterate raw partials
+    instead (trigger batching; requires err_mode, no from_zero).
     """
     erows, cp = u.shape
     out_rows = erows - 2 * ext_r
     itemsize = jnp.dtype(u.dtype).itemsize
     strip, owned, num_strips = _strip_geometry(erows, out_rows, cp, itemsize)
+    if per_sweep:
+        assert err_mode is not None and not from_zero
     if err_mode in ("cpu", "clean"):
         k = steps - 1 if from_zero else steps
         assert k <= HALO - 1, (
@@ -301,12 +390,13 @@ def _fused_jacobi_shard_call(offs, u, f, n: int, h: float, steps: int,
                      out_rows=out_rows, ext_r=ext_r, ext_c=ext_c, steps=steps,
                      num_strips=num_strips, strip=strip, owned=owned,
                      h2=h * h, omega=omega, from_zero=from_zero,
-                     err_mode=err_mode)
+                     err_mode=err_mode, per_sweep=per_sweep)
 
+    err_cols = steps if per_sweep else 1
     out_shape = jax.ShapeDtypeStruct((out_rows, cp - 2 * ext_c), u.dtype)
     out_spec = pl.BlockSpec(memory_space=pl.ANY)
     if err_mode is not None:
-        out_shape = (out_shape, jax.ShapeDtypeStruct((1, 1), u.dtype))
+        out_shape = (out_shape, jax.ShapeDtypeStruct((1, err_cols), u.dtype))
         out_spec = (out_spec, pl.BlockSpec(memory_space=pltpu.SMEM))
 
     result = pl.pallas_call(
@@ -328,6 +418,8 @@ def _fused_jacobi_shard_call(offs, u, f, n: int, h: float, steps: int,
             vmem_limit_bytes=2 * _VMEM_BUDGET_BYTES),
         interpret=interpret,
     )(offs, u, f)
+    if per_sweep:
+        return result[0], result[1][0, :]
     if err_mode is not None:
         return result[0], result[1][0, 0]
     return result
@@ -463,10 +555,7 @@ def _fused_descend_kernel(offs_smem, u_hbm, f_hbm, out_hbm, dw_hbm, *rest,
                 jnp.zeros((strip, cp), u_hbm.dtype))
 
         def nb_sum(u):
-            return (pltpu.roll(u, shift=_i32(1), axis=0)
-                    + pltpu.roll(u, shift=_i32(strip - 1), axis=0)
-                    + pltpu.roll(u, shift=_i32(1), axis=1)
-                    + pltpu.roll(u, shift=_i32(cp - 1), axis=1))
+            return _nb_sum(u, strip, cp)
 
         def sweep(src, dst):
             u = src[:]
@@ -648,16 +737,17 @@ def _fused_ascend_kernel(offs_smem, u_hbm, f_hbm, cw_hbm, out_hbm, *rest,
         # odd rows average r/2 and r/2 + 1 (doProlongation's aligned case)
         cw = cw_slots[slot]
         ev = cw[0:strip // 2, :]
-        od = 0.5 * (ev + cw[1:strip // 2 + 1, :])
-        corr = jnp.stack([ev, od], axis=1).reshape(strip, cp)
+        if _ASCEND_PROBE == "no_interleave":      # timing probe: skip it all
+            corr = u_slots[slot][:]
+        else:
+            od = (ev if _ASCEND_PROBE == "no_od"  # probe: skip the average
+                  else 0.5 * (ev + cw[1:strip // 2 + 1, :]))
+            corr = jnp.stack([ev, od], axis=1).reshape(strip, cp)
         u_slots[slot] = u_slots[slot][:] + jnp.where(
             ok_global, corr, jnp.zeros_like(corr))
 
         def nb_sum(u):
-            return (pltpu.roll(u, shift=_i32(1), axis=0)
-                    + pltpu.roll(u, shift=_i32(strip - 1), axis=0)
-                    + pltpu.roll(u, shift=_i32(1), axis=1)
-                    + pltpu.roll(u, shift=_i32(cp - 1), axis=1))
+            return _nb_sum(u, strip, cp)
 
         def sweep(src, dst):
             u = src[:]
@@ -765,10 +855,7 @@ def _residual_kernel(offs_smem, u_hbm, f_hbm, out_hbm,
 
         start_c = load_start(i)
         u = u_slots[slot]
-        nb = (pltpu.roll(u, shift=_i32(1), axis=0)
-              + pltpu.roll(u, shift=_i32(strip - 1), axis=0)
-              + pltpu.roll(u, shift=_i32(1), axis=1)
-              + pltpu.roll(u, shift=_i32(cp - 1), axis=1))
+        nb = _nb_sum(u, strip, cp)
         r = (nb - 4.0 * u) * inv_h2 - f_slots[slot]
         if negate:
             r = -r
@@ -1282,3 +1369,44 @@ def fused_jacobi_err_padded(u, f, n: int, h: float, steps: int,
         err = raw * jnp.asarray(scale * (2.0 if err_mode == "cpu" else 1.0),
                                 u.dtype)
     return u, err
+
+
+def errs_sweep_cap(compat) -> int:
+    """Max sweeps per fused_jacobi_errs_padded pass (trapezoid budget)."""
+    return MAX_FUSED_SWEEPS if compat == "gpu" else MAX_FUSED_SWEEPS - 1
+
+
+@partial(jax.jit, static_argnames=("n", "h", "steps", "omega", "compat",
+                                   "interpret"))
+def fused_jacobi_errs_padded(u, f, n: int, h: float, steps: int,
+                             omega: float = 1.0, compat=True,
+                             interpret: bool = False):
+    """``steps`` sweeps emitting the smoothing-error metric of EVERY iterate
+    u_1..u_steps in the same HBM pass — the trigger-batching kernel.
+
+    Returns (u_new, errs) with ``errs`` shape (steps,): errs[s-1] is exactly
+    the metric fused_jacobi_err_padded would report after s sweeps (same
+    compat semantics). The per-iterate values cost only in-VMEM arithmetic:
+    Δ_{s+1} = u_{s+1} − u_s equals (ω/4)h²·r(u_s), so the cpu/clean metric of
+    u_s falls out of sweep s+1 and the gpu metric out of sweep s itself.
+
+    Used by the batched trigger mode (SolverConfig.trigger_batch > 1): one
+    HBM pass per ``steps`` trigger sweeps instead of one pass per sweep, at
+    the cost of overshooting the reference's stop point by up to steps − 1
+    sweeps (semantics divergence — callers gate it behind the flag).
+    """
+    _check_padded(u.shape, n)
+    err_mode = "gpu" if compat == "gpu" else ("cpu" if compat else "clean")
+    assert 1 <= steps <= errs_sweep_cap(compat)
+    u, raw = _fused_jacobi_shard_call(
+        jnp.zeros((2,), jnp.int32), u, f, n, h, steps, omega, ext_r=0,
+        from_zero=False, interpret=interpret, err_mode=err_mode,
+        per_sweep=True)
+    npts = n * n
+    if err_mode == "gpu":
+        errs = raw * jnp.asarray(4.0 / (h * h) / npts, u.dtype)
+    else:
+        scale = 4.0 / (omega * h * h) / npts
+        errs = raw * jnp.asarray(scale * (2.0 if err_mode == "cpu" else 1.0),
+                                 u.dtype)
+    return u, errs

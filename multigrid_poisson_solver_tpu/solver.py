@@ -64,6 +64,12 @@ class SolverConfig:
                                       # sweep, MG_solver_GPU.cu:633)
     trigger: float = TRIGGER_DEFAULT  # |Δerr| threshold for step == -1
     max_trigger_sweeps: int = 100_000
+    trigger_batch: int = 1            # trigger sweeps fused per HBM pass
+                                      # (compiled Pallas path only). > 1 cuts
+                                      # passes ~batch×, but overshoots the
+                                      # reference's stop point by up to
+                                      # batch−1 sweeps — an intentional
+                                      # semantics trade, off by default
     coarse_gs_norm: str = "interior"  # "interior" (CPU ref) | "full" (GPU ref)
     collect_node_stats: bool = True   # pull per-node scalars to host (off for benches)
     kernels: str = "auto"             # "auto" | "pallas" | "xla" — hot-path kernel

@@ -139,3 +139,27 @@ def test_compiled_sharded_trigger_matches_single_device():
     _, u_sharded, _ = _run_compiled(program, policy=policy)
     np.testing.assert_allclose(np.asarray(u_sharded), np.asarray(u_single),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_trigger_batch_converges_like_unbatched():
+    """trigger_batch > 1 (per-sweep-error batching) reaches the same
+    solution quality as the exact-semantics loop — it may only OVERSHOOT in
+    sweeps, never undershoot, so the trigger error can only be <= plus noise."""
+    program = mg.v_cycle(65, n_min=9, steps=-1, coarse_option=0)
+    results = {}
+    for batch in (1, 4):
+        cfg = mg.SolverConfig(omega=0.8, kernels="pallas",
+                              trigger_batch=batch,
+                              collect_node_stats=False)
+        eng = mg.compile_program(program, mg.REFERENCE_PROBLEM, cfg,
+                                 donate=False)
+        u, f = eng.init()
+        u, err = eng(u, f)
+        spec = eng.finest_spec
+        ana = mg.REFERENCE_PROBLEM.analytic_grid(spec, jnp.float32)
+        results[batch] = (float(err),
+                          float(jnp.mean(jnp.abs(eng.unpad(u) - ana))))
+    e1, q1 = results[1]
+    e4, q4 = results[4]
+    assert q4 == pytest.approx(q1, rel=0.05)      # same solution quality
+    assert e4 <= e1 * 1.05                        # never less smoothing

@@ -272,3 +272,23 @@ def test_zero_steps_is_identity(rng):
     up = layout.pad_grid(u)
     out = pk.fused_jacobi_padded(up, up, n, 1.0 / (n - 1), 0, interpret=True)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(up))
+
+
+@pytest.mark.parametrize("compat", [True, False, "gpu"])
+def test_per_sweep_errs_match_sequential(rng, compat):
+    """fused_jacobi_errs_padded (trigger batching): iterates bit-match the
+    plain fused kernel; every per-iterate error matches the sequential
+    single-sweep fused_jacobi_err_padded chain."""
+    n, h = 257, 1.0 / 256
+    u = layout.pad_grid(jnp.asarray(rng.standard_normal((n, n)), jnp.float32))
+    f = layout.pad_grid(jnp.asarray(rng.standard_normal((n, n)), jnp.float32))
+    k = pk.errs_sweep_cap(compat)
+    got_u, errs = pk.fused_jacobi_errs_padded(u, f, n, h, k, omega=0.9,
+                                              compat=compat, interpret=True)
+    want_u = pk.fused_jacobi_padded(u, f, n, h, k, omega=0.9, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_u), np.asarray(want_u))
+    v = u
+    for s in range(k):
+        v, e = pk.fused_jacobi_err_padded(v, f, n, h, 1, omega=0.9,
+                                          compat=compat, interpret=True)
+        assert float(errs[s]) == pytest.approx(float(e), rel=3e-6), s
