@@ -1167,8 +1167,7 @@ def _residual_mw_kernel(*args, n: int, rp: int, cp: int, num_strips: int,
         wstart = write_start(i)
         wlo = _mul8(wstart - load_start(i))
         return pltpu.make_async_copy(
-            out_slots.at[slot, pl.ds(wlo, owned),
-                         pl.ds(ext_c, cp - 2 * ext_c)],
+            out_slots.at[slot, pl.ds(wlo, owned), :],
             out_hbm.at[pl.ds(wstart, owned), :],
             out_sems.at[slot])
 

@@ -292,3 +292,27 @@ def test_per_sweep_errs_match_sequential(rng, compat):
         v, e = pk.fused_jacobi_err_padded(v, f, n, h, 1, omega=0.9,
                                           compat=compat, interpret=True)
         assert float(errs[s]) == pytest.approx(float(e), rel=3e-6), s
+
+
+def test_multiword_residual_kernels_match_xla_forms(rng):
+    """residual_tw_pallas / residual_df_pallas vs the refine XLA forms.
+
+    Regression guard: the strip kernel's out-DMA once referenced an
+    undefined ext_c (NameError) — CPU tests never traced it because refine
+    only dispatches to Pallas on TPU."""
+    from multigrid_poisson_solver_tpu.refine import residual_df_p, residual_tw_p
+
+    n, h = 257, 1.0 / 256
+    rp_cp = layout.padded_shape(n)
+    mk = lambda: layout.pad_grid(
+        jnp.asarray(rng.standard_normal((n, n)) * 1e-3, jnp.float32))
+    u0, u1, u2, f = mk(), mk(), mk(), mk()
+    got = pk.residual_tw_pallas(u0, u1, u2, f, n, h, interpret=True)
+    want = residual_tw_p(u0, u1, u2, f, h, n)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    got = pk.residual_df_pallas(u0, u1, f, n, h, interpret=True)
+    want = residual_df_p(u0, u1, f, h, n)
+    # df: the kernel gives the second word the full dd-EFT treatment (more
+    # accurate than the XLA form — documented in its docstring)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=1e-6 * float(jnp.abs(want).max()))
