@@ -22,13 +22,15 @@ H = 1.0 / (N - 1)
 rp, cp = padded_shape(N)
 print(f"N={N} padded {rp}x{cp} nb_mode={NB_MODE}", flush=True)
 
-rng = np.random.default_rng(0)
-u = jax.device_put(jnp.asarray(
-    rng.standard_normal((rp, cp)).astype(np.float32)))
-f = jax.device_put(jnp.asarray(
-    rng.standard_normal((rp, cp)).astype(np.float32)))
-cw = jax.device_put(jnp.asarray(
-    rng.standard_normal((rp // 2 + 8, cp)).astype(np.float32)))
+from functools import partial
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _mk(seed, rows, cols):
+    return jax.random.normal(jax.random.key(seed), (rows, cols), jnp.float32)
+
+u = _mk(0, rp, cp)
+f = _mk(1, rp, cp)
+cw = _mk(2, rp // 2 + 8, cp)
 
 timer = DeviceTimer()
 

@@ -18,12 +18,18 @@ rp, cp = padded_shape(N)
 print(f"N={N} padded {rp}x{cp}", flush=True)
 
 rng = np.random.default_rng(0)
-u0 = np.zeros((rp, cp), np.float32)
-u0[1:N-1, 1:N-1] = rng.standard_normal((N-2, N-2)).astype(np.float32)
-f0 = np.zeros((rp, cp), np.float32)
-f0[:N, :N] = rng.standard_normal((N, N)).astype(np.float32)
-u = jax.device_put(jnp.asarray(u0))
-f = jax.device_put(jnp.asarray(f0))
+
+@jax.jit
+def _mk(seed):
+    k = jax.random.key(seed)
+    a = jax.random.normal(k, (rp, cp), jnp.float32)
+    rows = jnp.arange(rp)[:, None]
+    cols = jnp.arange(cp)[None, :]
+    ok = ((rows >= 1) & (rows <= N - 2) & (cols >= 1) & (cols <= N - 2))
+    return jnp.where(ok, a, 0.0)
+
+u = _mk(0)
+f = _mk(1)
 
 timer = DeviceTimer()
 results = {}

@@ -178,7 +178,8 @@ class IterativeRefinementSolver:
                  program: Optional[CycleProgram] = None,
                  config: Optional[SolverConfig] = None,
                  policy: Optional[ShardingPolicy] = None,
-                 max_cycles: int = 60, state: str = "df32"):
+                 max_cycles: int = 60, state: str = "df32",
+                 inner_dtype: Any = None):
         from .compiled import _run_traced
         from .models.problems import Problem as Prob
 
@@ -204,9 +205,28 @@ class IterativeRefinementSolver:
         # RHS is fed per-cycle (the compensated residual)
         zero_problem = Prob(source=lambda x, y: jnp.zeros_like(x),
                             name="refine-correction")
-        cycle = partial(_run_traced, program=self.program,
-                        problem=zero_problem, config=config, policy=policy,
-                        warm=False)
+        # inner_dtype (e.g. jnp.bfloat16): run the correction cycles in a
+        # lower precision than the outer state. Safe for the refinement
+        # structure — the inner solve only needs to beat the multigrid
+        # contraction (~0.1/cycle); a bf16 correction carries ~1e-2 relative
+        # error, so the outer contraction stays ≈ max(0.1, bf16 error) while
+        # every sweep/roll moves half the bytes. Flag-gated: accuracy story
+        # measured in BASELINE.md before becoming any default.
+        self.inner_dtype = inner_dtype
+        icfg = (config if inner_dtype is None
+                else dataclasses.replace(config, dtype=inner_dtype))
+        self._inner_config = icfg
+        raw_cycle = partial(_run_traced, program=self.program,
+                            problem=zero_problem, config=icfg, policy=policy,
+                            warm=False)
+
+        def cycle(u0, rhs):
+            if inner_dtype is None:
+                return raw_cycle(u0, rhs)
+            e, err = raw_cycle(u0.astype(inner_dtype),
+                               rhs.astype(inner_dtype))
+            return e.astype(config.dtype), err
+
         h = self.spec.h
         # policy-aware layout: sharded levels round rows/lanes up to
         # per-device tile multiples (parallel.mesh.padded_shape)

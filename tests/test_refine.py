@@ -287,3 +287,17 @@ def test_rbgs_sampling_vs_fw_contraction():
     samp = contraction(SolverConfig(smoother="rbgs"))
     assert fw < 0.1          # textbook V(2,2) RB-GS
     assert samp > 5 * fw     # sampling pathology is real and measurable
+
+
+def test_bf16_inner_cycles_converge():
+    """inner_dtype=bfloat16: correction cycles in bf16 still converge the
+    fp32-pair outer state (contraction degrades ~0.03 -> ~0.4/cycle — the
+    measured reason bf16 inner cycles are NOT the default; BASELINE.md)."""
+    s = IterativeRefinementSolver(mg.REFERENCE_PROBLEM, 129, state="df32",
+                                  max_cycles=40, inner_dtype=jnp.bfloat16)
+    rep = s.solve(tol=1e-7)
+    assert rep.rel_residual < 1e-7
+    ref = IterativeRefinementSolver(mg.REFERENCE_PROBLEM, 129, state="df32",
+                                    max_cycles=40).solve(tol=1e-7)
+    assert rep.error_vs_analytic == pytest.approx(ref.error_vs_analytic,
+                                                  rel=1e-3)
