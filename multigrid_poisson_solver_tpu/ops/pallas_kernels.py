@@ -440,7 +440,9 @@ def _fused_descend_kernel(offs_smem, u_hbm, f_hbm, out_hbm, dw_hbm, *rest,
                           ext_r: int, ext_c: int, steps: int,
                           num_strips: int, strip: int, owned: int,
                           h2: float, omega: float, from_zero: bool,
-                          restriction: str, err_mode=None):
+                          restriction: str,
+                          pw: int, powned: int, lh: int, num_panels: int,
+                          err_mode=None):
     """The WHOLE descend leg in one HBM pass: k Jacobi sweeps + residual +
     row-restriction (+ optional fused smoothing error).
 
@@ -466,6 +468,11 @@ def _fused_descend_kernel(offs_smem, u_hbm, f_hbm, out_hbm, dw_hbm, *rest,
     offs_smem = global (row0, col0) of u[0, 0]; ext_r/ext_c halo rows/lanes
     are consumed but not written (out_rows = erows − 2·ext_r; dwide gets
     out_rows/2 rows × cp − 2·ext_c lanes).
+
+    2-D tiling: like _fused_ascend_kernel, wide grids are additionally cut
+    into lane panels (pw lanes, lh-lane halos, panel-major iteration) so
+    strips stay tall — full-width descend strips at 8193² are 48 rows
+    (owned 32, 1.5× redundant). Panels require ext_c == 0.
     """
     if err_mode is None:
         (u_slots, fc_slots, work, a_buf, dec_scr, dec_out,
@@ -478,6 +485,13 @@ def _fused_descend_kernel(offs_smem, u_hbm, f_hbm, out_hbm, dw_hbm, *rest,
     oc = owned // 2
     row0 = offs_smem[0]
     col0 = offs_smem[1]
+    num_iter = num_panels * num_strips
+
+    def pi(idx):
+        if num_panels == 1:
+            return _i32(0), _i32(idx)
+        return _i32(idx) // _i32(num_strips), jax.lax.rem(
+            _i32(idx), _i32(num_strips))
 
     def load_start(i):
         return _mul8(jnp.clip(_i32(i) * _i32(owned) + _i32(ext_r - HALO),
@@ -487,60 +501,91 @@ def _fused_descend_kernel(offs_smem, u_hbm, f_hbm, out_hbm, dw_hbm, *rest,
         return _mul8(jnp.clip(_i32(i) * _i32(owned), _i32(0),
                               _i32(out_rows - owned)))
 
-    def load_copies(i, slot):
+    if num_panels == 1:
+        out_wcols = cp - 2 * ext_c
+
+        def col_start(p):
+            return _i32(0)
+
+        def write_col(p):
+            return _i32(0)
+
+        def wcl(p):
+            return _i32(ext_c)
+    else:
+        assert ext_c == 0
+        out_wcols = powned
+
+        def col_start(p):
+            return _mul128(jnp.clip(_i32(p) * _i32(powned) - _i32(lh),
+                                    _i32(0), _i32(cp - pw)))
+
+        def write_col(p):
+            return _mul128(jnp.clip(_i32(p) * _i32(powned), _i32(0),
+                                    _i32(cp - powned)))
+
+        def wcl(p):
+            return _mul128(write_col(p) - col_start(p))
+
+    def load_copies(idx, slot):
+        p, i = pi(idx)
         s = load_start(i)
-        copies = (pltpu.make_async_copy(f_hbm.at[pl.ds(s, strip), :],
-                                        fc_slots.at[slot],
-                                        load_sems.at[slot, _i32(1)]),)
+        cs = col_start(p)
+        copies = (pltpu.make_async_copy(
+            f_hbm.at[pl.ds(s, strip), pl.ds(cs, pw)],
+            fc_slots.at[slot], load_sems.at[slot, _i32(1)]),)
         if not from_zero:
             copies += (pltpu.make_async_copy(
-                u_hbm.at[pl.ds(s, strip), :], u_slots.at[slot],
+                u_hbm.at[pl.ds(s, strip), pl.ds(cs, pw)], u_slots.at[slot],
                 load_sems.at[slot, _i32(0)]),)
         return copies
 
-    def out_copy(i, slot):
+    def out_copy(idx, slot):
+        p, i = pi(idx)
         wstart = write_start(i)
         wlo = _mul8(wstart + _i32(ext_r) - load_start(i))
         return pltpu.make_async_copy(
-            u_slots.at[slot, pl.ds(wlo, owned),
-                       pl.ds(ext_c, cp - 2 * ext_c)],
-            out_hbm.at[pl.ds(wstart, owned), :],
+            u_slots.at[slot, pl.ds(wlo, owned), pl.ds(wcl(p), out_wcols)],
+            out_hbm.at[pl.ds(wstart, owned), pl.ds(write_col(p), out_wcols)],
             out_sems.at[slot])
 
-    def dw_copy(i, slot):
+    def dw_copy(idx, slot):
+        p, i = pi(idx)
         cw = _mul8(write_start(i) // _i32(2))
         return pltpu.make_async_copy(
-            dec_out.at[slot, :, pl.ds(ext_c, cp - 2 * ext_c)],
-            dw_hbm.at[pl.ds(cw, oc), :],
+            dec_out.at[slot, :, pl.ds(wcl(p), out_wcols)],
+            dw_hbm.at[pl.ds(cw, oc), pl.ds(write_col(p), out_wcols)],
             dw_sems.at[slot])
 
-    for cp_ in load_copies(_i32(0), _i32(0)):
+    for cp_ in load_copies(0, _i32(0)):
         cp_.start()
 
-    def body(i, acc):
-        slot = jax.lax.rem(_i32(i), _i32(2))
-        nxt = jax.lax.rem(_i32(i) + _i32(1), _i32(2))
+    def body(idx, acc):
+        p, i = pi(idx)
+        slot = jax.lax.rem(_i32(idx), _i32(2))
+        nxt = jax.lax.rem(_i32(idx) + _i32(1), _i32(2))
 
-        @pl.when(i + 1 < num_strips)
+        @pl.when(idx + 1 < num_iter)
         def _():
-            @pl.when(i >= 1)
+            @pl.when(idx >= 1)
             def _():
-                out_copy(i - 1, nxt).wait()
-                dw_copy(i - 1, nxt).wait()
-            for cp_ in load_copies(i + 1, nxt):
+                out_copy(idx - 1, nxt).wait()
+                dw_copy(idx - 1, nxt).wait()
+            for cp_ in load_copies(idx + 1, nxt):
                 cp_.start()
 
-        for cp_ in load_copies(i, slot):
+        for cp_ in load_copies(idx, slot):
             cp_.wait()
 
         start_c = load_start(i)
-        rows = jax.lax.broadcasted_iota(jnp.int32, (strip, cp), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (strip, cp), 1)
+        cs = col_start(p)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (strip, pw), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (strip, pw), 1)
         g = rows + start_c + row0
-        gc = cols + col0
+        gc = cols + cs + col0
         ok_global = ((g >= 1) & (g <= n - 2) & (gc >= 1) & (gc <= n - 2))
         ok = (ok_global & (rows >= 1) & (rows <= strip - 2)
-              & (cols >= 1) & (cols <= cp - 2))
+              & (cols >= 1) & (cols <= pw - 2))
         a = jnp.where(ok, jnp.float32(0.25 * omega), jnp.float32(0.0)
                       ).astype(u_hbm.dtype)
         a_buf[:] = a
@@ -552,10 +597,10 @@ def _fused_descend_kernel(offs_smem, u_hbm, f_hbm, out_hbm, dw_hbm, *rest,
                 ok_global,
                 -(jnp.float32(0.25 * omega)
                   * (jnp.asarray(h2, u_hbm.dtype) * raw_f)),
-                jnp.zeros((strip, cp), u_hbm.dtype))
+                jnp.zeros((strip, pw), u_hbm.dtype))
 
         def nb_sum(u):
-            return _nb_sum(u, strip, cp)
+            return _nb_sum(u, strip, pw)
 
         def sweep(src, dst):
             u = src[:]
@@ -573,12 +618,18 @@ def _fused_descend_kernel(offs_smem, u_hbm, f_hbm, out_hbm, dw_hbm, *rest,
 
         part = acc
         if err_mode is not None:
+            # exact ownership in BOTH dims (clamped windows overlap)
             o = rows + start_c - _i32(ext_r)
+            oc_col = cols + cs - _i32(ext_c)
             sel = (ok_global & (o >= _i32(i) * _i32(owned))
                    & (o < jnp.minimum((_i32(i) + 1) * _i32(owned),
                                       _i32(out_rows))))
+            if num_panels > 1:
+                sel = (sel & (oc_col >= _i32(p) * _i32(powned))
+                       & (oc_col < jnp.minimum((_i32(p) + 1) * _i32(powned),
+                                               _i32(cp))))
             if err_mode == "gpu":
-                prev = (jnp.zeros((strip, cp), u_hbm.dtype)
+                prev = (jnp.zeros((strip, pw), u_hbm.dtype)
                         if (from_zero and n_sweeps == 0)
                         else bufs[(n_sweeps - 1) % 2][:])
                 val = jnp.abs(fin - prev)
@@ -596,7 +647,7 @@ def _fused_descend_kernel(offs_smem, u_hbm, f_hbm, out_hbm, dw_hbm, *rest,
             # sample below completes full weighting
             rneg = (0.25 * pltpu.roll(rneg, shift=_i32(1), axis=1)
                     + 0.5 * rneg
-                    + 0.25 * pltpu.roll(rneg, shift=_i32(cp - 1), axis=1))
+                    + 0.25 * pltpu.roll(rneg, shift=_i32(pw - 1), axis=1))
             rneg = (0.25 * pltpu.roll(rneg, shift=_i32(1), axis=0)
                     + 0.5 * rneg
                     + 0.25 * pltpu.roll(rneg, shift=_i32(strip - 1), axis=0))
@@ -608,39 +659,45 @@ def _fused_descend_kernel(offs_smem, u_hbm, f_hbm, out_hbm, dw_hbm, *rest,
         wstart = write_start(i)
         wlo = _mul8(wstart + _i32(ext_r) - start_c)
         win = dec_scr[pl.ds(wlo, owned), :]
-        dec = win.reshape(oc, 2, cp)[:, 0, :]
+        dec = win.reshape(oc, 2, pw)[:, 0, :]
         # coarse-row interior mask (m = (n+1)//2): fine row 2t ↔ coarse t
-        crow = (jax.lax.broadcasted_iota(jnp.int32, (oc, cp), 0)
+        crow = (jax.lax.broadcasted_iota(jnp.int32, (oc, pw), 0)
                 + (wstart + row0 + _i32(ext_r)) // _i32(2))
         m_coarse = (n + 1) // 2
         keep = (crow >= 1) & (crow <= m_coarse - 2)
         dec_out[slot] = jnp.where(keep, dec, jnp.zeros_like(dec))
-        dw_copy(i, slot).start()
+        dw_copy(idx, slot).start()
 
         if n_sweeps % 2 == 1:
             # result must sit in the slot buffer for the direct out-DMA
             u_slots[slot] = work[:]
-        out_copy(i, slot).start()
+        out_copy(idx, slot).start()
         return part
 
-    total = jax.lax.fori_loop(_i32(0), _i32(num_strips), body,
+    total = jax.lax.fori_loop(_i32(0), _i32(num_iter), body,
                               jnp.zeros((), u_hbm.dtype), unroll=False)
     if err_mode is not None:
         err_smem[0, 0] = total
 
-    last = num_strips - 1
-    if num_strips >= 2:
-        out_copy(_i32(last - 1), _i32((last - 1) % 2)).wait()
-        dw_copy(_i32(last - 1), _i32((last - 1) % 2)).wait()
-    out_copy(_i32(last), _i32(last % 2)).wait()
-    dw_copy(_i32(last), _i32(last % 2)).wait()
+    last = num_iter - 1
+    if num_iter >= 2:
+        out_copy(last - 1, _i32((last - 1) % 2)).wait()
+        dw_copy(last - 1, _i32((last - 1) % 2)).wait()
+    out_copy(last, _i32(last % 2)).wait()
+    dw_copy(last, _i32(last % 2)).wait()
+
+
+def _mul128(x):
+    return pl.multiple_of(x, LANE)
 
 
 def _fused_ascend_kernel(offs_smem, u_hbm, f_hbm, cw_hbm, out_hbm, *rest,
                          n: int, erows: int, cp: int, out_rows: int,
                          ext_r: int, ext_c: int, steps: int,
                          num_strips: int, strip: int, owned: int,
-                         cwrows: int, h2: float, omega: float, err_mode=None):
+                         cwrows: int, h2: float, omega: float,
+                         pw: int, powned: int, lh: int, num_panels: int,
+                         err_mode=None):
     """The WHOLE ascend leg in one HBM pass: 2:1 row-prolongation + interior
     correction add + k post-sweeps (+ optional fused smoothing error).
 
@@ -653,6 +710,14 @@ def _fused_ascend_kernel(offs_smem, u_hbm, f_hbm, cw_hbm, out_hbm, *rest,
     interior, then sweeps. The correction is exact everywhere (coarse data
     has no staleness), so the usual ≤8-sweep trapezoid bound applies
     unchanged; fused cpu/clean error costs one halo row (≤7 sweeps).
+
+    2-D tiling: the 3-correction-buffer footprint forces tiny full-width row
+    strips (48 rows → 16 owned, 3× redundant compute at 8193² — measured).
+    So the grid is also cut into LANE PANELS of ``pw`` lanes with ``lh``-lane
+    halos (×128 each for DMA alignment); buffers shrink by the panel factor
+    and strips grow to ~15× the rows. Iteration order is panel-major; the
+    trapezoid argument applies per edge (lane staleness ≤ steps ≤ 8 ≤ lh).
+    Panels require ext_c == 0 (column-sharded blocks keep one panel).
     """
     if err_mode is None:
         (u_slots, fc_slots, cw_slots, work, a_buf,
@@ -663,12 +728,19 @@ def _fused_ascend_kernel(offs_smem, u_hbm, f_hbm, cw_hbm, out_hbm, *rest,
          load_sems, out_sems) = rest[1:]
     row0 = offs_smem[0]
     col0 = offs_smem[1]
+    num_iter = num_panels * num_strips
 
     # 16-row halo (not 8): load offsets stay ×16, so the halved coarse-side
     # DMA offsets stay ×8 AND even-parity for the row interleave. Shard
     # blocks (ext_r = 16) reuse the same geometry: cw_hbm row 0 corresponds
     # to the coarse row of the extended block's fine row 0, so the in-kernel
     # coarse window offset stays load_start/2 unchanged.
+    def pi(idx):
+        if num_panels == 1:
+            return _i32(0), _i32(idx)
+        return _i32(idx) // _i32(num_strips), jax.lax.rem(
+            _i32(idx), _i32(num_strips))
+
     def load_start(i):
         return _mul8(jnp.clip(_i32(i) * _i32(owned) + _i32(ext_r - 2 * HALO),
                               _i32(0), _i32(erows - strip)))
@@ -677,54 +749,85 @@ def _fused_ascend_kernel(offs_smem, u_hbm, f_hbm, cw_hbm, out_hbm, *rest,
         return _mul8(jnp.clip(_i32(i) * _i32(owned), _i32(0),
                               _i32(out_rows - owned)))
 
-    def load_copies(i, slot):
-        s = load_start(i)
-        cws = _mul8(s // _i32(2))
-        return (pltpu.make_async_copy(u_hbm.at[pl.ds(s, strip), :],
-                                      u_slots.at[slot],
-                                      load_sems.at[slot, _i32(0)]),
-                pltpu.make_async_copy(f_hbm.at[pl.ds(s, strip), :],
-                                      fc_slots.at[slot],
-                                      load_sems.at[slot, _i32(1)]),
-                pltpu.make_async_copy(cw_hbm.at[pl.ds(cws, cwrows), :],
-                                      cw_slots.at[slot],
-                                      load_sems.at[slot, _i32(2)]))
+    if num_panels == 1:
+        # single panel: pw == cp; writes span [ext_c, cp − ext_c)
+        out_wcols = cp - 2 * ext_c
 
-    def out_copy(i, slot):
+        def col_start(p):
+            return _i32(0)
+
+        def write_col(p):
+            return _i32(0)
+
+        def wcl(p):
+            return _i32(ext_c)
+    else:
+        assert ext_c == 0
+        out_wcols = powned
+
+        def col_start(p):
+            return _mul128(jnp.clip(_i32(p) * _i32(powned) - _i32(lh),
+                                    _i32(0), _i32(cp - pw)))
+
+        def write_col(p):
+            return _mul128(jnp.clip(_i32(p) * _i32(powned), _i32(0),
+                                    _i32(cp - powned)))
+
+        def wcl(p):
+            return _mul128(write_col(p) - col_start(p))
+
+    def load_copies(idx, slot):
+        p, i = pi(idx)
+        s = load_start(i)
+        cs = col_start(p)
+        cws = _mul8(s // _i32(2))
+        return (pltpu.make_async_copy(
+                    u_hbm.at[pl.ds(s, strip), pl.ds(cs, pw)],
+                    u_slots.at[slot], load_sems.at[slot, _i32(0)]),
+                pltpu.make_async_copy(
+                    f_hbm.at[pl.ds(s, strip), pl.ds(cs, pw)],
+                    fc_slots.at[slot], load_sems.at[slot, _i32(1)]),
+                pltpu.make_async_copy(
+                    cw_hbm.at[pl.ds(cws, cwrows), pl.ds(cs, pw)],
+                    cw_slots.at[slot], load_sems.at[slot, _i32(2)]))
+
+    def out_copy(idx, slot):
+        p, i = pi(idx)
         wstart = write_start(i)
         wlo = _mul8(wstart + _i32(ext_r) - load_start(i))
         return pltpu.make_async_copy(
-            u_slots.at[slot, pl.ds(wlo, owned),
-                       pl.ds(ext_c, cp - 2 * ext_c)],
-            out_hbm.at[pl.ds(wstart, owned), :],
+            u_slots.at[slot, pl.ds(wlo, owned), pl.ds(wcl(p), out_wcols)],
+            out_hbm.at[pl.ds(wstart, owned), pl.ds(write_col(p), out_wcols)],
             out_sems.at[slot])
 
-    for cp_ in load_copies(_i32(0), _i32(0)):
+    for cp_ in load_copies(0, _i32(0)):
         cp_.start()
 
-    def body(i, acc):
-        slot = jax.lax.rem(_i32(i), _i32(2))
-        nxt = jax.lax.rem(_i32(i) + _i32(1), _i32(2))
+    def body(idx, acc):
+        p, i = pi(idx)
+        slot = jax.lax.rem(_i32(idx), _i32(2))
+        nxt = jax.lax.rem(_i32(idx) + _i32(1), _i32(2))
 
-        @pl.when(i + 1 < num_strips)
+        @pl.when(idx + 1 < num_iter)
         def _():
-            @pl.when(i >= 1)
+            @pl.when(idx >= 1)
             def _():
-                out_copy(i - 1, nxt).wait()
-            for cp_ in load_copies(i + 1, nxt):
+                out_copy(idx - 1, nxt).wait()
+            for cp_ in load_copies(idx + 1, nxt):
                 cp_.start()
 
-        for cp_ in load_copies(i, slot):
+        for cp_ in load_copies(idx, slot):
             cp_.wait()
 
         start_c = load_start(i)
-        rows = jax.lax.broadcasted_iota(jnp.int32, (strip, cp), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (strip, cp), 1)
+        cs = col_start(p)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (strip, pw), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (strip, pw), 1)
         g = rows + start_c + row0
-        gc = cols + col0
+        gc = cols + cs + col0
         ok_global = ((g >= 1) & (g <= n - 2) & (gc >= 1) & (gc <= n - 2))
         ok = (ok_global & (rows >= 1) & (rows <= strip - 2)
-              & (cols >= 1) & (cols <= cp - 2))
+              & (cols >= 1) & (cols <= pw - 2))
         a = jnp.where(ok, jnp.float32(0.25 * omega), jnp.float32(0.0)
                       ).astype(u_hbm.dtype)
         a_buf[:] = a
@@ -742,12 +845,12 @@ def _fused_ascend_kernel(offs_smem, u_hbm, f_hbm, cw_hbm, out_hbm, *rest,
         else:
             od = (ev if _ASCEND_PROBE == "no_od"  # probe: skip the average
                   else 0.5 * (ev + cw[1:strip // 2 + 1, :]))
-            corr = jnp.stack([ev, od], axis=1).reshape(strip, cp)
+            corr = jnp.stack([ev, od], axis=1).reshape(strip, pw)
         u_slots[slot] = u_slots[slot][:] + jnp.where(
             ok_global, corr, jnp.zeros_like(corr))
 
         def nb_sum(u):
-            return _nb_sum(u, strip, cp)
+            return _nb_sum(u, strip, pw)
 
         def sweep(src, dst):
             u = src[:]
@@ -760,10 +863,16 @@ def _fused_ascend_kernel(offs_smem, u_hbm, f_hbm, cw_hbm, out_hbm, *rest,
 
         part = acc
         if err_mode is not None:
+            # exact ownership in BOTH dims (clamped windows overlap)
             o = rows + start_c - _i32(ext_r)
+            oc = cols + cs - _i32(ext_c)
             sel = (ok_global & (o >= _i32(i) * _i32(owned))
                    & (o < jnp.minimum((_i32(i) + 1) * _i32(owned),
                                       _i32(out_rows))))
+            if num_panels > 1:
+                sel = (sel & (oc >= _i32(p) * _i32(powned))
+                       & (oc < jnp.minimum((_i32(p) + 1) * _i32(powned),
+                                           _i32(cp))))
             if err_mode == "gpu":
                 prev = bufs[(steps - 1) % 2][:]
                 val = jnp.abs(fin - prev)
@@ -776,18 +885,18 @@ def _fused_ascend_kernel(offs_smem, u_hbm, f_hbm, cw_hbm, out_hbm, *rest,
 
         if steps % 2 == 1:
             u_slots[slot] = work[:]
-        out_copy(i, slot).start()
+        out_copy(idx, slot).start()
         return part
 
-    total = jax.lax.fori_loop(_i32(0), _i32(num_strips), body,
+    total = jax.lax.fori_loop(_i32(0), _i32(num_iter), body,
                               jnp.zeros((), u_hbm.dtype), unroll=False)
     if err_mode is not None:
         err_smem[0, 0] = total
 
-    last = num_strips - 1
-    if num_strips >= 2:
-        out_copy(_i32(last - 1), _i32((last - 1) % 2)).wait()
-    out_copy(_i32(last), _i32(last % 2)).wait()
+    last = num_iter - 1
+    if num_iter >= 2:
+        out_copy(last - 1, _i32((last - 1) % 2)).wait()
+    out_copy(last, _i32(last % 2)).wait()
 
 
 def _residual_kernel(offs_smem, u_hbm, f_hbm, out_hbm,
@@ -960,10 +1069,8 @@ def _fused_descend_shard_call(offs, u, f, n: int, h: float, steps: int,
         f"restriction={restriction!r}, err={err_mode!r}; got {steps}")
 
     itemsize = jnp.dtype(u.dtype).itemsize
-    # extra buffers vs the plain smoother: dec_scr + 2 half-height dec_out
-    s = _VMEM_BUDGET_BYTES // (8 * cp * itemsize)
-    strip = max(4 * HALO, min((s // 16) * 16, 1024))
-    strip = min(strip, erows)
+    strip, pw, powned, lh, num_panels = _descend_geometry(
+        erows, cp, ext_c, itemsize)
     if strip >= erows:
         strip, owned, num_strips = erows, out_rows, 1
     else:
@@ -975,7 +1082,9 @@ def _fused_descend_shard_call(offs, u, f, n: int, h: float, steps: int,
                      out_rows=out_rows, ext_r=ext_r, ext_c=ext_c, steps=steps,
                      num_strips=num_strips, strip=strip, owned=owned,
                      h2=h * h, omega=omega, from_zero=from_zero,
-                     restriction=restriction, err_mode=err_mode)
+                     restriction=restriction,
+                     pw=pw, powned=powned, lh=lh, num_panels=num_panels,
+                     err_mode=err_mode)
 
     oc = owned // 2
     out_cols = cp - 2 * ext_c
@@ -995,12 +1104,12 @@ def _fused_descend_shard_call(offs, u, f, n: int, h: float, steps: int,
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=tuple(out_specs),
         scratch_shapes=[
-            pltpu.VMEM((2, strip, cp), u.dtype),   # u load slots
-            pltpu.VMEM((2, strip, cp), u.dtype),   # f load slots -> C coeff
-            pltpu.VMEM((strip, cp), u.dtype),      # ping-pong work buffer
-            pltpu.VMEM((strip, cp), u.dtype),      # A coefficient
-            pltpu.VMEM((strip, cp), u.dtype),      # restriction staging
-            pltpu.VMEM((2, oc, cp), u.dtype),      # decimated out slots
+            pltpu.VMEM((2, strip, pw), u.dtype),   # u load slots
+            pltpu.VMEM((2, strip, pw), u.dtype),   # f load slots -> C coeff
+            pltpu.VMEM((strip, pw), u.dtype),      # ping-pong work buffer
+            pltpu.VMEM((strip, pw), u.dtype),      # A coefficient
+            pltpu.VMEM((strip, pw), u.dtype),      # restriction staging
+            pltpu.VMEM((2, oc, pw), u.dtype),      # decimated out slots
             pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -1042,6 +1151,63 @@ def fused_ascend_padded(u, f, cwide, n: int, h: float, steps: int,
         err_mode, ext_r=0, ext_c=0, interpret=interpret)
 
 
+def _panel_geometry(erows: int, cp: int, ext_c: int, strip_for,
+                    row_halo: int):
+    """(strip, pw, powned, lh, num_panels) minimizing redundant work.
+
+    Full-width strips are tiny when a kernel carries many buffers (the
+    ascend leg's 3 correction buffers force 48-row strips -> 3x redundant
+    compute at 8193^2, measured); lane panels trade a 2x128-lane halo for
+    much taller strips. ``strip_for(pw)`` is the kernel's VMEM-budget strip
+    height at panel width pw; ``row_halo`` the rows lost to row halos.
+    Panels need ext_c == 0 and enough width to amortize the halo.
+    """
+    best = (cp, cp, 0, 1)           # pw, powned, lh, num_panels
+    best_cost = None
+    if ext_c == 0 and cp >= 4096:
+        for powned in range(1024, cp + 1, LANE):
+            npan = -(-cp // powned)
+            pw_c = cp if npan == 1 else powned + 2 * LANE
+            if pw_c > cp:
+                continue
+            strip = strip_for(pw_c)
+            out_eff = strip - row_halo
+            if strip >= erows:
+                row_ov = 1.0
+            elif out_eff <= 0:
+                continue
+            else:
+                row_ov = strip / out_eff
+            cost = (npan * pw_c / cp) * row_ov
+            if best_cost is None or cost < best_cost - 1e-9:
+                best_cost = cost
+                best = (pw_c, powned if npan > 1 else cp,
+                        LANE if npan > 1 else 0, npan)
+    pw, powned, lh, npan = best
+    strip = min(strip_for(pw), erows)
+    return strip, pw, powned, lh, npan
+
+
+def _ascend_geometry(erows: int, cp: int, ext_c: int, itemsize: int):
+    def strip_for(pw):
+        # 2u + 2f + work + A (6 strips) + 2 half-height cw slots (strip + 16)
+        r_budget = _VMEM_BUDGET_BYTES // (pw * itemsize)
+        strip = ((r_budget - 16) // 7 // 16) * 16
+        return max(6 * HALO, min(strip, 1024, (erows // 16) * 16 or 16))
+
+    return _panel_geometry(erows, cp, ext_c, strip_for, 4 * HALO)
+
+
+def _descend_geometry(erows: int, cp: int, ext_c: int, itemsize: int):
+    def strip_for(pw):
+        # 2u + 2f + work + A + dec_scr (7 strips) + 2 half-height dec_out
+        r_budget = _VMEM_BUDGET_BYTES // (pw * itemsize)
+        strip = (r_budget // 8 // 16) * 16
+        return max(4 * HALO, min(strip, 1024, (erows // 16) * 16 or 16))
+
+    return _panel_geometry(erows, cp, ext_c, strip_for, 2 * HALO)
+
+
 def _fused_ascend_shard_call(offs, u, f, cwide, n: int, h: float, steps: int,
                              omega: float, err_mode, ext_r: int, ext_c: int,
                              interpret: bool):
@@ -1055,10 +1221,8 @@ def _fused_ascend_shard_call(offs, u, f, cwide, n: int, h: float, steps: int,
         f"fused ascend supports 1..{cap} sweeps (err={err_mode!r}), got {steps}")
 
     itemsize = jnp.dtype(u.dtype).itemsize
-    # buffers: 2 u + 2 f + 2 half cw + work + A ≈ 7 full-height equivalents
-    s = _VMEM_BUDGET_BYTES // (7 * cp * itemsize)
-    strip = max(6 * HALO, min((s // 16) * 16, 1024))
-    strip = min(strip, erows)
+    strip, pw, powned, lh, num_panels = _ascend_geometry(
+        erows, cp, ext_c, itemsize)
     if strip >= erows:
         strip, owned, num_strips = erows, out_rows, 1
     else:
@@ -1070,7 +1234,9 @@ def _fused_ascend_shard_call(offs, u, f, cwide, n: int, h: float, steps: int,
     kernel = partial(_fused_ascend_kernel, n=n, erows=erows, cp=cp,
                      out_rows=out_rows, ext_r=ext_r, ext_c=ext_c, steps=steps,
                      num_strips=num_strips, strip=strip, owned=owned,
-                     cwrows=cwrows, h2=h * h, omega=omega, err_mode=err_mode)
+                     cwrows=cwrows, h2=h * h, omega=omega,
+                     pw=pw, powned=powned, lh=lh, num_panels=num_panels,
+                     err_mode=err_mode)
 
     out_shape = [jax.ShapeDtypeStruct((out_rows, cp - 2 * ext_c), u.dtype)]
     out_specs = [pl.BlockSpec(memory_space=pl.ANY)]
@@ -1085,11 +1251,11 @@ def _fused_ascend_shard_call(offs, u, f, cwide, n: int, h: float, steps: int,
         + [pl.BlockSpec(memory_space=pl.ANY)] * 3,
         out_specs=tuple(out_specs),
         scratch_shapes=[
-            pltpu.VMEM((2, strip, cp), u.dtype),       # u load slots
-            pltpu.VMEM((2, strip, cp), u.dtype),       # f load slots -> C
-            pltpu.VMEM((2, cwrows, cp), u.dtype),      # coarse-wide slots
-            pltpu.VMEM((strip, cp), u.dtype),          # ping-pong work
-            pltpu.VMEM((strip, cp), u.dtype),          # A coefficient
+            pltpu.VMEM((2, strip, pw), u.dtype),       # u load slots
+            pltpu.VMEM((2, strip, pw), u.dtype),       # f load slots -> C
+            pltpu.VMEM((2, cwrows, pw), u.dtype),      # coarse-wide slots
+            pltpu.VMEM((strip, pw), u.dtype),          # ping-pong work
+            pltpu.VMEM((strip, pw), u.dtype),          # A coefficient
             pltpu.SemaphoreType.DMA((2, 3)),
             pltpu.SemaphoreType.DMA((2,)),
         ],

@@ -316,3 +316,64 @@ def test_multiword_residual_kernels_match_xla_forms(rng):
     # accurate than the XLA form — documented in its docstring)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=0, atol=1e-6 * float(jnp.abs(want).max()))
+
+
+@pytest.mark.slow
+def test_fused_ascend_panelized_matches_separate_ops(rng):
+    """The 2-D (lane-panel) ascend geometry engages at cp >= 4096 (n=4097
+    here -> 3 panels x 128-lane halos): must still bit-match the separate
+    ops, including the fused error's two-axis ownership selection."""
+    from multigrid_poisson_solver_tpu.ops import padded as P
+
+    n, steps = 4097, 3
+    m = (n + 1) // 2
+    h = 1.0 / (n - 1)
+    uf = jnp.asarray(rng.standard_normal((n, n)), jnp.float32)
+    uc = jnp.asarray(rng.standard_normal((m, m)), jnp.float32)
+    uc = uc.at[0, :].set(0).at[-1, :].set(0).at[:, 0].set(0).at[:, -1].set(0)
+    f = jnp.asarray(rng.standard_normal((n, n)), jnp.float32)
+    ufp, fp = layout.pad_grid(uf), layout.pad_grid(f)
+    ucp = layout.pad_grid(uc)
+    rp, cp = ufp.shape
+    assert pk._ascend_geometry(rp, cp, 0, 4)[4] > 1   # panels actually on
+
+    cwide = P.prolong_lanes_p(ucp, m, n, (rp // 2 + 8, cp))
+    got_u, err = pk.fused_ascend_padded(ufp, fp, cwide, n, h, steps,
+                                        omega=0.8, want_err=True,
+                                        interpret=True)
+    corr = P.zoom_take_p(ucp, m, n, (rp, cp))
+    want_u = P.add_correction_p(ufp, corr, n)
+    want_u = pk.fused_jacobi_padded(want_u, fp, n, h, steps, omega=0.8,
+                                    interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_u), np.asarray(want_u))
+    want_err = P.smoothing_error_p(want_u, fp, h, n, compat=True)
+    assert float(err) == pytest.approx(float(want_err), rel=1e-4)
+
+
+@pytest.mark.slow
+def test_fused_descend_panelized_matches_separate_ops(rng):
+    """Lane-panel descend geometry (n=4097 -> 5x1920-lane panels at 8193-
+    class widths; here whatever the optimizer picks) matches the separate
+    ops to fp32 eps (the in-kernel extra-sweep residual reassociates)."""
+    from multigrid_poisson_solver_tpu.ops import padded as P
+
+    n, steps = 4097, 3
+    m = (n + 1) // 2
+    h = 1.0 / (n - 1)
+    u = jnp.asarray(rng.standard_normal((n, n)), jnp.float32)
+    f = jnp.asarray(rng.standard_normal((n, n)), jnp.float32)
+    up, fp = layout.pad_grid(u), layout.pad_grid(f)
+    got_u, dwide, err = pk.fused_descend_padded(
+        up, fp, n, h, steps, omega=0.8, restriction="sampling", compat=True,
+        want_err=True, interpret=True)
+    want_u = pk.fused_jacobi_padded(up, fp, n, h, steps, omega=0.8,
+                                    interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_u), np.asarray(want_u))
+    d = P.residual_p(want_u, fp, h, n)
+    mshape = layout.padded_shape(m)
+    want_fc = P.zoom_take_p(-d, n, m, mshape, zero_boundary=True)
+    got_fc = P.restrict_lanes_p(dwide, n, m, mshape)
+    scale = float(jnp.abs(want_fc).max())
+    assert float(jnp.abs(got_fc - want_fc).max()) < 3e-7 * scale
+    want_err = P.smoothing_error_p(want_u, fp, h, n, compat=True)
+    assert float(err) == pytest.approx(float(want_err), rel=1e-4)
