@@ -238,7 +238,7 @@ def _fused_jacobi_kernel(offs_smem, u_hbm, f_hbm, *rest,
             # halo rows, which HALO ≥ steps covers)
             u_slots[slot] = jnp.where(
                 ok_global,
-                -(jnp.float32(0.25 * omega)
+                -(jnp.asarray(0.25 * omega, u_hbm.dtype)
                   * (jnp.asarray(h2, u_hbm.dtype) * raw_f)),
                 jnp.zeros((strip, cp), u_hbm.dtype))
 
@@ -595,7 +595,7 @@ def _fused_descend_kernel(offs_smem, u_hbm, f_hbm, out_hbm, dw_hbm, *rest,
         if from_zero:
             u_slots[slot] = jnp.where(
                 ok_global,
-                -(jnp.float32(0.25 * omega)
+                -(jnp.asarray(0.25 * omega, u_hbm.dtype)
                   * (jnp.asarray(h2, u_hbm.dtype) * raw_f)),
                 jnp.zeros((strip, pw), u_hbm.dtype))
 

@@ -39,6 +39,35 @@ def test_both_engines_converge_per_dtype(dtype, ceiling):
     assert err < ceiling
 
 
+def test_pallas_kernels_trace_at_bf16():
+    """Regression: every Pallas kernel must TRACE with a bf16 state. The
+    from_zero closed-form sweep used a concrete jnp.float32 scalar, which
+    promoted the stored value to f32 and failed JAX's ref-swap dtype check
+    the first time a bf16 program hit the kernel path on real TPU (the
+    XLA-fallback engines the CPU suite exercises never trace these)."""
+    from multigrid_poisson_solver_tpu.ops import layout
+    from multigrid_poisson_solver_tpu.ops import pallas_kernels as K
+
+    n = 65
+    rp, cp = layout.padded_shape(n)
+    u = jnp.zeros((rp, cp), jnp.bfloat16)
+    f = jnp.ones((rp, cp), jnp.bfloat16)
+    cw = jnp.zeros((rp // 2 + 8, cp), jnp.bfloat16)
+    h = 1.0 / (n - 1)
+
+    outs = [
+        K.fused_jacobi_padded(u, f, n, h, 3, from_zero=True, interpret=True),
+        K.fused_jacobi_padded(u, f, n, h, 3, interpret=True),
+        *K.fused_descend_padded(u, f, n, h, 3, want_err=True, interpret=True),
+        *K.fused_ascend_padded(u, f, cw, n, h, 3, want_err=True,
+                               interpret=True),
+        K.residual_pallas(u, f, n, h, interpret=True),
+        *K.fused_jacobi_errs_padded(u, f, n, h, 3, interpret=True),
+    ]
+    for o in jax.tree_util.tree_leaves(outs):
+        assert o.dtype == jnp.bfloat16
+
+
 def test_bf16_chaining_floors_far_above_fp32():
     """Chained bf16 cycles do NOT keep converging — corrections fall below
     bf16 resolution and iteration noise accumulates (measured: ~1e-2 after
