@@ -92,24 +92,47 @@ _ASCEND_PROBE = None
 def _nb_sum(u, rows: int, cols: int):
     """Σ of the four ±1 neighbors with periodic wrap (wrap rows/cols land in
     frozen cells, masked by the A coefficient)."""
-    if _NB_MODE == "rotate":
+    mode = _NB_MODE
+    if jnp.dtype(u.dtype).itemsize != 4:
+        # Mosaic's tpu.dynamic_rotate is 32-bit only ("Rotate with non-32-bit
+        # data" compile error on real TPU); bf16/f64 states take the static
+        # slice+concat lowering instead.
+        mode = "concat"
+    if mode == "rotate":
         return (pltpu.roll(u, shift=_i32(1), axis=0)
                 + pltpu.roll(u, shift=_i32(rows - 1), axis=0)
                 + pltpu.roll(u, shift=_i32(1), axis=1)
                 + pltpu.roll(u, shift=_i32(cols - 1), axis=1))
-    if _NB_MODE == "concat":
+    if mode == "concat":
         dn = jnp.concatenate([u[rows - 1:, :], u[:rows - 1, :]], axis=0)
         up = jnp.concatenate([u[1:, :], u[:1, :]], axis=0)
         rt = jnp.concatenate([u[:, cols - 1:], u[:, :cols - 1]], axis=1)
         lt = jnp.concatenate([u[:, 1:], u[:, :1]], axis=1)
         return dn + up + rt + lt
-    if _NB_MODE == "mixed":
+    if mode == "mixed":
         dn = jnp.concatenate([u[rows - 1:, :], u[:rows - 1, :]], axis=0)
         up = jnp.concatenate([u[1:, :], u[:1, :]], axis=0)
         return (dn + up
                 + pltpu.roll(u, shift=_i32(1), axis=1)
                 + pltpu.roll(u, shift=_i32(cols - 1), axis=1))
-    raise ValueError(f"unknown _NB_MODE {_NB_MODE!r}")
+    raise ValueError(f"unknown _NB_MODE {mode!r}")
+
+
+def _wrap_shift(u, shift: int, axis: int):
+    """Static wrap-shift by `shift` along `axis`, dtype-safe.
+
+    pltpu.roll lowers to tpu.dynamic_rotate which is 32-bit-only; the
+    slice+concat form lowers for every dtype, so non-4-byte states
+    (bf16/f64) always take it."""
+    size = u.shape[axis]
+    if jnp.dtype(u.dtype).itemsize == 4:
+        return pltpu.roll(u, shift=_i32(shift), axis=axis)
+    s = shift % size
+    if s == 0:
+        return u
+    if axis == 0:
+        return jnp.concatenate([u[size - s:, :], u[:size - s, :]], axis=0)
+    return jnp.concatenate([u[:, size - s:], u[:, :size - s]], axis=1)
 
 
 def _fused_jacobi_kernel(offs_smem, u_hbm, f_hbm, *rest,
@@ -275,7 +298,9 @@ def _fused_jacobi_kernel(offs_smem, u_hbm, f_hbm, *rest,
             # subtraction, so the cpu/clean per-iterate metric matches the
             # single-err kernel up to one fp32 reassociation (~1e-7 rel).
             def masked_sum(d, m):
-                v = jnp.abs(d)
+                # accumulate in f32 regardless of state dtype: Mosaic has no
+                # scalar bf16 addf, and a 10⁷-term bf16 sum is meaningless
+                v = jnp.abs(d).astype(jnp.float32)
                 return jnp.sum(jnp.where(m, v, jnp.zeros_like(v)))
 
             parts = list(acc)
@@ -315,6 +340,7 @@ def _fused_jacobi_kernel(offs_smem, u_hbm, f_hbm, *rest,
                     val = jnp.abs(a_buf[:] * (nb_sum(fin) - 4.0 * fin)
                                   - fc_slots[slot][:])
                     sel = selc
+                val = val.astype(jnp.float32)
                 part = acc + jnp.sum(jnp.where(sel, val, jnp.zeros_like(val)))
 
         if n_sweeps % 2 == 1:
@@ -325,8 +351,8 @@ def _fused_jacobi_kernel(offs_smem, u_hbm, f_hbm, *rest,
         return part
 
     k_err = steps - 1 if from_zero else steps
-    acc0 = (tuple(jnp.zeros((), u_hbm.dtype) for _ in range(k_err))
-            if per_sweep else jnp.zeros((), u_hbm.dtype))
+    acc0 = (tuple(jnp.zeros((), jnp.float32) for _ in range(k_err))
+            if per_sweep else jnp.zeros((), jnp.float32))
     total = jax.lax.fori_loop(_i32(0), _i32(num_strips), body, acc0,
                               unroll=False)
     if per_sweep:
@@ -396,7 +422,8 @@ def _fused_jacobi_shard_call(offs, u, f, n: int, h: float, steps: int,
     out_shape = jax.ShapeDtypeStruct((out_rows, cp - 2 * ext_c), u.dtype)
     out_spec = pl.BlockSpec(memory_space=pl.ANY)
     if err_mode is not None:
-        out_shape = (out_shape, jax.ShapeDtypeStruct((1, err_cols), u.dtype))
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((1, err_cols), jnp.float32))
         out_spec = (out_spec, pl.BlockSpec(memory_space=pltpu.SMEM))
 
     result = pl.pallas_call(
@@ -637,6 +664,7 @@ def _fused_descend_kernel(offs_smem, u_hbm, f_hbm, out_hbm, dw_hbm, *rest,
                 val = jnp.abs(delta)
                 if err_mode == "cpu":
                     sel = sel & ((g + gc) % 2 == 0)
+            val = val.astype(jnp.float32)   # f32 partials (bf16-safe, exact)
             part = acc + jnp.sum(jnp.where(sel, val, jnp.zeros_like(val)))
 
         # negated residual for the coarse RHS (restrict(−r), the reference's
@@ -645,12 +673,12 @@ def _fused_descend_kernel(offs_smem, u_hbm, f_hbm, out_hbm, dw_hbm, *rest,
         if fw:
             # separable [¼,½,¼] pre-smooth (both axes); the even-row/col
             # sample below completes full weighting
-            rneg = (0.25 * pltpu.roll(rneg, shift=_i32(1), axis=1)
+            rneg = (0.25 * _wrap_shift(rneg, 1, axis=1)
                     + 0.5 * rneg
-                    + 0.25 * pltpu.roll(rneg, shift=_i32(pw - 1), axis=1))
-            rneg = (0.25 * pltpu.roll(rneg, shift=_i32(1), axis=0)
+                    + 0.25 * _wrap_shift(rneg, pw - 1, axis=1))
+            rneg = (0.25 * _wrap_shift(rneg, 1, axis=0)
                     + 0.5 * rneg
-                    + 0.25 * pltpu.roll(rneg, shift=_i32(strip - 1), axis=0))
+                    + 0.25 * _wrap_shift(rneg, strip - 1, axis=0))
         dec_scr[:] = rneg
 
         # even-row decimation via the sublane-split reshape (lane decimation
@@ -675,7 +703,7 @@ def _fused_descend_kernel(offs_smem, u_hbm, f_hbm, out_hbm, dw_hbm, *rest,
         return part
 
     total = jax.lax.fori_loop(_i32(0), _i32(num_iter), body,
-                              jnp.zeros((), u_hbm.dtype), unroll=False)
+                              jnp.zeros((), jnp.float32), unroll=False)
     if err_mode is not None:
         err_smem[0, 0] = total
 
@@ -881,6 +909,7 @@ def _fused_ascend_kernel(offs_smem, u_hbm, f_hbm, cw_hbm, out_hbm, *rest,
                               - fc_slots[slot][:])
                 if err_mode == "cpu":
                     sel = sel & ((g + gc) % 2 == 0)
+            val = val.astype(jnp.float32)
             part = acc + jnp.sum(jnp.where(sel, val, jnp.zeros_like(val)))
 
         if steps % 2 == 1:
@@ -889,7 +918,7 @@ def _fused_ascend_kernel(offs_smem, u_hbm, f_hbm, cw_hbm, out_hbm, *rest,
         return part
 
     total = jax.lax.fori_loop(_i32(0), _i32(num_iter), body,
-                              jnp.zeros((), u_hbm.dtype), unroll=False)
+                              jnp.zeros((), jnp.float32), unroll=False)
     if err_mode is not None:
         err_smem[0, 0] = total
 
@@ -1093,7 +1122,7 @@ def _fused_descend_shard_call(offs, u, f, n: int, h: float, steps: int,
     out_specs = [pl.BlockSpec(memory_space=pl.ANY),
                  pl.BlockSpec(memory_space=pl.ANY)]
     if err_mode is not None:
-        out_shape.append(jax.ShapeDtypeStruct((1, 1), u.dtype))
+        out_shape.append(jax.ShapeDtypeStruct((1, 1), jnp.float32))
         out_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
 
     result = pl.pallas_call(
@@ -1124,11 +1153,13 @@ def _fused_descend_shard_call(offs, u, f, n: int, h: float, steps: int,
     raw = result[2][0, 0]
     npts = n * n
     if err_mode == "gpu":
-        err = raw * jnp.asarray(4.0 / (h * h) / npts, u.dtype)
+        scale = 4.0 / (h * h) / npts
     else:
-        scale = 4.0 / (omega * h * h) / npts
-        err = raw * jnp.asarray(scale * (2.0 if err_mode == "cpu" else 1.0),
-                                u.dtype)
+        scale = (4.0 / (omega * h * h) / npts
+                 * (2.0 if err_mode == "cpu" else 1.0))
+    # raw partials are f32 (bf16 has no scalar add and no usable range);
+    # rescale in f32, present in the state dtype
+    err = (raw * jnp.float32(scale)).astype(u.dtype)
     return u_new, dwide, err
 
 
@@ -1241,7 +1272,7 @@ def _fused_ascend_shard_call(offs, u, f, cwide, n: int, h: float, steps: int,
     out_shape = [jax.ShapeDtypeStruct((out_rows, cp - 2 * ext_c), u.dtype)]
     out_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     if err_mode is not None:
-        out_shape.append(jax.ShapeDtypeStruct((1, 1), u.dtype))
+        out_shape.append(jax.ShapeDtypeStruct((1, 1), jnp.float32))
         out_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
 
     result = pl.pallas_call(
@@ -1268,11 +1299,13 @@ def _fused_ascend_shard_call(offs, u, f, cwide, n: int, h: float, steps: int,
     u_new, raw = result[0], result[1][0, 0]
     npts = n * n
     if err_mode == "gpu":
-        err = raw * jnp.asarray(4.0 / (h * h) / npts, u.dtype)
+        scale = 4.0 / (h * h) / npts
     else:
-        scale = 4.0 / (omega * h * h) / npts
-        err = raw * jnp.asarray(scale * (2.0 if err_mode == "cpu" else 1.0),
-                                u.dtype)
+        scale = (4.0 / (omega * h * h) / npts
+                 * (2.0 if err_mode == "cpu" else 1.0))
+    # raw partials are f32 (bf16 has no scalar add and no usable range);
+    # rescale in f32, present in the state dtype
+    err = (raw * jnp.float32(scale)).astype(u.dtype)
     return u_new, err
 
 
@@ -1528,11 +1561,13 @@ def fused_jacobi_err_padded(u, f, n: int, h: float, steps: int,
         err_mode=err_mode)
     npts = n * n
     if err_mode == "gpu":
-        err = raw * jnp.asarray(4.0 / (h * h) / npts, u.dtype)
+        scale = 4.0 / (h * h) / npts
     else:
-        scale = 4.0 / (omega * h * h) / npts
-        err = raw * jnp.asarray(scale * (2.0 if err_mode == "cpu" else 1.0),
-                                u.dtype)
+        scale = (4.0 / (omega * h * h) / npts
+                 * (2.0 if err_mode == "cpu" else 1.0))
+    # raw partials are f32 (bf16 has no scalar add and no usable range);
+    # rescale in f32, present in the state dtype
+    err = (raw * jnp.float32(scale)).astype(u.dtype)
     return u, err
 
 
@@ -1569,9 +1604,11 @@ def fused_jacobi_errs_padded(u, f, n: int, h: float, steps: int,
         per_sweep=True)
     npts = n * n
     if err_mode == "gpu":
-        errs = raw * jnp.asarray(4.0 / (h * h) / npts, u.dtype)
+        scale = 4.0 / (h * h) / npts
     else:
-        scale = 4.0 / (omega * h * h) / npts
-        errs = raw * jnp.asarray(scale * (2.0 if err_mode == "cpu" else 1.0),
-                                 u.dtype)
+        scale = (4.0 / (omega * h * h) / npts
+                 * (2.0 if err_mode == "cpu" else 1.0))
+    # raw partials are f32 (bf16 has no scalar add and no usable range);
+    # rescale in f32, present in the state dtype
+    errs = (raw * jnp.float32(scale)).astype(u.dtype)
     return u, errs

@@ -90,7 +90,11 @@ class DeviceTimer:
             out = fn(*args)
         sync(out)
         t2 = time.perf_counter()
-        return ((t2 - t1) - (t1 - t0)) / (2 * reps)
+        d = ((t2 - t1) - (t1 - t0)) / (2 * reps)
+        # noise floor: when fixed costs dominate (tiny N on CPU) the
+        # difference can go negative — report ≥5% of the raw per-call mean
+        # instead of a nonsensical negative rate
+        return max(d, 0.05 * (t2 - t0) / (4 * reps))
 
 
 # --- static cost model --------------------------------------------------------
