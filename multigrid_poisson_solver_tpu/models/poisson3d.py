@@ -135,35 +135,60 @@ def _sizes(n_max: int, n_min: int) -> list[int]:
 
 
 @partial(jax.jit, static_argnames=("n_min", "pre", "post", "coarse_sweeps",
-                                   "omega"))
+                                   "omega", "kernels"))
 def v_cycle3(u, f, h: float, n_min: int = 5, pre: int = 2, post: int = 2,
-             coarse_sweeps: int = 50, omega: float = 0.857):
-    """One recursive 3-D V-cycle (coarsest level relaxed to convergence)."""
+             coarse_sweeps: int = 50, omega: float = 0.857,
+             kernels: str = "xla"):
+    """One recursive 3-D V-cycle (coarsest level relaxed to convergence).
+
+    ``kernels="pallas"`` runs the smoothing passes and the residual through
+    the brick-streamed fused kernels (ops.pallas3d) on levels large enough
+    to benefit; transfers stay XLA (separable rolls — not the hot path).
+    """
     n = u.shape[0]
     sizes = _sizes(n, n_min)
+    if kernels == "pallas":
+        from ..ops import pallas3d as _p3k
+        interp = jax.default_backend() != "tpu"
+
+    def smooth(u, f, h, k):
+        if kernels == "pallas" and u.shape[0] >= 65 and k >= 1:
+            while k > 0:
+                kk = min(k, _p3k.MAX_FUSED_SWEEPS_3D)
+                up = _p3k.fused_jacobi3_padded(
+                    _p3k.pad_grid3(u), _p3k.pad_grid3(f), u.shape[0], h,
+                    kk, omega=omega, interpret=interp)
+                u = _p3k.unpad_grid3(up, u.shape[0])
+                k -= kk
+        for _ in range(k):
+            u = jacobi_sweep3(u, f, h, omega)
+        return u
+
+    def neg_residual(u, f, h):
+        if kernels == "pallas" and u.shape[0] >= 65:
+            rp = _p3k.residual3_pallas(
+                _p3k.pad_grid3(u), _p3k.pad_grid3(f), u.shape[0], h,
+                negate=True, interpret=interp)
+            return _p3k.unpad_grid3(rp, u.shape[0])
+        return -residual3(u, f, h)
 
     def run(u, f, h, depth):
         n = u.shape[0]
         if depth == len(sizes) - 1:
-            for _ in range(coarse_sweeps):
-                u = jacobi_sweep3(u, f, h, omega)
-            return u
-        for _ in range(pre):
-            u = jacobi_sweep3(u, f, h, omega)
+            return smooth(u, f, h, coarse_sweeps)
+        u = smooth(u, f, h, pre)
         m = sizes[depth + 1]
-        fc = restrict3(-residual3(u, f, h), m)
+        fc = restrict3(neg_residual(u, f, h), m)
         ec = run(jnp.zeros((m, m, m), u.dtype), fc, 2 * h, depth + 1)
         u = u + prolong3(ec, n)
         u = u.at[0].set(0).at[-1].set(0)  # prolongation keeps bounds 0 anyway
-        for _ in range(post):
-            u = jacobi_sweep3(u, f, h, omega)
-        return u
+        return smooth(u, f, h, post)
 
     return run(u, f, h, 0)
 
 
 def solve3(problem: Problem3D, n: int, cycles: int = 10,
-           dtype=jnp.float32):
+           dtype=jnp.float32, kernels: str = "xla"):
     """Chained 3-D V-cycles; returns (u, mean |u − analytic| if available)."""
     h = 1.0 / (n - 1)
     f = problem.source_grid(n, dtype) + problem.boundary_grid(n, dtype)
@@ -172,7 +197,7 @@ def solve3(problem: Problem3D, n: int, cycles: int = 10,
     @jax.jit
     def iterate(u, f):
         return jax.lax.fori_loop(
-            0, cycles, lambda i, v: v_cycle3(v, f, h), u)
+            0, cycles, lambda i, v: v_cycle3(v, f, h, kernels=kernels), u)
 
     u = iterate(u, f)
     err = None

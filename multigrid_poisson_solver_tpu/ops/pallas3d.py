@@ -1,0 +1,390 @@
+"""Pallas TPU kernels for the 3-D hot path (capability beyond the 2-D
+reference — see models.poisson3d for the oracle ops and the V-cycle).
+
+The 2-D strip architecture (ops.pallas_kernels) generalizes to 3-D as
+(z, row)-BRICK streaming: the (nz, rp, cp) padded volume is cut into bricks
+of ``zs`` z-planes x ``rs`` rows x full lanes. Each brick is DMA'd into VMEM
+once with a ``steps``-plane z-halo and an 8-row r-halo (trapezoidal tiling
+in two dimensions), k <= 8 sweeps of the 7-point stencil run on-chip
+ping-ponging two VMEM bricks, and only the owned (oz x orow) core is written
+back. HBM traffic drops from 12 bytes/point/sweep to ~12·overhead/k, and —
+as in 2-D — the kernel sidesteps XLA's slow roll/slice lowerings.
+
+Trapezoid correctness (two dimensions now): after sweep s, planes within
+(k - s) of a brick z-cut and rows within (k - s) of a brick r-cut are stale;
+owned cores sit >= k planes / >= 8 >= k rows from any cut, and true Dirichlet
+faces anchor themselves (never updated). The z-halo is exactly ``steps``
+planes (the leading dim is untiled, so offsets need no alignment); the
+r-halo stays 8 for Mosaic's x8 sliced-DMA alignment.
+
+Masks follow the 2-D scheme: a per-brick 2-D coefficient plane
+A = mask·omega/6 freezes cut rows/cols + Dirichlet + padding, and each local
+plane t gets a traced scalar gate for the z-Dirichlet faces.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .layout import pad_cols_to, pad_rows_to
+from .pallas_kernels import _VMEM_BUDGET_BYTES, _i32, _mul8, _nb_sum
+
+MAX_FUSED_SWEEPS_3D = 8
+
+
+def padded_shape3(n: int) -> tuple[int, int, int]:
+    """(nz, rp, cp) for an (n, n, n) grid: z unpadded (untiled leading dim),
+    rows x8, lanes x128."""
+    return (n, pad_rows_to(n), pad_cols_to(n))
+
+
+def pad_grid3(a: jnp.ndarray) -> jnp.ndarray:
+    n = a.shape[0]
+    nz, rp, cp = padded_shape3(n)
+    return jnp.pad(a, ((0, 0), (0, rp - n), (0, cp - n)))
+
+
+def unpad_grid3(a: jnp.ndarray, n: int) -> jnp.ndarray:
+    return a[:n, :n, :n]
+
+
+def _brick_geometry(nz: int, rp: int, cp: int, itemsize: int, z_halo: int,
+                    num_bufs: float = 5.0):
+    """(zs, rs) minimizing redundant compute under the VMEM budget.
+
+    Resident: 2 u slots + 2 f slots + 1 work brick (~5 bricks) + one 2-D
+    coefficient plane (counted via num_bufs headroom)."""
+    best = None
+    for rs in range(24, min(rp, 512) + 1, 8):
+        zs = int(_VMEM_BUDGET_BYTES // (num_bufs * rs * cp * itemsize))
+        zs = min(zs, nz)
+        if rs >= rp:
+            orow = rp
+        else:
+            orow = rs - 16
+        if zs >= nz:
+            oz = nz
+        else:
+            oz = zs - 2 * z_halo
+        if oz < 1 or orow < 8:
+            continue
+        cost = (zs * rs) / (oz * orow)
+        if best is None or cost < best[0] - 1e-9:
+            best = (cost, zs, rs, oz, orow)
+    if best is None:
+        raise ValueError(
+            f"no 3-D brick fits VMEM for rp={rp} cp={cp} (grid too wide)")
+    _, zs, rs, oz, orow = best
+    return zs, rs, oz, orow
+
+
+def _fused_jacobi3_kernel(u_hbm, f_hbm, out_hbm,
+                          u_slots, fc_slots, work, a_buf,
+                          load_sems, out_sems, *,
+                          n: int, nz: int, rp: int, cp: int, steps: int,
+                          zs: int, rs: int, oz: int, orow: int,
+                          num_zb: int, num_rb: int,
+                          h2: float, omega: float, from_zero: bool):
+    """k fused sweeps of the 7-point stencil over (z, row) bricks."""
+    num_iter = num_zb * num_rb
+    w = jnp.asarray(omega / 6.0, u_hbm.dtype)
+
+    def zi(idx):
+        if num_rb == 1:
+            return _i32(idx), _i32(0)
+        return _i32(idx) // _i32(num_rb), jax.lax.rem(_i32(idx), _i32(num_rb))
+
+    def load_z(i):
+        return jnp.clip(_i32(i) * _i32(oz) - _i32(steps), _i32(0),
+                        _i32(nz - zs))
+
+    def write_z(i):
+        return jnp.clip(_i32(i) * _i32(oz), _i32(0), _i32(nz - oz))
+
+    def load_r(j):
+        return _mul8(jnp.clip(_i32(j) * _i32(orow) - _i32(8), _i32(0),
+                              _i32(rp - rs)))
+
+    def write_r(j):
+        return _mul8(jnp.clip(_i32(j) * _i32(orow), _i32(0),
+                              _i32(rp - orow)))
+
+    def load_copies(idx, slot):
+        i, j = zi(idx)
+        z0, r0 = load_z(i), load_r(j)
+        copies = (pltpu.make_async_copy(
+            f_hbm.at[pl.ds(z0, zs), pl.ds(r0, rs), :],
+            fc_slots.at[slot], load_sems.at[slot, _i32(1)]),)
+        if not from_zero:
+            copies += (pltpu.make_async_copy(
+                u_hbm.at[pl.ds(z0, zs), pl.ds(r0, rs), :],
+                u_slots.at[slot], load_sems.at[slot, _i32(0)]),)
+        return copies
+
+    def out_copy(idx, slot):
+        i, j = zi(idx)
+        wz, wr = write_z(i), write_r(j)
+        zlo = wz - load_z(i)
+        rlo = _mul8(wr - load_r(j))
+        return pltpu.make_async_copy(
+            u_slots.at[slot, pl.ds(zlo, oz), pl.ds(rlo, orow), :],
+            out_hbm.at[pl.ds(wz, oz), pl.ds(wr, orow), :],
+            out_sems.at[slot])
+
+    for cp_ in load_copies(0, _i32(0)):
+        cp_.start()
+
+    def body(idx, carry):
+        slot = jax.lax.rem(_i32(idx), _i32(2))
+        nxt = jax.lax.rem(_i32(idx) + _i32(1), _i32(2))
+
+        @pl.when(idx + 1 < num_iter)
+        def _():
+            @pl.when(idx >= 1)
+            def _():
+                out_copy(idx - 1, nxt).wait()
+            for cp_ in load_copies(idx + 1, nxt):
+                cp_.start()
+
+        for cp_ in load_copies(idx, slot):
+            cp_.wait()
+
+        i, j = zi(idx)
+        z0, r0 = load_z(i), load_r(j)
+
+        # --- per-brick 2-D coefficient plane (rows x lanes) ----------------
+        rows = jax.lax.broadcasted_iota(jnp.int32, (rs, cp), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (rs, cp), 1)
+        g = rows + r0
+        ok = ((g >= 1) & (g <= n - 2) & (cols >= 1) & (cols <= n - 2)
+              & (rows >= 1) & (rows <= rs - 2))
+        a_buf[:] = jnp.where(ok, w, jnp.zeros_like(w)).astype(u_hbm.dtype)
+
+        def zgate(t):
+            # local plane t updatable: interior in z, not a brick z-cut
+            gz = z0 + _i32(t)
+            in_z = (gz >= 1) & (gz <= n - 2)
+            if t == 0 or t == zs - 1:
+                return in_z & False if zs > 1 else in_z  # cut plane
+            return in_z
+
+        # C[t] = A·h²·f[t], built once per brick
+        for t in range(zs):
+            fc_slots[slot, t] = a_buf[:] * (
+                jnp.asarray(h2, u_hbm.dtype) * fc_slots[slot, t])
+
+        if from_zero:
+            # closed-form first sweep from u≡0: u₁ = −C on updatable cells
+            for t in range(zs):
+                cpl = fc_slots[slot, t]
+                u_slots[slot, t] = jnp.where(zgate(t), -cpl,
+                                             jnp.zeros_like(cpl))
+
+        n_sweeps = steps - 1 if from_zero else steps
+        bufs = [u_slots.at[slot], work]
+
+        def sweep(src, dst):
+            for t in range(zs):
+                u = src[t]
+                if t == 0 or t == zs - 1:
+                    dst[t] = u
+                    continue
+                nb = (_nb_sum(u, rs, cp) + src[t - 1] + src[t + 1]
+                      - 6.0 * u)
+                upd = u + a_buf[:] * nb - fc_slots[slot, t]
+                dst[t] = jnp.where(zgate(t), upd, u)
+
+        for s in range(n_sweeps):
+            sweep(bufs[s % 2], bufs[(s + 1) % 2])
+        if n_sweeps % 2 == 1:
+            for t in range(zs):
+                u_slots[slot, t] = work[t]
+
+        out_copy(idx, slot).start()
+        return carry
+
+    jax.lax.fori_loop(_i32(0), _i32(num_iter), body, _i32(0), unroll=False)
+
+    last = num_iter - 1
+    if num_iter >= 2:
+        out_copy(_i32(last - 1), _i32((last - 1) % 2)).wait()
+    out_copy(_i32(last), _i32(last % 2)).wait()
+
+
+def fused_jacobi3_padded(u, f, n: int, h: float, steps: int,
+                         omega: float = 6.0 / 7.0, from_zero: bool = False,
+                         interpret: bool = False):
+    """``steps`` fused 3-D Jacobi sweeps in one HBM pass over the padded
+    volume (see module docstring). ``from_zero`` skips the u stream and
+    folds the closed-form first sweep (correction levels)."""
+    nz, rp, cp = u.shape
+    assert (nz, rp, cp) == padded_shape3(n), (u.shape, padded_shape3(n))
+    assert f.shape == u.shape and f.dtype == u.dtype
+    assert 1 <= steps <= MAX_FUSED_SWEEPS_3D
+
+    itemsize = jnp.dtype(u.dtype).itemsize
+    zs, rs, oz, orow = _brick_geometry(nz, rp, cp, itemsize, z_halo=steps)
+    num_zb = math.ceil(nz / oz) if zs < nz else 1
+    num_rb = math.ceil(rp / orow) if rs < rp else 1
+
+    kernel = partial(_fused_jacobi3_kernel, n=n, nz=nz, rp=rp, cp=cp,
+                     steps=steps, zs=zs, rs=rs, oz=oz, orow=orow,
+                     num_zb=num_zb, num_rb=num_rb, h2=h * h, omega=omega,
+                     from_zero=from_zero)
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nz, rp, cp), u.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, zs, rs, cp), u.dtype),     # u slots
+            pltpu.VMEM((2, zs, rs, cp), u.dtype),     # f slots -> C
+            pltpu.VMEM((zs, rs, cp), u.dtype),        # ping-pong work
+            pltpu.VMEM((rs, cp), u.dtype),            # A coefficient plane
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=2 * _VMEM_BUDGET_BYTES),
+        interpret=interpret,
+    )(u, f)
+
+
+def _residual3_kernel(u_hbm, f_hbm, out_hbm,
+                      u_slots, f_slots, out_slots, load_sems, out_sems, *,
+                      n: int, nz: int, rp: int, cp: int,
+                      zs: int, rs: int, oz: int, orow: int,
+                      num_zb: int, num_rb: int, inv_h2: float, negate: bool):
+    """r = ∇²u − f (or its negation) in one brick-streamed pass."""
+    num_iter = num_zb * num_rb
+
+    def zi(idx):
+        if num_rb == 1:
+            return _i32(idx), _i32(0)
+        return _i32(idx) // _i32(num_rb), jax.lax.rem(_i32(idx), _i32(num_rb))
+
+    def load_z(i):
+        return jnp.clip(_i32(i) * _i32(oz) - _i32(1), _i32(0), _i32(nz - zs))
+
+    def write_z(i):
+        return jnp.clip(_i32(i) * _i32(oz), _i32(0), _i32(nz - oz))
+
+    def load_r(j):
+        return _mul8(jnp.clip(_i32(j) * _i32(orow) - _i32(8), _i32(0),
+                              _i32(rp - rs)))
+
+    def write_r(j):
+        return _mul8(jnp.clip(_i32(j) * _i32(orow), _i32(0),
+                              _i32(rp - orow)))
+
+    def load_copies(idx, slot):
+        i, j = zi(idx)
+        z0, r0 = load_z(i), load_r(j)
+        return (pltpu.make_async_copy(
+                    u_hbm.at[pl.ds(z0, zs), pl.ds(r0, rs), :],
+                    u_slots.at[slot], load_sems.at[slot, _i32(0)]),
+                pltpu.make_async_copy(
+                    f_hbm.at[pl.ds(z0, zs), pl.ds(r0, rs), :],
+                    f_slots.at[slot], load_sems.at[slot, _i32(1)]))
+
+    def out_copy(idx, slot):
+        i, j = zi(idx)
+        wz, wr = write_z(i), write_r(j)
+        zlo = wz - load_z(i)
+        rlo = _mul8(wr - load_r(j))
+        return pltpu.make_async_copy(
+            out_slots.at[slot, pl.ds(zlo, oz), pl.ds(rlo, orow), :],
+            out_hbm.at[pl.ds(wz, oz), pl.ds(wr, orow), :],
+            out_sems.at[slot])
+
+    for cp_ in load_copies(0, _i32(0)):
+        cp_.start()
+
+    def body(idx, carry):
+        slot = jax.lax.rem(_i32(idx), _i32(2))
+        nxt = jax.lax.rem(_i32(idx) + _i32(1), _i32(2))
+
+        @pl.when(idx + 1 < num_iter)
+        def _():
+            @pl.when(idx >= 1)
+            def _():
+                out_copy(idx - 1, nxt).wait()
+            for cp_ in load_copies(idx + 1, nxt):
+                cp_.start()
+
+        for cp_ in load_copies(idx, slot):
+            cp_.wait()
+
+        i, j = zi(idx)
+        z0, r0 = load_z(i), load_r(j)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (rs, cp), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (rs, cp), 1)
+        g = rows + r0
+        ok2 = ((g >= 1) & (g <= n - 2) & (cols >= 1) & (cols <= n - 2))
+        sgn = jnp.asarray(-inv_h2 if negate else inv_h2, u_hbm.dtype)
+
+        for t in range(zs):
+            u = u_slots[slot, t]
+            gz = z0 + _i32(t)
+            if t == 0 or t == zs - 1:
+                out_slots[slot, t] = jnp.zeros_like(u)
+                continue
+            nb = (_nb_sum(u, rs, cp) + u_slots[slot, t - 1]
+                  + u_slots[slot, t + 1] - 6.0 * u)
+            r = sgn * nb - (jnp.asarray(-1.0 if negate else 1.0, u_hbm.dtype)
+                            * f_slots[slot, t])
+            gate = ok2 & (gz >= 1) & (gz <= n - 2)
+            out_slots[slot, t] = jnp.where(gate, r, jnp.zeros_like(r))
+
+        out_copy(idx, slot).start()
+        return carry
+
+    jax.lax.fori_loop(_i32(0), _i32(num_iter), body, _i32(0), unroll=False)
+
+    last = num_iter - 1
+    if num_iter >= 2:
+        out_copy(_i32(last - 1), _i32((last - 1) % 2)).wait()
+    out_copy(_i32(last), _i32(last % 2)).wait()
+
+
+def residual3_pallas(u, f, n: int, h: float, negate: bool = False,
+                     interpret: bool = False):
+    """3-D residual in one brick-streamed HBM pass; zero on all faces."""
+    nz, rp, cp = u.shape
+    assert (nz, rp, cp) == padded_shape3(n)
+    assert f.shape == u.shape and f.dtype == u.dtype
+    itemsize = jnp.dtype(u.dtype).itemsize
+    # 2 u + 2 f + 2 out slots resident
+    zs, rs, oz, orow = _brick_geometry(nz, rp, cp, itemsize, z_halo=1,
+                                       num_bufs=6.0)
+    num_zb = math.ceil(nz / oz) if zs < nz else 1
+    num_rb = math.ceil(rp / orow) if rs < rp else 1
+
+    kernel = partial(_residual3_kernel, n=n, nz=nz, rp=rp, cp=cp,
+                     zs=zs, rs=rs, oz=oz, orow=orow,
+                     num_zb=num_zb, num_rb=num_rb,
+                     inv_h2=1.0 / (h * h), negate=negate)
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nz, rp, cp), u.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, zs, rs, cp), u.dtype),
+            pltpu.VMEM((2, zs, rs, cp), u.dtype),
+            pltpu.VMEM((2, zs, rs, cp), u.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=2 * _VMEM_BUDGET_BYTES),
+        interpret=interpret,
+    )(u, f)
