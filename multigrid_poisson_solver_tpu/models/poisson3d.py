@@ -134,8 +134,8 @@ def _sizes(n_max: int, n_min: int) -> list[int]:
     return sizes
 
 
-@partial(jax.jit, static_argnames=("n_min", "pre", "post", "coarse_sweeps",
-                                   "omega", "kernels"))
+@partial(jax.jit, static_argnames=("h", "n_min", "pre", "post",
+                                   "coarse_sweeps", "omega", "kernels"))
 def v_cycle3(u, f, h: float, n_min: int = 5, pre: int = 2, post: int = 2,
              coarse_sweeps: int = 50, omega: float = 0.857,
              kernels: str = "xla"):

@@ -25,6 +25,7 @@ plane t gets a traced scalar gate for the z-Dirichlet faces.
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 
 import jax
@@ -33,9 +34,54 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .layout import pad_cols_to, pad_rows_to
-from .pallas_kernels import _VMEM_BUDGET_BYTES, _i32, _mul8, _nb_sum
+from .pallas_kernels import _i32, _mul8, _nb_sum
 
 MAX_FUSED_SWEEPS_3D = 8
+
+# 3-D bricks would like nearly ALL of VMEM: the 13 MiB strip budget forces
+# tiny bricks whose 2-D trapezoid halos cost ~5x redundant compute at k=8
+# (513³ geometry: red 4.91x at 13 MiB vs 1.58x at 96 MiB). The chip has
+# 128 MiB VMEM (a 120 MiB scratch compiles+runs, probed), but large-budget
+# kernel compiles are still being hardware-validated — override via
+# MG_VMEM_BUDGET_3D for experiments until the default is bumped.
+_VMEM_BUDGET_3D_BYTES = int(
+    os.environ.get("MG_VMEM_BUDGET_3D", 13 * 1024 * 1024))
+# Mosaic allocation cap passed to pallas_call: resident bricks + plane-sized
+# sweep temporaries, kept under the 128 MiB hardware VMEM.
+_VMEM_LIMIT_3D_BYTES = min(_VMEM_BUDGET_3D_BYTES + 24 * 1024 * 1024,
+                           126 * 1024 * 1024)
+
+# Sweep-lowering strategy (A/B knob, resolved at trace time):
+#   "brick"  — whole-(zs,rs,cp) ops: one concat-shift per direction per
+#              sweep, frozen cells handled by a 3-D coefficient brick
+#              (mirrors the 2-D kernel's masked-A design)
+#   "planes" — per-z-plane (rs,cp) ops
+# Measured on hardware at 513³ k=8 (13.6 MiB budget): planes 3.45 ms/sweep,
+# brick 3.81 — whole-brick concats do NOT beat the plane loop, and brick
+# temporaries are brick-sized (VMEM hazard at large budgets), so planes is
+# the default. The real lever was the VMEM budget (see _VMEM_BUDGET_3D_BYTES).
+_SWEEP3_MODE = "planes"
+
+
+def _shift3(u, shift: int, axis: int):
+    """Static wrap-shift of a 3-D VMEM value along ``axis`` (slice+concat;
+    wrapped entries land in frozen cells and are masked by A)."""
+    size = u.shape[axis]
+    s = shift % size
+    if s == 0:
+        return u
+    idx_lo = [slice(None)] * 3
+    idx_hi = [slice(None)] * 3
+    idx_lo[axis] = slice(size - s, None)
+    idx_hi[axis] = slice(None, size - s)
+    return jnp.concatenate([u[tuple(idx_lo)], u[tuple(idx_hi)]], axis=axis)
+
+
+def _nb_sum3_brick(u):
+    """Σ of the six face neighbors of every cell of a (zs, rs, cp) brick."""
+    return (_shift3(u, 1, 0) + _shift3(u, -1, 0)
+            + _shift3(u, 1, 1) + _shift3(u, -1, 1)
+            + _shift3(u, 1, 2) + _shift3(u, -1, 2))
 
 
 def padded_shape3(n: int) -> tuple[int, int, int]:
@@ -62,8 +108,11 @@ def _brick_geometry(nz: int, rp: int, cp: int, itemsize: int, z_halo: int,
     coefficient plane (counted via num_bufs headroom)."""
     best = None
     for rs in range(24, min(rp, 512) + 1, 8):
-        zs = int(_VMEM_BUDGET_BYTES // (num_bufs * rs * cp * itemsize))
-        zs = min(zs, nz)
+        zs = int(_VMEM_BUDGET_3D_BYTES // (num_bufs * rs * cp * itemsize))
+        # cap zs: the kernels unroll a Python loop over planes (x sweeps),
+        # so very deep bricks explode trace/compile time for ~no redundancy
+        # gain once zs >> 2*z_halo
+        zs = min(zs, nz, 64)
         if rs >= rp:
             orow = rp
         else:
@@ -164,7 +213,7 @@ def _fused_jacobi3_kernel(u_hbm, f_hbm, out_hbm,
         g = rows + r0
         ok = ((g >= 1) & (g <= n - 2) & (cols >= 1) & (cols <= n - 2)
               & (rows >= 1) & (rows <= rs - 2))
-        a_buf[:] = jnp.where(ok, w, jnp.zeros_like(w)).astype(u_hbm.dtype)
+        a_plane = jnp.where(ok, w, jnp.zeros_like(w)).astype(u_hbm.dtype)
 
         def zgate(t):
             # local plane t updatable: interior in z, not a brick z-cut
@@ -174,37 +223,40 @@ def _fused_jacobi3_kernel(u_hbm, f_hbm, out_hbm,
                 return in_z & False if zs > 1 else in_z  # cut plane
             return in_z
 
-        # C[t] = A·h²·f[t], built once per brick
+        # A (zero on every frozen cell) and C = A·h²·f, built once per brick
         for t in range(zs):
-            fc_slots[slot, t] = a_buf[:] * (
+            a_buf[t] = jnp.where(zgate(t), a_plane, jnp.zeros_like(a_plane))
+            fc_slots[slot, t] = a_buf[t] * (
                 jnp.asarray(h2, u_hbm.dtype) * fc_slots[slot, t])
 
         if from_zero:
-            # closed-form first sweep from u≡0: u₁ = −C on updatable cells
-            for t in range(zs):
-                cpl = fc_slots[slot, t]
-                u_slots[slot, t] = jnp.where(zgate(t), -cpl,
-                                             jnp.zeros_like(cpl))
+            # closed-form first sweep from u≡0: u₁ = −C (C is already 0 on
+            # every frozen cell, so the whole-brick form needs no mask)
+            u_slots[slot] = -fc_slots[slot]
 
         n_sweeps = steps - 1 if from_zero else steps
         bufs = [u_slots.at[slot], work]
 
-        def sweep(src, dst):
-            for t in range(zs):
-                u = src[t]
-                if t == 0 or t == zs - 1:
-                    dst[t] = u
-                    continue
-                nb = (_nb_sum(u, rs, cp) + src[t - 1] + src[t + 1]
-                      - 6.0 * u)
-                upd = u + a_buf[:] * nb - fc_slots[slot, t]
-                dst[t] = jnp.where(zgate(t), upd, u)
+        if _SWEEP3_MODE == "brick":
+            def sweep(src, dst):
+                u = src[:]
+                dst[:] = (u + a_buf[:] * (_nb_sum3_brick(u) - 6.0 * u)
+                          - fc_slots[slot])
+        else:
+            def sweep(src, dst):
+                for t in range(zs):
+                    u = src[t]
+                    if t == 0 or t == zs - 1:
+                        dst[t] = u
+                        continue
+                    nb = (_nb_sum(u, rs, cp) + src[t - 1] + src[t + 1]
+                          - 6.0 * u)
+                    dst[t] = u + a_buf[t] * nb - fc_slots[slot, t]
 
         for s in range(n_sweeps):
             sweep(bufs[s % 2], bufs[(s + 1) % 2])
         if n_sweeps % 2 == 1:
-            for t in range(zs):
-                u_slots[slot, t] = work[t]
+            u_slots[slot] = work[:]
 
         out_copy(idx, slot).start()
         return carry
@@ -229,7 +281,9 @@ def fused_jacobi3_padded(u, f, n: int, h: float, steps: int,
     assert 1 <= steps <= MAX_FUSED_SWEEPS_3D
 
     itemsize = jnp.dtype(u.dtype).itemsize
-    zs, rs, oz, orow = _brick_geometry(nz, rp, cp, itemsize, z_halo=steps)
+    # resident: 2 u slots + 2 f slots + work + A brick = 6 bricks
+    zs, rs, oz, orow = _brick_geometry(nz, rp, cp, itemsize, z_halo=steps,
+                                       num_bufs=6.0)
     num_zb = math.ceil(nz / oz) if zs < nz else 1
     num_rb = math.ceil(rp / orow) if rs < rp else 1
 
@@ -247,18 +301,19 @@ def fused_jacobi3_padded(u, f, n: int, h: float, steps: int,
             pltpu.VMEM((2, zs, rs, cp), u.dtype),     # u slots
             pltpu.VMEM((2, zs, rs, cp), u.dtype),     # f slots -> C
             pltpu.VMEM((zs, rs, cp), u.dtype),        # ping-pong work
-            pltpu.VMEM((rs, cp), u.dtype),            # A coefficient plane
+            pltpu.VMEM((zs, rs, cp), u.dtype),        # A coefficient brick
             pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=2 * _VMEM_BUDGET_BYTES),
+            vmem_limit_bytes=_VMEM_LIMIT_3D_BYTES),
         interpret=interpret,
     )(u, f)
 
 
 def _residual3_kernel(u_hbm, f_hbm, out_hbm,
-                      u_slots, f_slots, out_slots, load_sems, out_sems, *,
+                      u_slots, f_slots, out_slots, m_buf, load_sems,
+                      out_sems, *,
                       n: int, nz: int, rp: int, cp: int,
                       zs: int, rs: int, oz: int, orow: int,
                       num_zb: int, num_rb: int, inv_h2: float, negate: bool):
@@ -329,19 +384,31 @@ def _residual3_kernel(u_hbm, f_hbm, out_hbm,
         g = rows + r0
         ok2 = ((g >= 1) & (g <= n - 2) & (cols >= 1) & (cols <= n - 2))
         sgn = jnp.asarray(-inv_h2 if negate else inv_h2, u_hbm.dtype)
+        sgf = jnp.asarray(-1.0 if negate else 1.0, u_hbm.dtype)
+        one = jnp.ones((rs, cp), u_hbm.dtype)
 
-        for t in range(zs):
-            u = u_slots[slot, t]
-            gz = z0 + _i32(t)
-            if t == 0 or t == zs - 1:
-                out_slots[slot, t] = jnp.zeros_like(u)
-                continue
-            nb = (_nb_sum(u, rs, cp) + u_slots[slot, t - 1]
-                  + u_slots[slot, t + 1] - 6.0 * u)
-            r = sgn * nb - (jnp.asarray(-1.0 if negate else 1.0, u_hbm.dtype)
-                            * f_slots[slot, t])
-            gate = ok2 & (gz >= 1) & (gz <= n - 2)
-            out_slots[slot, t] = jnp.where(gate, r, jnp.zeros_like(r))
+        if _SWEEP3_MODE == "brick":
+            for t in range(zs):
+                gz = z0 + _i32(t)
+                gate = (ok2 & (gz >= 1) & (gz <= n - 2)
+                        & (t != 0) & (t != zs - 1))
+                m_buf[t] = jnp.where(gate, one, jnp.zeros_like(one))
+            u = u_slots[slot][:]
+            r = (sgn * (_nb_sum3_brick(u) - 6.0 * u)
+                 - sgf * f_slots[slot][:])
+            out_slots[slot] = m_buf[:] * r
+        else:
+            for t in range(zs):
+                u = u_slots[slot, t]
+                gz = z0 + _i32(t)
+                if t == 0 or t == zs - 1:
+                    out_slots[slot, t] = jnp.zeros_like(u)
+                    continue
+                nb = (_nb_sum(u, rs, cp) + u_slots[slot, t - 1]
+                      + u_slots[slot, t + 1] - 6.0 * u)
+                r = sgn * nb - sgf * f_slots[slot, t]
+                gate = ok2 & (gz >= 1) & (gz <= n - 2)
+                out_slots[slot, t] = jnp.where(gate, r, jnp.zeros_like(r))
 
         out_copy(idx, slot).start()
         return carry
@@ -361,9 +428,9 @@ def residual3_pallas(u, f, n: int, h: float, negate: bool = False,
     assert (nz, rp, cp) == padded_shape3(n)
     assert f.shape == u.shape and f.dtype == u.dtype
     itemsize = jnp.dtype(u.dtype).itemsize
-    # 2 u + 2 f + 2 out slots resident
+    # 2 u + 2 f + 2 out slots + mask brick resident
     zs, rs, oz, orow = _brick_geometry(nz, rp, cp, itemsize, z_halo=1,
-                                       num_bufs=6.0)
+                                       num_bufs=7.0)
     num_zb = math.ceil(nz / oz) if zs < nz else 1
     num_rb = math.ceil(rp / orow) if rs < rp else 1
 
@@ -381,10 +448,11 @@ def residual3_pallas(u, f, n: int, h: float, negate: bool = False,
             pltpu.VMEM((2, zs, rs, cp), u.dtype),
             pltpu.VMEM((2, zs, rs, cp), u.dtype),
             pltpu.VMEM((2, zs, rs, cp), u.dtype),
+            pltpu.VMEM((zs, rs, cp), u.dtype),      # interior mask brick
             pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=2 * _VMEM_BUDGET_BYTES),
+            vmem_limit_bytes=_VMEM_LIMIT_3D_BYTES),
         interpret=interpret,
     )(u, f)

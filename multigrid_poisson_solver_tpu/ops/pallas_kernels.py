@@ -38,6 +38,7 @@ edge, so after k ≤ 8 sweeps every owned row is exact.
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 
 import jax
@@ -50,8 +51,12 @@ from .layout import LANE, SUBLANE, padded_shape
 HALO = 8                      # rows of halo per cut edge; also max fused sweeps
 MAX_FUSED_SWEEPS = HALO
 
-# VMEM budget for strip buffers (headroom under ~16 MB/core).
-_VMEM_BUDGET_BYTES = 13 * 1024 * 1024
+# VMEM budget for strip buffers. The chip (v5e) has 128 MiB VMEM/core — a
+# 120 MiB scratch allocation compiles and runs (probed on hardware) — but
+# strips much deeper than ~1024 rows mostly trade DMA-pipeline granularity
+# for little halo-redundancy gain; override for A/B via MG_VMEM_BUDGET_2D.
+_VMEM_BUDGET_BYTES = int(
+    os.environ.get("MG_VMEM_BUDGET_2D", 13 * 1024 * 1024))
 # Resident buffers: 2 u-load slots, 2 f-load slots (reused as the C
 # coefficient), 1 ping-pong work buffer, 1 A coefficient.
 _NUM_BUFFERS = 6

@@ -83,7 +83,7 @@ def test_fused_jacobi3_from_zero(steps):
 
 def test_multi_brick_decomposition(monkeypatch):
     """A small VMEM budget forces num_zb > 1 AND num_rb > 1 at n=33."""
-    monkeypatch.setattr(p3k, "_VMEM_BUDGET_BYTES", 600_000)
+    monkeypatch.setattr(p3k, "_VMEM_BUDGET_3D_BYTES", 600_000)
     n, h = 33, 1.0 / 32
     nz, rp, cp = p3k.padded_shape3(n)
     zs, rs, oz, orow = p3k._brick_geometry(nz, rp, cp, 4, z_halo=2)
