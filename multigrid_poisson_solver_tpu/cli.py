@@ -33,9 +33,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("args", nargs="+",
                    help="[N_THREADS] cycle_file.txt — thread count accepted for "
                         "reference compatibility and ignored")
-    p.add_argument("--problem", default="reference", choices=sorted(BUILTIN_PROBLEMS),
+    p.add_argument("--problem", default="reference",
                    help="built-in problem family (default: the reference's "
-                        "manufactured solution)")
+                        "manufactured solution); 2-D: "
+                        + ", ".join(sorted(BUILTIN_PROBLEMS))
+                        + "; 3-D (--dim 3): reference, poly, harmonic")
+    p.add_argument("--dim", type=int, default=2, choices=[2, 3],
+                   help="spatial dimension: 2 (reference-compatible) or 3 "
+                        "(the same cycle file drives a cubic hierarchy; "
+                        "capability beyond the 2-D reference). 3-D runs use "
+                        "the interpreted engine and write .npz output")
     p.add_argument("--dtype", default="f32", choices=sorted(DTYPES),
                    help="level-array precision (default f32; f64 is emulated on TPU)")
     p.add_argument("--smoother", default="jacobi", choices=["jacobi", "rbgs"])
@@ -126,6 +133,36 @@ def _run_compiled(problem, program, config):
                        nodes=[], error_vs_analytic=err)
 
 
+def _run_3d(program, config, args, cycle_path) -> int:
+    """--dim 3: drive the same parsed schedule through the 3-D engine."""
+    import numpy as np
+
+    from .models.poisson3d import BUILTIN_PROBLEMS_3D
+    from .solver3 import Solver3D
+
+    if args.problem not in BUILTIN_PROBLEMS_3D:
+        print(f"[ ERROR ]: unknown 3-D problem {args.problem!r} "
+              f"(choose from {sorted(BUILTIN_PROBLEMS_3D)})", file=sys.stderr)
+        return 1
+    if args.tol is not None:
+        print("[ ERROR ]: --tol refinement is 2-D only (for now)",
+              file=sys.stderr)
+        return 1
+
+    report = Solver3D(BUILTIN_PROBLEMS_3D[args.problem], config).run(program)
+    if args.stats:
+        for node in report.nodes:
+            print(f"  {node.kind:<12} N={node.n:<6} steps={node.steps} "
+                  f"error={node.error}")
+    print()
+    print(report.summary())
+    if not args.no_output:
+        out = args.output or (solution_filename(cycle_path) + ".npz")
+        np.savez_compressed(out, u=np.asarray(report.u))
+        print(f"Output file name = {out}")
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
@@ -165,6 +202,11 @@ def main(argv=None) -> int:
     if not args.quiet:
         logging.basicConfig(level=logging.INFO, format="%(message)s")
 
+    if args.dim == 2 and args.problem not in BUILTIN_PROBLEMS:
+        print(f"[ ERROR ]: unknown 2-D problem {args.problem!r} "
+              f"(choose from {sorted(BUILTIN_PROBLEMS)})", file=sys.stderr)
+        return 1
+
     config = SolverConfig(
         dtype=jnp.dtype(DTYPES[args.dtype]),
         smoother=args.smoother,
@@ -174,6 +216,9 @@ def main(argv=None) -> int:
                       "gpu": "gpu"}[args.error_metric],
         collect_node_stats=args.stats or not args.quiet,
     )
+    if args.dim == 3:
+        return _run_3d(program, config, args, cycle_path)
+
     problem = BUILTIN_PROBLEMS[args.problem]
 
     if args.tol is not None:

@@ -8,3 +8,10 @@ from .problems import (  # noqa: F401
     polynomial_problem,
     sine_problem,
 )
+from .poisson3d import (  # noqa: F401
+    BUILTIN_PROBLEMS_3D,
+    Problem3D,
+    REFERENCE_PROBLEM_3D,
+    solve3,
+    v_cycle3,
+)

@@ -18,7 +18,7 @@ alignment, the same rule the 2-D fused kernels prefer).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+from functools import lru_cache, partial
 from typing import Callable, Optional
 
 import jax
@@ -46,6 +46,169 @@ def jacobi_sweep3(u, f, h: float, omega: float = 0.857):
     h2 = jnp.asarray(h * h, u.dtype)
     incr = (_nb_sum3(u) - 6.0 * u[1:-1, 1:-1, 1:-1] - h2 * f[1:-1, 1:-1, 1:-1])
     return u.at[1:-1, 1:-1, 1:-1].add(jnp.asarray(omega / 6.0, u.dtype) * incr)
+
+
+def redblack_gs_sweep3(u, f, h: float):
+    """One 3-D red-black Gauss-Seidel sweep: even (i+j+k) half-sweep, then
+    odd, the odd half seeing updated even values (3-D analog of the 2-D
+    reference's GaussSeidel, MG_solver_CPU.cpp:996-1055; the 7-point stencil
+    is 2-colorable just like the 5-point one)."""
+    n = u.shape[0]
+    h2 = jnp.asarray(h * h, u.dtype)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (n - 2,) * 3, 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (n - 2,) * 3, 1)
+    kk = jax.lax.broadcasted_iota(jnp.int32, (n - 2,) * 3, 2)
+    even = (((ii + jj + kk) + 3) % 2 == 0).astype(u.dtype)  # +3: interior offset
+
+    def half(u, mask):
+        val = (_nb_sum3(u) - h2 * f[1:-1, 1:-1, 1:-1]) / 6.0
+        new_int = mask * val + (1 - mask) * u[1:-1, 1:-1, 1:-1]
+        return u.at[1:-1, 1:-1, 1:-1].set(new_int)
+
+    return half(half(u, even), 1.0 - even)
+
+
+def smoothing_error3(u, f, h: float) -> jnp.ndarray:
+    """Post-smoothing error metric for 3-D trigger schedules: mean |residual|
+    over N³ (the 2-D reference's *clean* metric one dimension up — its CPU
+    color-bug is 2-D-specific and is not reproduced here)."""
+    n = u.shape[0]
+    r = residual3(u, f, h)
+    return jnp.sum(jnp.abs(r[1:-1, 1:-1, 1:-1])) / (n ** 3)
+
+
+def gpu_smoothing_error3(u_new, u_old, h: float) -> jnp.ndarray:
+    """3-D analog of the GPU reference's smoother metric (|ΔU|·(2d)/h² of the
+    final ping-pong pair, MG_solver_GPU.cu:633): mean |U_new − U_old|·6/h²."""
+    n = u_new.shape[0]
+    d = jnp.abs(u_new[1:-1, 1:-1, 1:-1] - u_old[1:-1, 1:-1, 1:-1])
+    return jnp.sum(d) * jnp.asarray(6.0 / (h * h), u_new.dtype) / (n ** 3)
+
+
+@partial(jax.jit, static_argnames=("h", "steps", "omega", "compat", "smoother"))
+def smooth3(u, f, h: float, steps: int, omega: float = 0.857,
+            compat="clean", smoother: str = "jacobi"):
+    """``steps`` 3-D smoothing sweeps, then the error metric — the 3-D
+    member of the ops.stencils.smooth family (same signature contract)."""
+    sweep = {"jacobi": partial(jacobi_sweep3, omega=omega),
+             "rbgs": redblack_gs_sweep3}[smoother]
+    if compat == "gpu":
+        if steps == 0:
+            return u, jnp.zeros((), u.dtype)
+        prev, u = jax.lax.fori_loop(
+            0, steps - 1, lambda _, c: (c[1], sweep(c[1], f, h)),
+            (u, sweep(u, f, h)))
+        return u, gpu_smoothing_error3(u, prev, h)
+    u = jax.lax.fori_loop(0, steps, lambda _, v: sweep(v, f, h), u)
+    return u, smoothing_error3(u, f, h)
+
+
+@partial(jax.jit, static_argnames=("h", "trigger", "omega", "compat",
+                                   "smoother", "max_sweeps"))
+def trigger_smooth3(u, f, h: float, trigger: float, omega: float, compat,
+                    smoother: str, max_sweeps: int):
+    """Error-triggered 3-D smoothing (device-side while_loop, same slope-stop
+    rule as the 2-D engines: sweep while |err_k − err_{k−1}| > trigger)."""
+    sweep = {"jacobi": partial(jacobi_sweep3, omega=omega),
+             "rbgs": redblack_gs_sweep3}[smoother]
+
+    def err_of(u_new, u_old):
+        if compat == "gpu":
+            return gpu_smoothing_error3(u_new, u_old, h)
+        return smoothing_error3(u_new, f, h)
+
+    u0 = u
+    u = sweep(u, f, h)
+    err0 = err_of(u, u0)
+
+    def cond(state):
+        _, _, slope, k = state
+        return jnp.logical_and(slope > trigger, k < max_sweeps)
+
+    def body(state):
+        u, prev, _, k = state
+        u_new = sweep(u, f, h)
+        err = err_of(u_new, u)
+        return u_new, err, jnp.abs(err - prev), k + 1
+
+    init = (u, err0, jnp.asarray(trigger + 1.0, err0.dtype),
+            jnp.asarray(1, jnp.int32))
+    u, err, _, k = jax.lax.while_loop(cond, body, init)
+    return u, err, k
+
+
+@lru_cache(maxsize=8)
+def _laplacian3_inverse(n: int, h: float, dtype_name: str):
+    """Cached f64 inverse of the interior 7-point Laplacian on an n³ grid
+    ((n−2)³ unknowns; the 3-D analog of ops.coarse.dense_solve's cached
+    InverseMatrix redesign — one HIGHEST-precision MXU matmul applies it)."""
+    m = n - 2
+    if m ** 3 > 4096:
+        raise ValueError(
+            f"dense 3-D coarse solve capped at 4096 unknowns, got {m ** 3} "
+            f"(n={n}); use the red-black GS option for bigger coarse grids")
+    eye = np.eye(m, dtype=np.float64)
+    lap1 = (np.diag(np.full(m - 1, 1.0), 1) + np.diag(np.full(m - 1, 1.0), -1)
+            - 2.0 * eye)
+    a = (np.kron(np.kron(lap1, eye), eye) + np.kron(np.kron(eye, lap1), eye)
+         + np.kron(np.kron(eye, eye), lap1)) / (h * h)
+    return jnp.asarray(np.linalg.inv(a).astype(dtype_name))
+
+
+def dense_solve3(f, h: float):
+    """Exact coarse solve via the cached dense inverse (CoarseSolve option 0).
+
+    Boundary convention matches the 2-D engine: ``f`` carries Dirichlet
+    values on its border and the RHS inside; the interior system absorbs the
+    boundary terms into the RHS."""
+    n = f.shape[0]
+    inv = _laplacian3_inverse(n, h, jnp.dtype(f.dtype).name)
+    bc = jnp.where(jnp.zeros((n,) * 3, bool).at[1:-1, 1:-1, 1:-1].set(True),
+                   jnp.zeros_like(f), f)
+    # move boundary contributions to the RHS: for interior cells adjacent to
+    # the boundary, A·u = f − (boundary neighbors)/h²
+    rhs = (f[1:-1, 1:-1, 1:-1]
+           - _nb_sum3(bc) / jnp.asarray(h * h, f.dtype))
+    sol = jnp.dot(inv.astype(f.dtype), rhs.reshape(-1),
+                  precision=jax.lax.Precision.HIGHEST,
+                  preferred_element_type=f.dtype)
+    m = n - 2
+    return bc.at[1:-1, 1:-1, 1:-1].set(sol.reshape(m, m, m))
+
+
+@partial(jax.jit, static_argnames=("h", "target", "norm", "max_iters"))
+def gauss_seidel_solve3(f, h: float, target: float, norm: str = "interior",
+                        max_iters: int = 100_000):
+    """Red-black GS at the coarsest 3-D level until mean |residual| ≤ target
+    (CoarseSolve options 1/2), with the 2-D engine's stagnation stop.
+
+    Starts from the Dirichlet data (zero interior), like the reference's
+    exact solvers (MG_solver_CPU.cpp:993)."""
+    n = f.shape[0]
+    mask = jnp.zeros((n,) * 3, bool).at[1:-1, 1:-1, 1:-1].set(True)
+    u0 = jnp.where(mask, jnp.zeros_like(f), f)
+    denom = (n - 2) ** 3 if norm == "interior" else n ** 3
+
+    def err_of(u):
+        r = residual3(u, f, h)
+        return jnp.sum(jnp.abs(r[1:-1, 1:-1, 1:-1])) / denom
+
+    def cond(state):
+        _, err, prev, k = state
+        improving = err < prev * (1.0 - 1e-7)
+        return jnp.logical_and(err > target,
+                               jnp.logical_and(improving, k < max_iters))
+
+    def body(state):
+        u, err, _, k = state
+        u = redblack_gs_sweep3(u, f, h)
+        return u, err_of(u), err, k + 1
+
+    u = redblack_gs_sweep3(u0, f, h)
+    err = err_of(u)
+    state = (u, err, jnp.asarray(jnp.inf, err.dtype), jnp.asarray(1, jnp.int32))
+    u, err, _, k = jax.lax.while_loop(cond, body, state)
+    return u, err, k
 
 
 def restrict3(d, m: int):
@@ -122,6 +285,31 @@ REFERENCE_PROBLEM_3D = Problem3D(
     * jnp.sin(2 * jnp.pi * y) * jnp.sin(2 * jnp.pi * z),
     name="sine3d",
 )
+
+
+# polynomial family: exact solution is a degree-2-per-axis polynomial, so
+# the discrete solution is h-exact (useful for order checks)
+POLY_PROBLEM_3D = Problem3D(
+    source=lambda x, y, z: -2.0 * (y * (1 - y) * z * (1 - z)
+                                   + x * (1 - x) * z * (1 - z)
+                                   + x * (1 - x) * y * (1 - y)),
+    analytic=lambda x, y, z: x * (1 - x) * y * (1 - y) * z * (1 - z),
+    name="poly3d",
+)
+
+# boundary-driven harmonic problem: f = 0, u = the harmonic extension
+HARMONIC_PROBLEM_3D = Problem3D(
+    source=lambda x, y, z: jnp.zeros_like(x),
+    boundary=lambda x, y, z: x * x - 0.5 * y * y - 0.5 * z * z,
+    analytic=lambda x, y, z: x * x - 0.5 * y * y - 0.5 * z * z,
+    name="harmonic3d",
+)
+
+BUILTIN_PROBLEMS_3D = {
+    "reference": REFERENCE_PROBLEM_3D,
+    "poly": POLY_PROBLEM_3D,
+    "harmonic": HARMONIC_PROBLEM_3D,
+}
 
 
 def _sizes(n_max: int, n_min: int) -> list[int]:

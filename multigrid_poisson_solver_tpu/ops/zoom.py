@@ -73,6 +73,34 @@ def zoom(src: jnp.ndarray, n_dst: int, zero_boundary: bool = False) -> jnp.ndarr
     return out
 
 
+@partial(jax.jit, static_argnames=("n_dst", "zero_boundary"))
+def zoom3(src: jnp.ndarray, n_dst: int, zero_boundary: bool = False) -> jnp.ndarray:
+    """Trilinearly resample an (n, n, n) volume to (n_dst,)³, corners aligned.
+
+    The 3-D member of the unified zoom family (same 1-D interpolation matrix
+    as ``zoom``, applied separably along all three axes), used by the 3-D
+    schedule engine (solver3) for general N→M restriction/prolongation —
+    the reference's doRestriction/doProlongation generalized one dimension up.
+    """
+    n_src = src.shape[0]
+    if n_dst == n_src:
+        out = src
+    else:
+        w = zoom_matrix(n_src, n_dst, src.dtype)       # (n_dst, n_src)
+        hi = jax.lax.Precision.HIGHEST
+        # contract each axis in turn: result axes cycle to keep the matmul on
+        # the leading axis; three passes restore the original axis order.
+        out = src
+        for _ in range(3):
+            out = jnp.tensordot(w, out, axes=((1,), (0,)),
+                                precision=hi).transpose(1, 2, 0)
+        out = out.astype(src.dtype)
+    if zero_boundary:
+        mask = jnp.zeros((n_dst,) * 3, bool).at[1:-1, 1:-1, 1:-1].set(True)
+        out = jnp.where(mask, out, jnp.zeros_like(out))
+    return out
+
+
 def restrict_residual(d: jnp.ndarray, n_coarse: int) -> jnp.ndarray:
     """Coarse-level RHS = zoom of the *negated* fine residual, zero boundary.
 
