@@ -26,6 +26,7 @@ from .schedule import (  # noqa: F401
 )
 from .solver import MultigridSolver, SolveReport, SolverConfig, solve  # noqa: F401
 from .solver3 import Solver3D, solve3_program  # noqa: F401
+from .compiled3 import CompiledCycle3, compile_program3  # noqa: F401
 from .models import BUILTIN_PROBLEMS_3D, Problem3D, REFERENCE_PROBLEM_3D  # noqa: F401
 from .compiled import CompiledCycle, compile_program  # noqa: F401
 from .refine import IterativeRefinementSolver, RefineReport, solve_to_tolerance  # noqa: F401

@@ -149,11 +149,37 @@ def _run_3d(program, config, args, cycle_path) -> int:
               file=sys.stderr)
         return 1
 
-    report = Solver3D(BUILTIN_PROBLEMS_3D[args.problem], config).run(program)
-    if args.stats:
-        for node in report.nodes:
-            print(f"  {node.kind:<12} N={node.n:<6} steps={node.steps} "
-                  f"error={node.error}")
+    problem = BUILTIN_PROBLEMS_3D[args.problem]
+    engine = args.engine
+    if engine == "auto":
+        engine = "interpreted" if (args.stats or not args.quiet) else "compiled"
+
+    if engine == "compiled":
+        import time
+
+        import jax.numpy as jnp
+
+        from .compiled3 import compile_program3
+        from .solver import SolveReport
+
+        cc = compile_program3(program, problem, config)
+        u, f = cc.init()
+        start = time.perf_counter()
+        u1, _ = cc(u, f)
+        u1.block_until_ready()
+        wall = time.perf_counter() - start
+        err = None
+        if problem.analytic is not None:
+            ua = problem.analytic_grid(cc.finest_spec.n, config.dtype)
+            err = float(jnp.mean(jnp.abs(u1 - ua)))
+        report = SolveReport(u=u1, spec=cc.finest_spec, wall_time_s=wall,
+                             nodes=[], error_vs_analytic=err)
+    else:
+        report = Solver3D(problem, config).run(program)
+        if args.stats:
+            for node in report.nodes:
+                print(f"  {node.kind:<12} N={node.n:<6} steps={node.steps} "
+                      f"error={node.error}")
     print()
     print(report.summary())
     if not args.no_output:
