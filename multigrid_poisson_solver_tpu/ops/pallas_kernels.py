@@ -51,12 +51,16 @@ from .layout import LANE, SUBLANE, padded_shape
 HALO = 8                      # rows of halo per cut edge; also max fused sweeps
 MAX_FUSED_SWEEPS = HALO
 
-# VMEM budget for strip buffers. The chip (v5e) has 128 MiB VMEM/core — a
-# 120 MiB scratch allocation compiles and runs (probed on hardware) — but
-# strips much deeper than ~1024 rows mostly trade DMA-pipeline granularity
-# for little halo-redundancy gain; override for A/B via MG_VMEM_BUDGET_2D.
+# VMEM budget for strip buffers. The chip (v5e) has 128 MiB VMEM/core (a
+# 120 MiB scratch compiles and runs, probed on hardware); the original
+# 13 MiB budget assumed a 16 MiB part and cost 1.33x halo-redundant compute
+# at 8193 (64-row strips). Hardware sweep at 8193 k=8 (ms/sweep): 13 MiB
+# 0.563, 24 0.423, 28 0.406, 32 0.349-0.416, 40 0.529, 48 0.555, 64 0.486,
+# 100 0.475 -> optimum at 28-32 MiB (strip 144-168, red 1.10); deeper strips
+# regress despite lower redundancy. Residual: 1.534 -> 1.211 ms (1.27x).
+# Override for A/B via MG_VMEM_BUDGET_2D.
 _VMEM_BUDGET_BYTES = int(
-    os.environ.get("MG_VMEM_BUDGET_2D", 13 * 1024 * 1024))
+    os.environ.get("MG_VMEM_BUDGET_2D", 32 * 1024 * 1024))
 # Resident buffers: 2 u-load slots, 2 f-load slots (reused as the C
 # coefficient), 1 ping-pong work buffer, 1 A coefficient.
 _NUM_BUFFERS = 6

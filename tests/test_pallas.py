@@ -37,10 +37,11 @@ def _num_strips(n: int) -> int:
     (900, 5, 2),       # exactly two strips, clamped second strip
     (2049, 11, 3),     # ≥3 strips; sweeps above the cap -> chunked 8 + 3
 ])
-def test_fused_jacobi_matches_oracle(rng, n, steps, min_strips):
-    # geometry guard: if the VMEM budget heuristic changes and these cases
-    # stop exercising the multi-strip pipeline, fail loudly instead of
-    # silently testing the trivial single-strip branch
+def test_fused_jacobi_matches_oracle(rng, n, steps, min_strips, monkeypatch):
+    # pin the original 13 MiB budget so these sizes keep exercising the
+    # multi-strip pipeline (the production default is larger; geometry guard
+    # below fails loudly if the cases degrade to trivial single-strip runs)
+    monkeypatch.setattr(pk, "_VMEM_BUDGET_BYTES", 13 * 1024 * 1024)
     assert _num_strips(n) >= min_strips
 
     u = jnp.asarray(rng.standard_normal((n, n)), jnp.float32)
@@ -319,7 +320,7 @@ def test_multiword_residual_kernels_match_xla_forms(rng):
 
 
 @pytest.mark.slow
-def test_fused_ascend_panelized_matches_separate_ops(rng):
+def test_fused_ascend_panelized_matches_separate_ops(rng, monkeypatch):
     """The 2-D (lane-panel) ascend geometry engages at cp >= 4096 (n=4097
     here -> 3 panels x 128-lane halos): must still bit-match the separate
     ops, including the fused error's two-axis ownership selection."""
@@ -335,6 +336,7 @@ def test_fused_ascend_panelized_matches_separate_ops(rng):
     ufp, fp = layout.pad_grid(uf), layout.pad_grid(f)
     ucp = layout.pad_grid(uc)
     rp, cp = ufp.shape
+    monkeypatch.setattr(pk, "_VMEM_BUDGET_BYTES", 13 * 1024 * 1024)
     assert pk._ascend_geometry(rp, cp, 0, 4)[4] > 1   # panels actually on
 
     cwide = P.prolong_lanes_p(ucp, m, n, (rp // 2 + 8, cp))
