@@ -231,8 +231,10 @@ def _fused_jacobi3_kernel(u_hbm, f_hbm, out_hbm,
 
         if from_zero:
             # closed-form first sweep from u≡0: u₁ = −C (C is already 0 on
-            # every frozen cell, so the whole-brick form needs no mask)
-            u_slots[slot] = -fc_slots[slot]
+            # every frozen cell, so no mask needed; per-plane to keep scoped
+            # VMEM stack usage plane-sized, not brick-sized)
+            for t in range(zs):
+                u_slots[slot, t] = -fc_slots[slot, t]
 
         n_sweeps = steps - 1 if from_zero else steps
         bufs = [u_slots.at[slot], work]
@@ -256,7 +258,8 @@ def _fused_jacobi3_kernel(u_hbm, f_hbm, out_hbm,
         for s in range(n_sweeps):
             sweep(bufs[s % 2], bufs[(s + 1) % 2])
         if n_sweeps % 2 == 1:
-            u_slots[slot] = work[:]
+            for t in range(zs):
+                u_slots[slot, t] = work[t]
 
         out_copy(idx, slot).start()
         return carry
