@@ -38,50 +38,32 @@ from .pallas_kernels import _i32, _mul8, _nb_sum
 
 MAX_FUSED_SWEEPS_3D = 8
 
-# 3-D bricks would like nearly ALL of VMEM: the 13 MiB strip budget forces
+# 3-D bricks want a large slice of the 128 MiB VMEM: small budgets force
 # tiny bricks whose 2-D trapezoid halos cost ~5x redundant compute at k=8
-# (513³ geometry: red 4.91x at 13 MiB vs 1.58x at 96 MiB). The chip has
-# 128 MiB VMEM (a 120 MiB scratch compiles+runs, probed), but large-budget
-# kernel compiles are still being hardware-validated — override via
-# MG_VMEM_BUDGET_3D for experiments until the default is bumped.
+# (513³ geometry: red 4.91x at 13 MiB vs 1.93x at 48 MiB). Hardware budget
+# sweep at 513³ k=8 (fori-loop kernels, 2026-08-17): 13 MiB 6.6 ms/sweep,
+# **48 MiB 0.98 ms/sweep = 138 GDoF/s**, 80/100 MiB ~2.1 ms (deep bricks
+# regress, as in 2-D) — 48 MiB is the default.
 _VMEM_BUDGET_3D_BYTES = int(
-    os.environ.get("MG_VMEM_BUDGET_3D", 13 * 1024 * 1024))
-# Mosaic allocation cap passed to pallas_call: resident bricks + plane-sized
-# sweep temporaries, kept under the 128 MiB hardware VMEM.
-_VMEM_LIMIT_3D_BYTES = min(_VMEM_BUDGET_3D_BYTES + 24 * 1024 * 1024,
-                           126 * 1024 * 1024)
-
-# Sweep-lowering strategy (A/B knob, resolved at trace time):
-#   "brick"  — whole-(zs,rs,cp) ops: one concat-shift per direction per
-#              sweep, frozen cells handled by a 3-D coefficient brick
-#              (mirrors the 2-D kernel's masked-A design)
-#   "planes" — per-z-plane (rs,cp) ops
-# Measured on hardware at 513³ k=8 (13.6 MiB budget): planes 3.45 ms/sweep,
-# brick 3.81 — whole-brick concats do NOT beat the plane loop, and brick
-# temporaries are brick-sized (VMEM hazard at large budgets), so planes is
-# the default. The real lever was the VMEM budget (see _VMEM_BUDGET_3D_BYTES).
-_SWEEP3_MODE = "planes"
+    os.environ.get("MG_VMEM_BUDGET_3D", 48 * 1024 * 1024))
 
 
-def _shift3(u, shift: int, axis: int):
-    """Static wrap-shift of a 3-D VMEM value along ``axis`` (slice+concat;
-    wrapped entries land in frozen cells and are masked by A)."""
-    size = u.shape[axis]
-    s = shift % size
-    if s == 0:
-        return u
-    idx_lo = [slice(None)] * 3
-    idx_hi = [slice(None)] * 3
-    idx_lo[axis] = slice(size - s, None)
-    idx_hi[axis] = slice(None, size - s)
-    return jnp.concatenate([u[tuple(idx_lo)], u[tuple(idx_hi)]], axis=axis)
+def _vmem_limit(scratch_bytes: int) -> int:
+    """Mosaic allocation cap for a pallas_call: the actual resident scratch
+    + headroom for plane-sized sweep temporaries, under the 128 MiB part.
+    Computed per call from the chosen brick geometry — a static cap tied to
+    the import-time budget silently under-allocates when the budget is
+    overridden (the round-2 48+ MiB 'compile failures')."""
+    return min(scratch_bytes + 16 * 1024 * 1024, 126 * 1024 * 1024)
 
-
-def _nb_sum3_brick(u):
-    """Σ of the six face neighbors of every cell of a (zs, rs, cp) brick."""
-    return (_shift3(u, 1, 0) + _shift3(u, -1, 0)
-            + _shift3(u, 1, 1) + _shift3(u, -1, 1)
-            + _shift3(u, 1, 2) + _shift3(u, -1, 2))
+# Sweep lowering: per-z-plane (rs, cp) ops driven by an in-kernel
+# lax.fori_loop with dynamic leading-dim VMEM indexing. A whole-brick
+# concat-shift variant ("brick" mode) was A/B'd on hardware at 513³ k=8
+# (13.6 MiB budget): planes 3.45 ms/sweep vs brick 3.81, and brick
+# temporaries are brick-sized (VMEM hazard at large budgets) — removed.
+# The plane loop is a fori_loop (not a Python unroll) so Mosaic program
+# size is O(1) in brick depth; unrolled kernels crashed the compiler for
+# zs ≳ 30 (the 48+ MiB budget failures in the round-2 sweep).
 
 
 def padded_shape3(n: int) -> tuple[int, int, int]:
@@ -109,10 +91,9 @@ def _brick_geometry(nz: int, rp: int, cp: int, itemsize: int, z_halo: int,
     best = None
     for rs in range(24, min(rp, 512) + 1, 8):
         zs = int(_VMEM_BUDGET_3D_BYTES // (num_bufs * rs * cp * itemsize))
-        # cap zs: the kernels unroll a Python loop over planes (x sweeps),
-        # so very deep bricks explode trace/compile time for ~no redundancy
-        # gain once zs >> 2*z_halo
-        zs = min(zs, nz, 64)
+        # plane loops are fori_loops, so program size is O(1) in zs — no
+        # compile-time cap needed; the cost model picks the (zs, rs) shape
+        zs = min(zs, nz)
         if rs >= rp:
             orow = rp
         else:
@@ -214,52 +195,70 @@ def _fused_jacobi3_kernel(u_hbm, f_hbm, out_hbm,
         ok = ((g >= 1) & (g <= n - 2) & (cols >= 1) & (cols <= n - 2)
               & (rows >= 1) & (rows <= rs - 2))
         a_plane = jnp.where(ok, w, jnp.zeros_like(w)).astype(u_hbm.dtype)
+        h2c = jnp.asarray(h2, u_hbm.dtype)
 
-        def zgate(t):
-            # local plane t updatable: interior in z, not a brick z-cut
-            gz = z0 + _i32(t)
-            in_z = (gz >= 1) & (gz <= n - 2)
-            if t == 0 or t == zs - 1:
-                return in_z & False if zs > 1 else in_z  # cut plane
-            return in_z
+        # A (zero on every frozen cell) and C = A·h²·f, built once per
+        # brick. Plane loops are lax.fori_loops with dynamic leading-dim
+        # indexing (the leading dim of VMEM scratch is untiled, so traced
+        # offsets are unconstrained): program size stays O(1) in zs, which
+        # is what lets large-VMEM bricks compile at all — the unrolled form
+        # (zs x steps plane statements) killed the compiler past ~30 planes.
+        def build_plane(t, c):
+            gz = z0 + t
+            # updatable: interior in z AND not a brick z-cut plane
+            gate = (gz >= 1) & (gz <= n - 2) & (t > 0) & (t < zs - 1)
+            ap = jnp.where(gate, a_plane, jnp.zeros_like(a_plane))
+            a_buf[t] = ap
+            cpl = ap * (h2c * fc_slots[slot, t])
+            fc_slots[slot, t] = cpl
+            if from_zero:
+                # closed-form first sweep from u≡0: u₁ = −C (C is already
+                # zero on every frozen cell, so no extra mask)
+                u_slots[slot, t] = -cpl
+            return c
 
-        # A (zero on every frozen cell) and C = A·h²·f, built once per brick
-        for t in range(zs):
-            a_buf[t] = jnp.where(zgate(t), a_plane, jnp.zeros_like(a_plane))
-            fc_slots[slot, t] = a_buf[t] * (
-                jnp.asarray(h2, u_hbm.dtype) * fc_slots[slot, t])
-
-        if from_zero:
-            # closed-form first sweep from u≡0: u₁ = −C (C is already 0 on
-            # every frozen cell, so no mask needed; per-plane to keep scoped
-            # VMEM stack usage plane-sized, not brick-sized)
-            for t in range(zs):
-                u_slots[slot, t] = -fc_slots[slot, t]
+        jax.lax.fori_loop(_i32(0), _i32(zs), build_plane, _i32(0),
+                          unroll=False)
 
         n_sweeps = steps - 1 if from_zero else steps
-        bufs = [u_slots.at[slot], work]
 
-        if _SWEEP3_MODE == "brick":
-            def sweep(src, dst):
-                u = src[:]
-                dst[:] = (u + a_buf[:] * (_nb_sum3_brick(u) - 6.0 * u)
-                          - fc_slots[slot])
-        else:
-            def sweep(src, dst):
-                for t in range(zs):
-                    u = src[t]
-                    if t == 0 or t == zs - 1:
-                        dst[t] = u
-                        continue
-                    nb = (_nb_sum(u, rs, cp) + src[t - 1] + src[t + 1]
-                          - 6.0 * u)
-                    dst[t] = u + a_buf[t] * nb - fc_slots[slot, t]
+        def read_u(t):
+            return u_slots[slot, t]
+
+        def write_u(t, v):
+            u_slots[slot, t] = v
+
+        def read_w(t):
+            return work[t]
+
+        def write_w(t, v):
+            work[t] = v
+
+        accessors = [(read_u, write_u), (read_w, write_w)]
+
+        def sweep(rd, wr):
+            # cut/face planes copy through so the ping-pong buffer holds
+            # valid halo planes for the next sweep
+            wr(_i32(0), rd(_i32(0)))
+            wr(_i32(zs - 1), rd(_i32(zs - 1)))
+
+            def plane(t, c):
+                u = rd(t)
+                nb = (_nb_sum(u, rs, cp) + rd(t - 1) + rd(t + 1) - 6.0 * u)
+                wr(t, u + a_buf[t] * nb - fc_slots[slot, t])
+                return c
+
+            jax.lax.fori_loop(_i32(1), _i32(zs - 1), plane, _i32(0),
+                              unroll=False)
 
         for s in range(n_sweeps):
-            sweep(bufs[s % 2], bufs[(s + 1) % 2])
+            sweep(accessors[s % 2][0], accessors[(s + 1) % 2][1])
         if n_sweeps % 2 == 1:
-            for t in range(zs):
+            def copy_back(t, c):
                 u_slots[slot, t] = work[t]
+                return c
+            jax.lax.fori_loop(_i32(0), _i32(zs), copy_back, _i32(0),
+                              unroll=False)
 
         out_copy(idx, slot).start()
         return carry
@@ -309,13 +308,13 @@ def fused_jacobi3_padded(u, f, n: int, h: float, steps: int,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT_3D_BYTES),
+            vmem_limit_bytes=_vmem_limit(6 * zs * rs * cp * itemsize)),
         interpret=interpret,
     )(u, f)
 
 
 def _residual3_kernel(u_hbm, f_hbm, out_hbm,
-                      u_slots, f_slots, out_slots, m_buf, load_sems,
+                      u_slots, f_slots, out_slots, load_sems,
                       out_sems, *,
                       n: int, nz: int, rp: int, cp: int,
                       zs: int, rs: int, oz: int, orow: int,
@@ -388,30 +387,24 @@ def _residual3_kernel(u_hbm, f_hbm, out_hbm,
         ok2 = ((g >= 1) & (g <= n - 2) & (cols >= 1) & (cols <= n - 2))
         sgn = jnp.asarray(-inv_h2 if negate else inv_h2, u_hbm.dtype)
         sgf = jnp.asarray(-1.0 if negate else 1.0, u_hbm.dtype)
-        one = jnp.ones((rs, cp), u_hbm.dtype)
 
-        if _SWEEP3_MODE == "brick":
-            for t in range(zs):
-                gz = z0 + _i32(t)
-                gate = (ok2 & (gz >= 1) & (gz <= n - 2)
-                        & (t != 0) & (t != zs - 1))
-                m_buf[t] = jnp.where(gate, one, jnp.zeros_like(one))
-            u = u_slots[slot][:]
-            r = (sgn * (_nb_sum3_brick(u) - 6.0 * u)
-                 - sgf * f_slots[slot][:])
-            out_slots[slot] = m_buf[:] * r
-        else:
-            for t in range(zs):
-                u = u_slots[slot, t]
-                gz = z0 + _i32(t)
-                if t == 0 or t == zs - 1:
-                    out_slots[slot, t] = jnp.zeros_like(u)
-                    continue
-                nb = (_nb_sum(u, rs, cp) + u_slots[slot, t - 1]
-                      + u_slots[slot, t + 1] - 6.0 * u)
-                r = sgn * nb - sgf * f_slots[slot, t]
-                gate = ok2 & (gz >= 1) & (gz <= n - 2)
-                out_slots[slot, t] = jnp.where(gate, r, jnp.zeros_like(r))
+        # cut/face planes are zero (never part of an owned interior cell)
+        zero_plane = jnp.zeros((rs, cp), u_hbm.dtype)
+        out_slots[slot, 0] = zero_plane
+        out_slots[slot, zs - 1] = zero_plane
+
+        def plane(t, c):
+            u = u_slots[slot, t]
+            gz = z0 + t
+            nb = (_nb_sum(u, rs, cp) + u_slots[slot, t - 1]
+                  + u_slots[slot, t + 1] - 6.0 * u)
+            r = sgn * nb - sgf * f_slots[slot, t]
+            gate = ok2 & (gz >= 1) & (gz <= n - 2)
+            out_slots[slot, t] = jnp.where(gate, r, jnp.zeros_like(r))
+            return c
+
+        jax.lax.fori_loop(_i32(1), _i32(zs - 1), plane, _i32(0),
+                          unroll=False)
 
         out_copy(idx, slot).start()
         return carry
@@ -431,9 +424,9 @@ def residual3_pallas(u, f, n: int, h: float, negate: bool = False,
     assert (nz, rp, cp) == padded_shape3(n)
     assert f.shape == u.shape and f.dtype == u.dtype
     itemsize = jnp.dtype(u.dtype).itemsize
-    # 2 u + 2 f + 2 out slots + mask brick resident
+    # 2 u + 2 f + 2 out slots resident
     zs, rs, oz, orow = _brick_geometry(nz, rp, cp, itemsize, z_halo=1,
-                                       num_bufs=7.0)
+                                       num_bufs=6.0)
     num_zb = math.ceil(nz / oz) if zs < nz else 1
     num_rb = math.ceil(rp / orow) if rs < rp else 1
 
@@ -451,11 +444,10 @@ def residual3_pallas(u, f, n: int, h: float, negate: bool = False,
             pltpu.VMEM((2, zs, rs, cp), u.dtype),
             pltpu.VMEM((2, zs, rs, cp), u.dtype),
             pltpu.VMEM((2, zs, rs, cp), u.dtype),
-            pltpu.VMEM((zs, rs, cp), u.dtype),      # interior mask brick
             pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT_3D_BYTES),
+            vmem_limit_bytes=_vmem_limit(6 * zs * rs * cp * itemsize)),
         interpret=interpret,
     )(u, f)
