@@ -336,28 +336,62 @@ def v_cycle3(u, f, h: float, n_min: int = 5, pre: int = 2, post: int = 2,
     n = u.shape[0]
     sizes = _sizes(n, n_min)
     if kernels == "pallas":
+        # padded-resident cycle: pad once, run every level's smoothing,
+        # residual AND transfers in the (nz, rp, cp) layout, unpad once.
+        # Padding around each kernel call instead cost ~3 extra full-volume
+        # copies per smooth, and the plain-jnp transfers lower to strided
+        # lane scatters / moveaxis transposes — both 10×-class slow on TPU.
         from ..ops import pallas3d as _p3k
+        from ..ops import padded3 as _pd3
         interp = jax.default_backend() != "tpu"
+        # 2:1-aligned odd sizes all the way down (guaranteed by _sizes)
+
+        def smooth_p(up, fp, nn, h, k, from_zero=False):
+            if nn >= 65:
+                while k > 0:
+                    kk = min(k, _p3k.MAX_FUSED_SWEEPS_3D)
+                    up = _p3k.fused_jacobi3_padded(
+                        up, fp, nn, h, kk, omega=omega,
+                        from_zero=from_zero, interpret=interp)
+                    from_zero = False
+                    k -= kk
+                return up
+            u = _p3k.unpad_grid3(up, nn)
+            f = _p3k.unpad_grid3(fp, nn)
+            if from_zero:
+                u = jnp.zeros_like(u)
+            for _ in range(k):
+                u = jacobi_sweep3(u, f, h, omega)
+            return _p3k.pad_grid3(u)
+
+        def run_p(up, fp, nn, h, depth, from_zero):
+            if depth == len(sizes) - 1:
+                return smooth_p(up, fp, nn, h, coarse_sweeps, from_zero)
+            up = smooth_p(up, fp, nn, h, pre, from_zero)
+            m = sizes[depth + 1]
+            if nn >= 65:
+                rp = _p3k.residual3_pallas(up, fp, nn, h, negate=True,
+                                           interpret=interp)
+            else:
+                rp = _p3k.pad_grid3(-residual3(
+                    _p3k.unpad_grid3(up, nn), _p3k.unpad_grid3(fp, nn), h))
+            fc = _pd3.restrict3_p(rp, nn, m)
+            # from_zero=True: the zeros volume is a formal operand only —
+            # the kernel's from_zero path never DMAs the u stream
+            ec = run_p(jnp.zeros_like(fc), fc, m, 2 * h, depth + 1, True)
+            up = _pd3.prolong3_add_p(up, ec, nn, m)
+            return smooth_p(up, fp, nn, h, post)
+
+        up = _p3k.pad_grid3(u)
+        fp = _p3k.pad_grid3(f)
+        return _p3k.unpad_grid3(run_p(up, fp, n, h, 0, False), n)
 
     def smooth(u, f, h, k):
-        if kernels == "pallas" and u.shape[0] >= 65 and k >= 1:
-            while k > 0:
-                kk = min(k, _p3k.MAX_FUSED_SWEEPS_3D)
-                up = _p3k.fused_jacobi3_padded(
-                    _p3k.pad_grid3(u), _p3k.pad_grid3(f), u.shape[0], h,
-                    kk, omega=omega, interpret=interp)
-                u = _p3k.unpad_grid3(up, u.shape[0])
-                k -= kk
         for _ in range(k):
             u = jacobi_sweep3(u, f, h, omega)
         return u
 
     def neg_residual(u, f, h):
-        if kernels == "pallas" and u.shape[0] >= 65:
-            rp = _p3k.residual3_pallas(
-                _p3k.pad_grid3(u), _p3k.pad_grid3(f), u.shape[0], h,
-                negate=True, interpret=interp)
-            return _p3k.unpad_grid3(rp, u.shape[0])
         return -residual3(u, f, h)
 
     def run(u, f, h, depth):
