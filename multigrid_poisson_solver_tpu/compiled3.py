@@ -28,16 +28,48 @@ from .solver import SolverConfig
 from .solver3 import _prolong_add3, _restrict_residual3
 
 
+def _use_pallas3(config: SolverConfig) -> bool:
+    mode = getattr(config, "kernels", "auto")
+    if mode == "auto":
+        return jax.default_backend() == "tpu"
+    return mode == "pallas"
+
+
+_PALLAS3_MIN_N = 65  # below this the brick kernels don't pay for themselves
+
+
 def _trace_program3(u, f, *, program: CycleProgram, problem: Problem3D,
                     config: SolverConfig, warm: bool):
     """The traced instruction walk. ``u``/``f`` are the finest-level arrays;
-    returns (u_final, last_smoothing_error)."""
+    returns (u_final, last_smoothing_error).
+
+    Under ``config.kernels`` = "pallas" (or "auto" on TPU) every level's
+    state lives in the padded (nz, rp, cp) brick layout for the whole
+    program: smoothing and residual+restriction run the fused brick kernels
+    (ops.pallas3d) and the 2:1 transfers the padded take-gather operators
+    (ops.padded3) on levels with n ≥ 65; small levels, trigger nodes,
+    compat="gpu" metrics, non-2:1 transfers and coarse solves hop through
+    the plain-jnp ops (cheap at those sizes). This mirrors the 2-D compiled
+    engine's kernel routing (compiled.py) one dimension up."""
     cfg = config
     compat = "gpu" if cfg.compat_error == "gpu" else "clean"
+    use_pallas = _use_pallas3(cfg)
     spec0 = GridSpec(program.n_max, program.length, program.min_x,
                      program.min_y)
+    if use_pallas:
+        from .ops import padded3 as pd3
+        from .ops import pallas3d as p3k
+        interp = jax.default_backend() != "tpu"
 
-    def smooth(u, f, h, steps):
+    # padded-layout helpers (identity when the pallas path is off: state is
+    # then kept unpadded and these are never called)
+    def to_p(a):
+        return p3k.pad_grid3(a)
+
+    def from_p(a, n):
+        return p3k.unpad_grid3(a, n)
+
+    def smooth_xla(u, f, h, steps):
         if steps == -1:
             u, err, _ = p3.trigger_smooth3(u, f, h, cfg.trigger, cfg.omega,
                                            compat, cfg.smoother,
@@ -46,10 +78,51 @@ def _trace_program3(u, f, *, program: CycleProgram, problem: Problem3D,
         return p3.smooth3(u, f, h, steps=steps, omega=cfg.omega,
                           compat=compat, smoother=cfg.smoother)
 
+    def smooth(lu, lf, n, h, steps):
+        """State-layout-polymorphic smoothing: padded under pallas."""
+        if not use_pallas:
+            return smooth_xla(lu, lf, h, steps)
+        fast = (n >= _PALLAS3_MIN_N and steps >= 1 and compat == "clean"
+                and cfg.smoother == "jacobi")
+        if not fast:
+            u, err = smooth_xla(from_p(lu, n), from_p(lf, n), h, steps)
+            return to_p(u), err
+        k = steps
+        while k > 0:
+            kk = min(k, p3k.MAX_FUSED_SWEEPS_3D)
+            lu = p3k.fused_jacobi3_padded(lu, lf, n, h, kk, omega=cfg.omega,
+                                          interpret=interp)
+            k -= kk
+        # clean metric: mean |residual| over n³ (r is zero on faces and in
+        # the padding, so the padded sum is the interior sum)
+        r = p3k.residual3_pallas(lu, lf, n, h, interpret=interp)
+        return lu, jnp.sum(jnp.abs(r)) / (n ** 3)
+
+    def zeros_level(n):
+        if use_pallas:
+            return jnp.zeros(p3k.padded_shape3(n), cfg.dtype)
+        return jnp.zeros((n,) * 3, cfg.dtype)
+
+    def zero_interior(lu, n):
+        """Re-zero the correction interior, keeping the Dirichlet border."""
+        if use_pallas:
+            nz, rp, cp = lu.shape
+            z = jnp.arange(nz).reshape(nz, 1, 1)
+            r = jnp.arange(rp).reshape(1, rp, 1)
+            c = jnp.arange(cp).reshape(1, 1, cp)
+            interior = ((z >= 1) & (z <= n - 2) & (r >= 1) & (r <= n - 2)
+                        & (c >= 1) & (c <= n - 2))
+            return jnp.where(interior, jnp.zeros_like(lu), lu)
+        return jnp.where(
+            jnp.zeros((n,) * 3, bool).at[1:-1, 1:-1, 1:-1].set(True),
+            jnp.zeros_like(lu), lu)
+
     # stack of (spec, u, f, is_fmg); mirrors Solver3D.run
+    if use_pallas:
+        u, f = to_p(u), to_p(f)
     levels = [(spec0, u, f, False)]
     first_descend_done = warm
-    last_err = jnp.zeros((), u.dtype)
+    last_err = jnp.zeros((), cfg.dtype)
 
     for ins in program.instructions:
         spec, lu, lf, is_fmg = levels[-1]
@@ -59,36 +132,45 @@ def _trace_program3(u, f, *, program: CycleProgram, problem: Problem3D,
             finest = len(levels) == 1
             if not (finest and first_descend_done) and not is_fmg:
                 if finest:
-                    lu = jnp.where(
-                        jnp.zeros((n,) * 3, bool)
-                        .at[1:-1, 1:-1, 1:-1].set(True),
-                        jnp.zeros_like(lu), lu)  # keep Dirichlet border
+                    lu = zero_interior(lu, n)  # keep Dirichlet border
                 else:
-                    lu = jnp.zeros((n,) * 3, cfg.dtype)
+                    lu = zeros_level(n)
 
             next_spec = spec.coarsened(ins.next_n)
+            aligned = n == 2 * ins.next_n - 1
             if ins.steps == 0:  # FMG descent
                 from .ops.zoom import zoom3
 
-                f_c = zoom3(lf, ins.next_n, zero_boundary=True)
+                lf_raw = from_p(lf, n) if use_pallas else lf
+                f_c = zoom3(lf_raw, ins.next_n, zero_boundary=True)
                 f_c = f_c + problem.boundary_grid(next_spec.n, cfg.dtype)
+                if use_pallas:
+                    f_c = to_p(f_c)
                 levels[-1] = (spec, lu, lf, is_fmg)
-                levels.append((next_spec,
-                               jnp.zeros((next_spec.n,) * 3, cfg.dtype),
-                               f_c, True))
+                levels.append((next_spec, zeros_level(next_spec.n), f_c,
+                               True))
                 continue
 
-            lu, last_err = smooth(lu, lf, h, ins.steps)
-            f_c = _restrict_residual3(lu, lf, h, ins.next_n,
-                                      restriction=cfg.restriction)
+            lu, last_err = smooth(lu, lf, n, h, ins.steps)
+            if use_pallas and aligned and n >= _PALLAS3_MIN_N:
+                rpad = p3k.residual3_pallas(lu, lf, n, h, negate=True,
+                                            interpret=interp)
+                f_c = pd3.restrict3_p(rpad, n, ins.next_n,
+                                      mode=cfg.restriction)
+            elif use_pallas:
+                f_c = to_p(_restrict_residual3(
+                    from_p(lu, n), from_p(lf, n), h, ins.next_n,
+                    restriction=cfg.restriction))
+            else:
+                f_c = _restrict_residual3(lu, lf, h, ins.next_n,
+                                          restriction=cfg.restriction)
             levels[-1] = (spec, lu, lf, is_fmg)
-            levels.append((next_spec,
-                           jnp.zeros((next_spec.n,) * 3, cfg.dtype), f_c,
-                           False))
+            levels.append((next_spec, zeros_level(next_spec.n), f_c, False))
 
         elif isinstance(ins, CoarseSolve):
+            lf_raw = from_p(lf, n) if use_pallas else lf
             if ins.option == 0:
-                lu = p3.dense_solve3(lf, h)
+                lu = p3.dense_solve3(lf_raw, h)
             else:
                 if ins.option == 2:
                     dtype = jnp.float32
@@ -97,25 +179,36 @@ def _trace_program3(u, f, *, program: CycleProgram, problem: Problem3D,
                 else:
                     dtype = cfg.dtype
                 us, last_err, _ = p3.gauss_seidel_solve3(
-                    lf.astype(dtype), h, ins.target_error,
+                    lf_raw.astype(dtype), h, ins.target_error,
                     norm=cfg.coarse_gs_norm)
                 lu = us.astype(cfg.dtype)
+            if use_pallas:
+                lu = to_p(lu)
             levels[-1] = (spec, lu, lf, is_fmg)
 
         elif isinstance(ins, Ascend):
             child_spec, cu, _, _ = levels.pop()
             spec, lu, lf, is_fmg = levels[-1]
             n, h = spec.n, spec.h
-            lu = _prolong_add3(cu, lu, n)
+            m = child_spec.n
+            if use_pallas and n == 2 * m - 1 and n >= _PALLAS3_MIN_N:
+                lu = pd3.prolong3_add_p(lu, cu, n, m, interior_only=True)
+            elif use_pallas:
+                lu = to_p(_prolong_add3(from_p(cu, m), from_p(lu, n), n))
+            else:
+                lu = _prolong_add3(cu, lu, n)
             if len(levels) == 1:
                 first_descend_done = True
             if ins.steps != 0:
-                lu, last_err = smooth(lu, lf, h, ins.steps)
+                lu, last_err = smooth(lu, lf, n, h, ins.steps)
             levels[-1] = (spec, lu, lf, is_fmg)
         else:
             raise TypeError(f"unknown instruction {ins!r}")
 
-    return levels[-1][1], last_err
+    u_out = levels[-1][1]
+    if use_pallas:
+        u_out = from_p(u_out, levels[-1][0].n)
+    return u_out, last_err
 
 
 @dataclasses.dataclass

@@ -5,26 +5,37 @@ The brick-streamed Pallas kernels (ops.pallas3d) work on the padded
 pads/unpads around every kernel call pays ~3 extra full-volume copies per
 smoothing pass, and the plain-jnp transfer ops (models.poisson3d.restrict3 /
 prolong3) lower to strided lane scatters and moveaxis transposes — both
-probed 10×-class slow on TPU in 2-D. This module keeps the whole cycle
-resident in the padded layout:
+probed 10×-class slow on TPU in 2-D (the 513³ hardware profile measured
+restrict3 alone at 310 ms). This module keeps the whole cycle resident in
+the padded layout:
 
-- ``restrict3_p``: 2:1 full-weighting ([¼,½,¼]³ then even sample) fine →
-  coarse, zero boundary — the 3-D member of the restriction family
-  (reference 2-D analog: doRestriction, MG_solver_CPU.cpp:640-680).
+- ``restrict3_p``: 2:1 restriction fine → coarse, zero boundary, in
+  "full_weighting" ([¼,½,¼]³) or "sampling" (reference doRestriction
+  semantics, MG_solver_CPU.cpp:640-680) mode.
 - ``prolong3_add_p``: fine += trilinear(coarse) in one fused XLA program
   (reference 2-D analog: doProlongation + addition, MG_solver_CPU.cpp:682-724
   and the GPU zoom+add pair at MG_solver_GPU.cu:1364-1423).
 
-Lowering rules (probed on hardware in 2-D, ROADMAP §1): lane/sublane
-resampling is a ``jnp.take`` gather — every reformulation (strided slice,
-reshape-index, scatter-dilate, …) measured slower; leading-dim (z) strided
-slices are plane-contiguous and cheap. The 2:1 trilinear gather uses the
-identity e[i] = ½·(c[⌊i/2⌋] + c[⌈i/2⌉]) — exact for even i too — so each
-axis is two takes + one add.
+Lowering (hardware A/B at 513³, session of 2026-08-17, ms):
+
+| op                | strided jnp | zr-gather | matmul HIGHEST | matmul HIGH |
+| restrict 513→257  |   310       |   10.3    |   **6.7**      |  2.9–3.2    |
+| prolong+add 257→513|   24*      |   17.6    |   **10.6**     |  6.9        |
+
+(*original moveaxis/scatter form.) The separable resampling runs as three
+einsum contractions on the MXU with ``precision=HIGHEST`` (bf16_6x — exact
+to fp32 roundoff, measured 6e-8 rel; HIGH/bf16_3x leaves 8e-6-rel noise
+because two bf16 words cannot carry an fp32 input, so it is offered as an
+opt-in ``precision`` argument only). Weight matrices are built on device
+from iota comparisons at trace time — ~2 MB of host constants per level
+would otherwise ride the ~2 MB/s remote-compile tunnel. "sampling" mode
+restriction keeps a 1-tap flat row-gather (a leading-dim gather of the
+(nz·rp, cp) reshape — 0.90 ms where the same gather as a 3-D middle-axis
+take costs 8.9 ms) plus one lane take: cheaper than any matmul.
 
 Padding invariant: rows/cols ≥ n are zero on the way in and stay zero on
-the way out (restriction masks them; prolongation gathers only zeros into
-them), so no separate re-masking pass is ever needed.
+the way out (the weight rows/gather masks for padding targets are zero),
+so no separate re-masking pass is ever needed.
 """
 
 from __future__ import annotations
@@ -36,60 +47,119 @@ import jax.numpy as jnp
 
 from .layout import pad_cols_to, pad_rows_to
 
-
-def _fw_axis_take(a, n_src: int, m: int, p_dst: int, axis: int):
-    """[¼,½,¼]-weighted 2:1 restriction along a sublane/lane ``axis`` via
-    three clipped take-gathers; output entries ≥ m (coarse padding and the
-    zero-Dirichlet faces) are forced to 0."""
-    idx = jnp.arange(p_dst)
-    mid = jnp.clip(2 * idx, 0, n_src - 1)
-    lo = jnp.clip(2 * idx - 1, 0, n_src - 1)
-    hi = jnp.clip(2 * idx + 1, 0, n_src - 1)
-    out = (0.25 * jnp.take(a, lo, axis=axis)
-           + 0.5 * jnp.take(a, mid, axis=axis)
-           + 0.25 * jnp.take(a, hi, axis=axis))
-    interior = (idx >= 1) & (idx <= m - 2)
-    shape = [1, 1, 1]
-    shape[axis] = p_dst
-    return jnp.where(interior.reshape(shape), out, jnp.zeros_like(out))
+_HIGHEST = jax.lax.Precision.HIGHEST
 
 
-@partial(jax.jit, static_argnames=("n", "m"))
-def restrict3_p(d, n: int, m: int):
-    """Padded (n, rp_n, cp_n) → padded (m, rp_m, cp_m) 2:1 full-weighting
-    restriction with zero boundary; requires n == 2m − 1."""
+def _iotas(rows: int, cols: int):
+    i = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+    return i, j
+
+
+def _restrict_w(p_dst: int, m: int, p_src: int, taps, dtype):
+    """(p_dst, p_src) 1-D restriction matrix: dst i ← Σ w·src[2i+off] on the
+    coarse interior; boundary and padding rows are all-zero (the mask is
+    baked into the operator)."""
+    i, j = _iotas(p_dst, p_src)
+    interior = (i >= 1) & (i <= m - 2)
+    w = jnp.zeros((p_dst, p_src), dtype)
+    for off, wt in taps:
+        w = w + jnp.where(interior & (j == 2 * i + off),
+                          jnp.asarray(wt, dtype), jnp.zeros((), dtype))
+    return w
+
+
+def _prolong_w(p_dst: int, n: int, p_src: int, m: int, dtype):
+    """(p_dst, p_src) 1-D 2:1 linear-interpolation matrix built on the
+    e[i] = ½·(c[⌊i/2⌋] + c[⌈i/2⌉]) identity (the two taps coincide at even
+    i and sum to 1). Rows ≥ n (fine padding) are all-zero."""
+    i, j = _iotas(p_dst, p_src)
+    valid = i <= n - 1
+    half = jnp.asarray(0.5, dtype)
+    zero = jnp.zeros((), dtype)
+    return (jnp.where(valid & (j == i // 2), half, zero)
+            + jnp.where(valid & (j == (i + 1) // 2), half, zero))
+
+
+def _zr_gather(a, taps, out_z: int, out_r: int):
+    """Weighted sum of flat leading-dim gathers: one (z, row) resampling
+    pass. ``taps`` is a list of (zmap (out_z,), rmap (out_r,), weight)."""
+    nz, rp, cp = a.shape
+    flat = a.reshape(nz * rp, cp)
+    acc = None
+    for zmap, rmap, w in taps:
+        idx = (zmap[:, None] * rp + rmap[None, :]).reshape(-1)
+        g = jnp.take(flat, idx, axis=0)
+        acc = w * g if acc is None else acc + w * g
+    return acc.reshape(out_z, out_r, cp)
+
+
+@partial(jax.jit, static_argnames=("n", "m", "mode", "precision"))
+def restrict3_p(d, n: int, m: int, mode: str = "full_weighting",
+                precision=_HIGHEST):
+    """Padded (n, rp_n, cp_n) → padded (m, rp_m, cp_m) 2:1 restriction with
+    zero boundary; requires n == 2m − 1. ``mode`` picks the stencil:
+    "full_weighting" ([¼,½,¼]³ — REQUIRED for rb-GS smoothing) or
+    "sampling" (even points, the reference's doRestriction semantics)."""
     if n != 2 * m - 1:
         raise ValueError(f"need n == 2m-1, got {n} -> {m}")
-    # z (leading, untiled): plane-contiguous strided slices; interior z of
-    # the coarse volume is 1..m-2 ← fine planes (2z−1, 2z, 2z+1)
-    zc = (0.25 * d[1:n - 2:2] + 0.5 * d[2:n - 1:2] + 0.25 * d[3:n:2])
-    zero = jnp.zeros_like(zc[:1])
-    out = jnp.concatenate([zero, zc, zero], axis=0)          # (m, rp_n, cp_n)
-    out = _fw_axis_take(out, n, m, pad_rows_to(m), axis=1)   # (m, rp_m, cp_n)
-    out = _fw_axis_take(out, n, m, pad_cols_to(m), axis=2)   # (m, rp_m, cp_m)
-    return out
+    rp_n, cp_n = d.shape[1], d.shape[2]
+    rp_m, cp_m = pad_rows_to(m), pad_cols_to(m)
+
+    if mode == "sampling":
+        # 1-tap gather in (z, row), one lane take, then the interior mask
+        idx_z = jnp.clip(2 * jnp.arange(m), 0, n - 1)
+        idx_r = jnp.clip(2 * jnp.arange(rp_m), 0, n - 1)
+        out = _zr_gather(d, [(idx_z, idx_r, 1.0)], m, rp_m)
+        idx_c = jnp.clip(2 * jnp.arange(cp_m), 0, n - 1)
+        out = jnp.take(out.reshape(m * rp_m, cp_n), idx_c,
+                       axis=1).reshape(m, rp_m, cp_m)
+        z = jnp.arange(m).reshape(m, 1, 1)
+        r = jnp.arange(rp_m).reshape(1, rp_m, 1)
+        c = jnp.arange(cp_m).reshape(1, 1, cp_m)
+        interior = ((z >= 1) & (z <= m - 2) & (r >= 1) & (r <= m - 2)
+                    & (c >= 1) & (c <= m - 2))
+        return jnp.where(interior, out, jnp.zeros_like(out))
+    if mode != "full_weighting":
+        raise ValueError(f"unknown restriction mode {mode!r}")
+
+    taps = [(-1, 0.25), (0, 0.5), (1, 0.25)]
+    wz = _restrict_w(m, m, n, taps, d.dtype)
+    wr = _restrict_w(rp_m, m, rp_n, taps, d.dtype)
+    wc = _restrict_w(cp_m, m, cp_n, taps, d.dtype)
+    x = jnp.einsum('zs,src->zrc', wz, d, precision=precision)
+    x = jnp.einsum('rs,zsc->zrc', wr, x, precision=precision)
+    return jnp.einsum('cs,zrs->zrc', wc, x, precision=precision)
 
 
-def _lerp_axis_take(c, m: int, p_dst: int, axis: int):
-    """2:1 trilinear expansion along ``axis``: e[i] = ½(c[⌊i/2⌋] + c[⌈i/2⌉]).
-
-    Indices are clipped to the coarse extent; gathered padding is zero by
-    the layout invariant, so fine padding comes out zero with no masking."""
-    idx = jnp.arange(p_dst)
-    lo = jnp.clip(idx // 2, 0, m - 1)
-    hi = jnp.clip((idx + 1) // 2, 0, m - 1)
-    return 0.5 * (jnp.take(c, lo, axis=axis) + jnp.take(c, hi, axis=axis))
-
-
-@partial(jax.jit, static_argnames=("n", "m"))
-def prolong3_add_p(u, c, n: int, m: int):
+@partial(jax.jit, static_argnames=("n", "m", "interior_only", "precision"))
+def prolong3_add_p(u, c, n: int, m: int, interior_only: bool = False,
+                   precision=_HIGHEST):
     """u += trilinear(c): padded coarse (m, rp_m, cp_m) correction expanded
     onto the padded fine (n, rp_n, cp_n) iterate, one fused XLA program;
-    requires n == 2m − 1. Dirichlet faces stay intact because the coarse
-    correction is zero on its own faces."""
+    requires n == 2m − 1. In the correction scheme the coarse faces are
+    zero, so the fine Dirichlet faces stay intact; ``interior_only=True``
+    masks the expanded correction to the fine interior anyway (the schedule
+    engines' _prolong_add3 semantics — needed when the coarse level carries
+    a full FMG solution with nonzero boundary)."""
     if n != 2 * m - 1:
         raise ValueError(f"need n == 2m-1, got {m} -> {n}")
-    e = _lerp_axis_take(c, m, n, axis=0)
-    e = _lerp_axis_take(e, m, pad_rows_to(n), axis=1)
-    e = _lerp_axis_take(e, m, pad_cols_to(n), axis=2)
+    rp_m, cp_m = c.shape[1], c.shape[2]
+    rp_n, cp_n = pad_rows_to(n), pad_cols_to(n)
+
+    wc = _prolong_w(cp_n, n, cp_m, m, c.dtype)
+    wr = _prolong_w(rp_n, n, rp_m, m, c.dtype)
+    wz = _prolong_w(n, n, m, m, c.dtype)
+    # ascending size order: lanes on the coarse volume first, z last
+    e = jnp.einsum('cs,zrs->zrc', wc, c, precision=precision)
+    e = jnp.einsum('rs,zsc->zrc', wr, e, precision=precision)
+    e = jnp.einsum('zs,src->zrc', wz, e, precision=precision)
+
+    if interior_only:
+        z = jnp.arange(n).reshape(n, 1, 1)
+        r = jnp.arange(rp_n).reshape(1, rp_n, 1)
+        cc = jnp.arange(cp_n).reshape(1, 1, cp_n)
+        mask = ((z >= 1) & (z <= n - 2) & (r >= 1) & (r <= n - 2)
+                & (cc >= 1) & (cc <= n - 2))
+        e = jnp.where(mask, e, jnp.zeros_like(e))
     return u + e

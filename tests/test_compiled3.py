@@ -77,3 +77,57 @@ def test_warm_chaining_across_calls():
     d1 = float(jnp.abs(u1 - ue).max())
     d3 = float(jnp.abs(u3 - ue).max())
     assert d3 < d1 * 1e-2  # ~1/36 contraction per cycle, two extra cycles
+
+
+# ---- pallas-mode (padded-resident) engine consistency ----------------------
+# kernels="pallas" keeps every level's state in the padded brick layout and
+# routes smoothing/residual/2:1-transfers through ops.pallas3d / ops.padded3
+# (interpret mode off-TPU). Results must match the plain engine.
+
+
+def _cfg_pallas(**kw):
+    kw.setdefault("omega", 6.0 / 7.0)
+    kw.setdefault("collect_node_stats", False)
+    kw.setdefault("kernels", "pallas")
+    return SolverConfig(**kw)
+
+
+def test_pallas_small_vcycle_consistency():
+    """n=17: every node takes a fallback hop (n < 65) — exercises the padded
+    state plumbing, zero_interior and the pad/unpad boundaries."""
+    program = mg.v_cycle(17, n_min=5, steps=3, coarse_target=1e-8, coarsen=3)
+    _agree(program, _cfg_pallas())
+
+
+def test_pallas_aligned_vcycle_kernels_engage():
+    """n=65 finest level runs the fused brick kernels + padded transfers."""
+    program = mg.v_cycle(65, n_min=5, steps=2, coarse_target=1e-8, coarsen=3)
+    _agree(program, _cfg_pallas())
+
+
+def test_pallas_full_weighting_restriction():
+    program = mg.v_cycle(65, n_min=5, steps=2, coarse_target=1e-8, coarsen=3)
+    _agree(program, _cfg_pallas(restriction="full_weighting"))
+
+
+def test_pallas_trigger_fallback_consistency():
+    program = mg.v_cycle(17, n_min=5, steps=-1, coarse_target=1e-8, coarsen=3)
+    _agree(program, _cfg_pallas(trigger=1e-4))
+
+
+def test_pallas_fmg_consistency():
+    program = mg.fmg(17, n_min=5, steps=3, coarse_target=1e-8, coarsen=3)
+    _agree(program, _cfg_pallas())
+
+
+def test_pallas_warm_chaining():
+    program = mg.v_cycle(9, n_min=5, steps=3, coarse_target=1e-9, coarsen=3)
+    cfg = _cfg_pallas(dtype=jnp.float64)
+    cc = compile_program3(program, p3.REFERENCE_PROBLEM_3D, cfg)
+    u, f = cc.init()
+    u1, _ = cc(u, f)
+    u3, _ = cc(cc(u1, f, warm=True)[0], f, warm=True)
+    fe = (p3.REFERENCE_PROBLEM_3D.source_grid(9, jnp.float64)
+          + p3.REFERENCE_PROBLEM_3D.boundary_grid(9, jnp.float64))
+    ue = p3.dense_solve3(fe, 1.0 / 8)
+    assert float(jnp.abs(u3 - ue).max()) < float(jnp.abs(u1 - ue).max()) * 1e-2
