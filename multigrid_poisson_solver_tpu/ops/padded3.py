@@ -132,6 +132,26 @@ def restrict3_p(d, n: int, m: int, mode: str = "full_weighting",
     return jnp.einsum('cs,zrs->zrc', wc, x, precision=precision)
 
 
+@partial(jax.jit, static_argnames=("n", "m"))
+def restrict3_lanes_p(dwide, n: int, m: int):
+    """Finish the fused descend leg: even-lane decimation of the kernel's
+    (m, rp_n//2, cp_n) ``dwide`` output (already z/row-restricted and, in
+    full-weighting mode, lane-smoothed) onto the coarse padded layout
+    (m, rp_m, cp_m). One 1-tap take on a quarter volume — the only lane
+    work Mosaic can't do in-kernel (no lane de-interleave)."""
+    mz, rph, cpf = dwide.shape
+    assert mz == m and n == 2 * m - 1, (dwide.shape, n, m)
+    rp_m, cp_m = pad_rows_to(m), pad_cols_to(m)
+    idx_c = jnp.clip(2 * jnp.arange(cp_m), 0, cpf - 1)
+    out = jnp.take(dwide.reshape(mz * rph, cpf), idx_c,
+                   axis=1).reshape(mz, rph, cp_m)
+    cc = jnp.arange(cp_m).reshape(1, 1, cp_m)
+    out = jnp.where((cc >= 1) & (cc <= m - 2), out, jnp.zeros_like(out))
+    if rph < rp_m:
+        out = jnp.pad(out, ((0, 0), (0, rp_m - rph), (0, 0)))
+    return out[:, :rp_m]
+
+
 @partial(jax.jit, static_argnames=("n", "m", "interior_only", "precision"))
 def prolong3_add_p(u, c, n: int, m: int, interior_only: bool = False,
                    precision=_HIGHEST):

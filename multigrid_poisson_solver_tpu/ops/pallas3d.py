@@ -34,7 +34,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .layout import pad_cols_to, pad_rows_to
-from .pallas_kernels import _i32, _mul8, _nb_sum
+from .pallas_kernels import _i32, _mul8, _nb_sum, _wrap_shift
 
 MAX_FUSED_SWEEPS_3D = 8
 
@@ -83,13 +83,23 @@ def unpad_grid3(a: jnp.ndarray, n: int) -> jnp.ndarray:
 
 
 def _brick_geometry(nz: int, rp: int, cp: int, itemsize: int, z_halo: int,
-                    num_bufs: float = 5.0):
+                    num_bufs: float = 5.0, orow_mult: int = 8,
+                    oz_even: bool = False):
     """(zs, rs) minimizing redundant compute under the VMEM budget.
 
     Resident: 2 u slots + 2 f slots + 1 work brick (~5 bricks) + one 2-D
-    coefficient plane (counted via num_bufs headroom)."""
+    coefficient plane (counted via num_bufs headroom).
+
+    ``orow_mult=16`` / ``oz_even=True`` force 2:1-decimation-friendly write
+    windows (the fused descend leg halves rows and planes in-kernel: row
+    windows must start on even GLOBAL rows — wr multiples of 16 with rp ×16
+    — and z windows on even planes except the final clipped one, which the
+    coarse-window arithmetic absorbs)."""
     best = None
-    for rs in range(24, min(rp, 512) + 1, 8):
+    r_lo = max(24, 2 * orow_mult)
+    for rs in range(r_lo, min(rp, 512) + 1, 8):
+        if rs < rp and (rs - 16) % orow_mult:
+            continue
         zs = int(_VMEM_BUDGET_3D_BYTES // (num_bufs * rs * cp * itemsize))
         # plane loops are fori_loops, so program size is O(1) in zs — no
         # compile-time cap needed; the cost model picks the (zs, rs) shape
@@ -102,6 +112,9 @@ def _brick_geometry(nz: int, rp: int, cp: int, itemsize: int, z_halo: int,
             oz = nz
         else:
             oz = zs - 2 * z_halo
+            if oz_even and oz % 2:
+                zs -= 1
+                oz -= 1
         if oz < 1 or orow < 8:
             continue
         cost = (zs * rs) / (oz * orow)
@@ -309,6 +322,321 @@ def fused_jacobi3_padded(u, f, n: int, h: float, steps: int,
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_vmem_limit(6 * zs * rs * cp * itemsize)),
+        interpret=interpret,
+    )(u, f)
+
+
+# Descend sweep caps: the 8-row halo must absorb k neighbor-reading sweeps
+# + 1 residual ring + 1 full-weighting ring (sampling skips the FW ring).
+MAX_DESCEND3_SWEEPS_FW = 6
+MAX_DESCEND3_SWEEPS_SAMPLING = 7
+
+
+def _fused_descend3_kernel(u_hbm, f_hbm, out_hbm, dw_hbm, err_smem,
+                           u_slots, fc_slots, work, a_buf, dec_scr, dec_out,
+                           load_sems, out_sems, dw_sems, *,
+                           n: int, nz: int, rp: int, cp: int, steps: int,
+                           z_halo: int, zs: int, rs: int, oz: int, orow: int,
+                           num_zb: int, num_rb: int, ozc: int,
+                           h2: float, omega: float, from_zero: bool,
+                           fw: bool):
+    """The WHOLE 3-D descend leg in one HBM pass: k Jacobi sweeps + residual
+    + z/row full weighting + z/row decimation (+ the fused clean-metric
+    error partial).
+
+    The 3-D member of the 2-D _fused_descend_kernel family (reference leg:
+    smooth → getResidual → doRestriction, MG_solver_CPU.cpp:574-680, three
+    kernel launches in the GPU version). The residual of the final iterate
+    is one EXTRA in-VMEM sweep (Δ = (ω/6)(Σnb − 6u − h²f) ⇒ r = 6Δ/(ωh²)),
+    never touching HBM. Full weighting runs [¼,½,¼] in z (3-plane combine
+    per COARSE plane), rows and lanes in-kernel; z decimation is the coarse
+    plane loop itself and row decimation the sublane-split reshape. Lane
+    decimation (1-tap even take) is the caller's cheap quarter-volume XLA
+    pass — Mosaic has no lane de-interleave.
+
+    Alignment: orow ×16 and rp ×16 make every row write window start on an
+    even global row (coarse windows ×8 for the dwide DMA); oz is even, and
+    the one clipped (odd-start) final z window is absorbed by the coarse
+    window rule zc0 = (wz+1)//2 — coarse windows then tile [0, m) exactly,
+    with one plane of benign duplicate-value overlap."""
+    num_iter = num_zb * num_rb
+    m = (n + 1) // 2
+    orc = orow // 2
+    w = jnp.asarray(omega / 6.0, u_hbm.dtype)
+
+    def zi(idx):
+        if num_rb == 1:
+            return _i32(idx), _i32(0)
+        return _i32(idx) // _i32(num_rb), jax.lax.rem(_i32(idx), _i32(num_rb))
+
+    def load_z(i):
+        return jnp.clip(_i32(i) * _i32(oz) - _i32(z_halo), _i32(0),
+                        _i32(nz - zs))
+
+    def write_z(i):
+        return jnp.clip(_i32(i) * _i32(oz), _i32(0), _i32(nz - oz))
+
+    def load_r(j):
+        return _mul8(jnp.clip(_i32(j) * _i32(orow) - _i32(8), _i32(0),
+                              _i32(rp - rs)))
+
+    def write_r(j):
+        return _mul8(jnp.clip(_i32(j) * _i32(orow), _i32(0),
+                              _i32(rp - orow)))
+
+    def load_copies(idx, slot):
+        i, j = zi(idx)
+        z0, r0 = load_z(i), load_r(j)
+        copies = (pltpu.make_async_copy(
+            f_hbm.at[pl.ds(z0, zs), pl.ds(r0, rs), :],
+            fc_slots.at[slot], load_sems.at[slot, _i32(1)]),)
+        if not from_zero:
+            copies += (pltpu.make_async_copy(
+                u_hbm.at[pl.ds(z0, zs), pl.ds(r0, rs), :],
+                u_slots.at[slot], load_sems.at[slot, _i32(0)]),)
+        return copies
+
+    def out_copy(idx, slot):
+        i, j = zi(idx)
+        wz, wr = write_z(i), write_r(j)
+        zlo = wz - load_z(i)
+        rlo = _mul8(wr - load_r(j))
+        return pltpu.make_async_copy(
+            u_slots.at[slot, pl.ds(zlo, oz), pl.ds(rlo, orow), :],
+            out_hbm.at[pl.ds(wz, oz), pl.ds(wr, orow), :],
+            out_sems.at[slot])
+
+    def dw_copy(idx, slot):
+        i, j = zi(idx)
+        zc0 = (write_z(i) + _i32(1)) // _i32(2)
+        cwr = _mul8(write_r(j) // _i32(2))
+        return pltpu.make_async_copy(
+            dec_out.at[slot],
+            dw_hbm.at[pl.ds(zc0, ozc), pl.ds(cwr, orc), :],
+            dw_sems.at[slot])
+
+    for cp_ in load_copies(0, _i32(0)):
+        cp_.start()
+
+    def body(idx, acc):
+        slot = jax.lax.rem(_i32(idx), _i32(2))
+        nxt = jax.lax.rem(_i32(idx) + _i32(1), _i32(2))
+
+        @pl.when(idx + 1 < num_iter)
+        def _():
+            @pl.when(idx >= 1)
+            def _():
+                out_copy(idx - 1, nxt).wait()
+                dw_copy(idx - 1, nxt).wait()
+            for cp_ in load_copies(idx + 1, nxt):
+                cp_.start()
+
+        for cp_ in load_copies(idx, slot):
+            cp_.wait()
+
+        i, j = zi(idx)
+        z0, r0 = load_z(i), load_r(j)
+
+        rows = jax.lax.broadcasted_iota(jnp.int32, (rs, cp), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (rs, cp), 1)
+        g = rows + r0
+        ok = ((g >= 1) & (g <= n - 2) & (cols >= 1) & (cols <= n - 2)
+              & (rows >= 1) & (rows <= rs - 2))
+        a_plane = jnp.where(ok, w, jnp.zeros_like(w)).astype(u_hbm.dtype)
+        h2c = jnp.asarray(h2, u_hbm.dtype)
+
+        def build_plane(t, c):
+            gz = z0 + t
+            gate = (gz >= 1) & (gz <= n - 2) & (t > 0) & (t < zs - 1)
+            ap = jnp.where(gate, a_plane, jnp.zeros_like(a_plane))
+            a_buf[t] = ap
+            cpl = ap * (h2c * fc_slots[slot, t])
+            fc_slots[slot, t] = cpl
+            if from_zero:
+                u_slots[slot, t] = -cpl
+            return c
+
+        jax.lax.fori_loop(_i32(0), _i32(zs), build_plane, _i32(0),
+                          unroll=False)
+
+        n_sweeps = steps - 1 if from_zero else steps
+
+        def read_u(t):
+            return u_slots[slot, t]
+
+        def write_u(t, v):
+            u_slots[slot, t] = v
+
+        def read_w(t):
+            return work[t]
+
+        def write_w(t, v):
+            work[t] = v
+
+        accessors = [(read_u, write_u), (read_w, write_w)]
+
+        def sweep(rd, wr_):
+            wr_(_i32(0), rd(_i32(0)))
+            wr_(_i32(zs - 1), rd(_i32(zs - 1)))
+
+            def plane(t, c):
+                u = rd(t)
+                nb = (_nb_sum(u, rs, cp) + rd(t - 1) + rd(t + 1) - 6.0 * u)
+                wr_(t, u + a_buf[t] * nb - fc_slots[slot, t])
+                return c
+
+            jax.lax.fori_loop(_i32(1), _i32(zs - 1), plane, _i32(0),
+                              unroll=False)
+
+        for s in range(n_sweeps):
+            sweep(accessors[s % 2][0], accessors[(s + 1) % 2][1])
+        if n_sweeps % 2 == 1:
+            def copy_back(t, c):
+                u_slots[slot, t] = work[t]
+                return c
+            jax.lax.fori_loop(_i32(0), _i32(zs), copy_back, _i32(0),
+                              unroll=False)
+        out_copy(idx, slot).start()
+
+        # --- extra in-VMEM sweep: work[t] := −r(fin) on updatable cells ----
+        # (Δ = a·(Σnb − 6u) − C is exactly 0 on frozen cells); the fused
+        # error partial (clean metric: Σ|r| on exactly-owned interior cells,
+        # f32) accumulates in the same pass.
+        scale = jnp.asarray(-6.0 / (omega * h2), u_hbm.dtype)
+        zero_plane = jnp.zeros((rs, cp), u_hbm.dtype)
+        work[0] = zero_plane
+        work[zs - 1] = zero_plane
+        own_r = ((g >= _i32(j) * _i32(orow))
+                 & (g < jnp.minimum((_i32(j) + 1) * _i32(orow), _i32(rp))))
+
+        def delta_plane(t, a2):
+            u = u_slots[slot, t]
+            nb = (_nb_sum(u, rs, cp) + u_slots[slot, t - 1]
+                  + u_slots[slot, t + 1] - 6.0 * u)
+            d = a_buf[t] * nb - fc_slots[slot, t]
+            work[t] = scale * d
+            gz = z0 + t
+            own = (own_r & (gz >= _i32(i) * _i32(oz))
+                   & (gz < jnp.minimum((_i32(i) + 1) * _i32(oz), _i32(nz))))
+            av = jnp.abs(d).astype(jnp.float32)
+            return a2 + jnp.sum(jnp.where(own, av, jnp.zeros_like(av)))
+
+        part = jax.lax.fori_loop(_i32(1), _i32(zs - 1), delta_plane,
+                                 jnp.zeros((), jnp.float32), unroll=False)
+        part = part * abs(6.0 / (omega * h2))
+
+        # --- full weighting + decimation into the coarse output brick -----
+        wz, wr = write_z(i), write_r(j)
+        zc0 = (wz + _i32(1)) // _i32(2)
+        cwr = wr // _i32(2)
+        wlo = _mul8(wr - r0)
+        crow = jax.lax.broadcasted_iota(jnp.int32, (orc, cp), 0) + cwr
+        ccol = jax.lax.broadcasted_iota(jnp.int32, (orc, cp), 1)
+        keep_rc = ((crow >= 1) & (crow <= m - 2)
+                   & (ccol >= 1) & (ccol <= n - 2))
+
+        def cplane(tc, c):
+            zc = zc0 + tc
+            lz = jnp.clip(2 * zc - z0, _i32(0), _i32(zs - 1))
+            if fw:
+                lo = jnp.clip(lz - 1, _i32(0), _i32(zs - 1))
+                hi = jnp.clip(lz + 1, _i32(0), _i32(zs - 1))
+                p = 0.25 * work[lo] + 0.5 * work[lz] + 0.25 * work[hi]
+                p = (0.25 * _wrap_shift(p, 1, axis=0) + 0.5 * p
+                     + 0.25 * _wrap_shift(p, rs - 1, axis=0))
+                p = (0.25 * _wrap_shift(p, 1, axis=1) + 0.5 * p
+                     + 0.25 * _wrap_shift(p, cp - 1, axis=1))
+            else:
+                p = work[lz]
+            dec_scr[:] = p
+            win = dec_scr[pl.ds(wlo, orow), :]
+            dec = win.reshape(orc, 2, cp)[:, 0, :]
+            keep = keep_rc & (zc >= 1) & (zc <= m - 2)
+            dec_out[slot, tc] = jnp.where(keep, dec, jnp.zeros_like(dec))
+            return c
+
+        jax.lax.fori_loop(_i32(0), _i32(ozc), cplane, _i32(0), unroll=False)
+        dw_copy(idx, slot).start()
+        return acc + part
+
+    total = jax.lax.fori_loop(_i32(0), _i32(num_iter), body,
+                              jnp.zeros((), jnp.float32), unroll=False)
+    err_smem[0, 0] = total
+
+    last = num_iter - 1
+    if num_iter >= 2:
+        out_copy(_i32(last - 1), _i32((last - 1) % 2)).wait()
+        dw_copy(_i32(last - 1), _i32((last - 1) % 2)).wait()
+    out_copy(_i32(last), _i32(last % 2)).wait()
+    dw_copy(_i32(last), _i32(last % 2)).wait()
+
+
+def fused_descend3_padded(u, f, n: int, h: float, steps: int,
+                          omega: float = 6.0 / 7.0, from_zero: bool = False,
+                          restriction: str = "full_weighting",
+                          interpret: bool = False):
+    """The 3-D descend leg — ``steps`` fused Jacobi sweeps, the residual of
+    the final iterate, z/row(/lane-smooth) restriction and the clean-metric
+    error partial — in ONE brick-streamed HBM pass.
+
+    Returns ``(u_out, dwide, err_raw)``: the smoothed padded iterate, the
+    NEGATED restriction-combined residual at coarse z × coarse rows (rp//2)
+    × FINE lanes, and the raw Σ|r| partial (callers divide by n³ for the
+    clean metric). Finish with ops.padded3.restrict3_lanes_p (even-lane
+    take + coarse repad) — a quarter-volume XLA pass. Requires the 2:1
+    odd-halve alignment n = 2m − 1."""
+    nz, rp, cp = u.shape
+    assert (nz, rp, cp) == padded_shape3(n), (u.shape, padded_shape3(n))
+    assert f.shape == u.shape and f.dtype == u.dtype
+    assert n % 2 == 1, "descend leg needs the odd-halve 2:1 alignment"
+    fw = restriction == "full_weighting"
+    if not fw and restriction != "sampling":
+        raise ValueError(f"unknown restriction mode {restriction!r}")
+    k_nb = steps - 1 if from_zero else steps
+    cap = MAX_DESCEND3_SWEEPS_FW if fw else MAX_DESCEND3_SWEEPS_SAMPLING
+    assert 0 <= k_nb <= cap and steps >= 1, (steps, from_zero, cap)
+
+    m = (n + 1) // 2
+    z_halo = k_nb + (2 if fw else 1)
+    itemsize = jnp.dtype(u.dtype).itemsize
+    # resident: 2 u + 2 f + work + A bricks + dec_scr plane + 2 quarter
+    # dec_out bricks ≈ 6.6 bricks
+    zs, rs, oz, orow = _brick_geometry(nz, rp, cp, itemsize, z_halo=z_halo,
+                                       num_bufs=6.6, orow_mult=16,
+                                       oz_even=True)
+    num_zb = math.ceil(nz / oz) if zs < nz else 1
+    num_rb = math.ceil(rp / orow) if rs < rp else 1
+    ozc = m if zs >= nz else oz // 2
+    orc = orow // 2
+
+    kernel = partial(_fused_descend3_kernel, n=n, nz=nz, rp=rp, cp=cp,
+                     steps=steps, z_halo=z_halo, zs=zs, rs=rs, oz=oz,
+                     orow=orow, num_zb=num_zb, num_rb=num_rb, ozc=ozc,
+                     h2=h * h, omega=omega, from_zero=from_zero, fw=fw)
+
+    scratch_bytes = (6 * zs * rs + rs + 2 * ozc * orc) * cp * itemsize
+    return pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((nz, rp, cp), u.dtype),
+                   jax.ShapeDtypeStruct((m, rp // 2, cp), u.dtype),
+                   jax.ShapeDtypeStruct((1, 1), jnp.float32)),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        scratch_shapes=[
+            pltpu.VMEM((2, zs, rs, cp), u.dtype),     # u slots
+            pltpu.VMEM((2, zs, rs, cp), u.dtype),     # f slots -> C
+            pltpu.VMEM((zs, rs, cp), u.dtype),        # ping-pong / rneg
+            pltpu.VMEM((zs, rs, cp), u.dtype),        # A coefficient brick
+            pltpu.VMEM((rs, cp), u.dtype),            # FW plane scratch
+            pltpu.VMEM((2, ozc, orc, cp), u.dtype),   # decimated out slots
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit(scratch_bytes)),
         interpret=interpret,
     )(u, f)
 

@@ -123,3 +123,65 @@ def test_bf16_traces():
             p3k.residual3_pallas(u, f, n, h, interpret=True)]
     for o in outs:
         assert o.dtype == jnp.bfloat16
+
+
+# ---------------------------------------------------------------------------
+# fused descend leg
+# ---------------------------------------------------------------------------
+
+from multigrid_poisson_solver_tpu.ops import padded3 as pd3
+
+
+def _descend_oracle(u, f, h, steps, mode, from_zero=False):
+    n = u.shape[0]
+    m = (n + 1) // 2
+    u0 = jnp.zeros_like(u) if from_zero else u
+    uk = _sweeps(u0, f, h, steps)
+    r = p3.residual3(uk, f, h)
+    fc = pd3.restrict3_p(p3k.pad_grid3(-r), n, m, mode=mode)
+    err = jnp.sum(jnp.abs(r[1:-1, 1:-1, 1:-1]))
+    return uk, fc, err
+
+
+@pytest.mark.parametrize("mode", ["full_weighting", "sampling"])
+@pytest.mark.parametrize("steps,from_zero", [(1, False), (3, False),
+                                             (2, True)])
+def test_fused_descend3_matches_oracle(mode, steps, from_zero):
+    n, h = 33, 1.0 / 32
+    m = (n + 1) // 2
+    u, f = _mk(n, seed=20 + steps)
+    up = (jnp.zeros(p3k.padded_shape3(n), f.dtype) if from_zero
+          else p3k.pad_grid3(u))
+    uo, dw, err = p3k.fused_descend3_padded(
+        up, p3k.pad_grid3(f), n, h, steps, omega=OMEGA3,
+        from_zero=from_zero, restriction=mode, interpret=True)
+    fc = pd3.restrict3_lanes_p(dw, n, m)
+    want_u, want_fc, want_err = _descend_oracle(u, f, h, steps, mode,
+                                                from_zero)
+    assert float(jnp.abs(p3k.unpad_grid3(uo, n) - want_u).max()) < 1e-5
+    scale = float(jnp.abs(want_fc).max()) + 1e-30
+    assert float(jnp.abs(fc - want_fc).max()) < 2e-6 * scale
+    assert abs(float(err[0, 0]) - float(want_err)) < 1e-5 * float(want_err)
+
+
+@pytest.mark.parametrize("mode", ["full_weighting", "sampling"])
+def test_fused_descend3_multi_brick(monkeypatch, mode):
+    monkeypatch.setattr(p3k, "_VMEM_BUDGET_3D_BYTES", 1_600_000)
+    n, h = 33, 1.0 / 32
+    m = (n + 1) // 2
+    nz, rp, cp = p3k.padded_shape3(n)
+    zs, rs, oz, orow = p3k._brick_geometry(nz, rp, cp, 4, z_halo=4,
+                                           num_bufs=6.6, orow_mult=16,
+                                           oz_even=True)
+    assert zs < nz and rs < rp and oz % 2 == 0 and orow % 16 == 0
+
+    u, f = _mk(n, seed=31)
+    uo, dw, err = p3k.fused_descend3_padded(
+        p3k.pad_grid3(u), p3k.pad_grid3(f), n, h, 2, omega=OMEGA3,
+        restriction=mode, interpret=True)
+    fc = pd3.restrict3_lanes_p(dw, n, m)
+    want_u, want_fc, want_err = _descend_oracle(u, f, h, 2, mode)
+    assert float(jnp.abs(p3k.unpad_grid3(uo, n) - want_u).max()) < 1e-5
+    scale = float(jnp.abs(want_fc).max()) + 1e-30
+    assert float(jnp.abs(fc - want_fc).max()) < 2e-6 * scale
+    assert abs(float(err[0, 0]) - float(want_err)) < 1e-5 * float(want_err)
