@@ -151,6 +151,29 @@ def _trace_program3(u, f, *, program: CycleProgram, problem: Problem3D,
                                True))
                 continue
 
+            # ONE-kernel descend leg: sweeps + residual + z/row restriction
+            # + the fused clean-metric error partial in a single HBM pass
+            # (2-D analog: compiled._fuse_descend_ok)
+            fz = (not finest) and (not is_fmg)
+            fuse_down = (use_pallas and aligned and n >= _PALLAS3_MIN_N
+                         and ins.steps >= 1 and compat == "clean"
+                         and cfg.smoother == "jacobi")
+            if fuse_down:
+                cap = (p3k.MAX_DESCEND3_SWEEPS_FW
+                       if cfg.restriction == "full_weighting"
+                       else p3k.MAX_DESCEND3_SWEEPS_SAMPLING)
+                fuse_down = ins.steps - (1 if fz else 0) <= cap
+            if fuse_down:
+                lu, dw, err_raw = p3k.fused_descend3_padded(
+                    lu, lf, n, h, ins.steps, omega=cfg.omega, from_zero=fz,
+                    restriction=cfg.restriction, interpret=interp)
+                f_c = pd3.restrict3_lanes_p(dw, n, ins.next_n)
+                last_err = (err_raw[0, 0] / (n ** 3)).astype(cfg.dtype)
+                levels[-1] = (spec, lu, lf, is_fmg)
+                levels.append((next_spec, zeros_level(next_spec.n), f_c,
+                               False))
+                continue
+
             lu, last_err = smooth(lu, lf, n, h, ins.steps)
             if use_pallas and aligned and n >= _PALLAS3_MIN_N:
                 rpad = p3k.residual3_pallas(lu, lf, n, h, negate=True,
@@ -191,16 +214,34 @@ def _trace_program3(u, f, *, program: CycleProgram, problem: Problem3D,
             spec, lu, lf, is_fmg = levels[-1]
             n, h = spec.n, spec.h
             m = child_spec.n
-            if use_pallas and n == 2 * m - 1 and n >= _PALLAS3_MIN_N:
-                lu = pd3.prolong3_add_p(lu, cu, n, m, interior_only=True)
-            elif use_pallas:
-                lu = to_p(_prolong_add3(from_p(cu, m), from_p(lu, n), n))
+            aligned = n == 2 * m - 1
+            # ONE-kernel ascend leg: prolong + add + post-sweeps in a single
+            # HBM pass (2-D analog: compiled._fuse_ascend_ok). The error
+            # metric is only materialized when this node's err is the
+            # program's return value (one extra residual pass at the end).
+            fuse_up = (use_pallas and aligned and n >= _PALLAS3_MIN_N
+                       and 1 <= ins.steps <= p3k.MAX_FUSED_SWEEPS_3D
+                       and compat == "clean" and cfg.smoother == "jacobi")
+            if fuse_up:
+                cw = pd3.prolong3_lanes_p(cu, n, m)
+                lu = p3k.fused_ascend3_padded(lu, lf, cw, n, h, ins.steps,
+                                              omega=cfg.omega,
+                                              interpret=interp)
+                if ins is program.instructions[-1]:
+                    r = p3k.residual3_pallas(lu, lf, n, h, interpret=interp)
+                    last_err = (jnp.sum(jnp.abs(r)) / (n ** 3)).astype(
+                        cfg.dtype)
             else:
-                lu = _prolong_add3(cu, lu, n)
+                if use_pallas and aligned and n >= _PALLAS3_MIN_N:
+                    lu = pd3.prolong3_add_p(lu, cu, n, m, interior_only=True)
+                elif use_pallas:
+                    lu = to_p(_prolong_add3(from_p(cu, m), from_p(lu, n), n))
+                else:
+                    lu = _prolong_add3(cu, lu, n)
+                if ins.steps != 0:
+                    lu, last_err = smooth(lu, lf, n, h, ins.steps)
             if len(levels) == 1:
                 first_descend_done = True
-            if ins.steps != 0:
-                lu, last_err = smooth(lu, lf, n, h, ins.steps)
             levels[-1] = (spec, lu, lf, is_fmg)
         else:
             raise TypeError(f"unknown instruction {ins!r}")

@@ -367,18 +367,36 @@ def v_cycle3(u, f, h: float, n_min: int = 5, pre: int = 2, post: int = 2,
         def run_p(up, fp, nn, h, depth, from_zero):
             if depth == len(sizes) - 1:
                 return smooth_p(up, fp, nn, h, coarse_sweeps, from_zero)
-            up = smooth_p(up, fp, nn, h, pre, from_zero)
             m = sizes[depth + 1]
-            if nn >= 65:
-                rp = _p3k.residual3_pallas(up, fp, nn, h, negate=True,
-                                           interpret=interp)
+            # ONE-kernel legs on big levels: descend fuses pre-sweeps +
+            # residual + z/row restriction, ascend fuses prolongation +
+            # add + post-sweeps; each leaves only a quarter-volume XLA
+            # lane pass outside the kernel.
+            fuse_down = (nn >= 65 and 1 <= pre - (1 if from_zero else 0)
+                         <= _p3k.MAX_DESCEND3_SWEEPS_FW)
+            if fuse_down:
+                up, dw, _ = _p3k.fused_descend3_padded(
+                    up, fp, nn, h, pre, omega=omega, from_zero=from_zero,
+                    interpret=interp)
+                fc = _pd3.restrict3_lanes_p(dw, nn, m)
             else:
-                rp = _p3k.pad_grid3(-residual3(
-                    _p3k.unpad_grid3(up, nn), _p3k.unpad_grid3(fp, nn), h))
-            fc = _pd3.restrict3_p(rp, nn, m)
+                up = smooth_p(up, fp, nn, h, pre, from_zero)
+                if nn >= 65:
+                    rp = _p3k.residual3_pallas(up, fp, nn, h, negate=True,
+                                               interpret=interp)
+                else:
+                    rp = _p3k.pad_grid3(-residual3(
+                        _p3k.unpad_grid3(up, nn),
+                        _p3k.unpad_grid3(fp, nn), h))
+                fc = _pd3.restrict3_p(rp, nn, m)
             # from_zero=True: the zeros volume is a formal operand only —
             # the kernel's from_zero path never DMAs the u stream
             ec = run_p(jnp.zeros_like(fc), fc, m, 2 * h, depth + 1, True)
+            if nn >= 65 and 1 <= post <= _p3k.MAX_FUSED_SWEEPS_3D:
+                cw = _pd3.prolong3_lanes_p(ec, nn, m)
+                return _p3k.fused_ascend3_padded(up, fp, cw, nn, h, post,
+                                                 omega=omega,
+                                                 interpret=interp)
             up = _pd3.prolong3_add_p(up, ec, nn, m)
             return smooth_p(up, fp, nn, h, post)
 

@@ -152,6 +152,24 @@ def restrict3_lanes_p(dwide, n: int, m: int):
     return out[:, :rp_m]
 
 
+@partial(jax.jit, static_argnames=("n", "m", "precision"))
+def prolong3_lanes_p(c, n: int, m: int, precision=_HIGHEST):
+    """Start the fused ascend leg: lane-expand the padded coarse correction
+    (m, rp_m, cp_m) to FINE lanes → (m, rp_n//2 + 8, cp_n), the ``cwide``
+    input of ops.pallas3d.fused_ascend3_padded. One 2-tap einsum on the
+    coarse (quarter) volume — the only lane work Mosaic can't do in-kernel
+    (no lane interleave). Row count is the kernel's coarse-window bound
+    rp_n//2 + 8 (≥ rp_m − 8; padded rows are zero)."""
+    rp_m, cp_m = c.shape[1], c.shape[2]
+    cp_n = pad_cols_to(n)
+    rows_out = pad_rows_to(n) // 2 + 8
+    wc = _prolong_w(cp_n, n, cp_m, m, c.dtype)
+    e = jnp.einsum('cs,zrs->zrc', wc, c, precision=precision)
+    if rows_out > rp_m:
+        e = jnp.pad(e, ((0, 0), (0, rows_out - rp_m), (0, 0)))
+    return e[:, :rows_out]
+
+
 @partial(jax.jit, static_argnames=("n", "m", "interior_only", "precision"))
 def prolong3_add_p(u, c, n: int, m: int, interior_only: bool = False,
                    precision=_HIGHEST):

@@ -84,7 +84,8 @@ def unpad_grid3(a: jnp.ndarray, n: int) -> jnp.ndarray:
 
 def _brick_geometry(nz: int, rp: int, cp: int, itemsize: int, z_halo: int,
                     num_bufs: float = 5.0, orow_mult: int = 8,
-                    oz_even: bool = False):
+                    oz_even: bool = False, r_halo: int = 8,
+                    zs_even: bool = False):
     """(zs, rs) minimizing redundant compute under the VMEM budget.
 
     Resident: 2 u slots + 2 f slots + 1 work brick (~5 bricks) + one 2-D
@@ -94,11 +95,15 @@ def _brick_geometry(nz: int, rp: int, cp: int, itemsize: int, z_halo: int,
     windows (the fused descend leg halves rows and planes in-kernel: row
     windows must start on even GLOBAL rows — wr multiples of 16 with rp ×16
     — and z windows on even planes except the final clipped one, which the
-    coarse-window arithmetic absorbs)."""
+    coarse-window arithmetic absorbs). The fused ascend leg instead needs
+    ``r_halo=16`` (so LOAD offsets r0 stay ×16 and the coarse-row DMA
+    window r0/2 is provably ×8) and ``zs_even=True`` (the coarse z window
+    zs//2 + 1 covers both interpolation taps of every loaded plane only
+    for even zs)."""
     best = None
-    r_lo = max(24, 2 * orow_mult)
+    r_lo = max(3 * r_halo, 2 * orow_mult)
     for rs in range(r_lo, min(rp, 512) + 1, 8):
-        if rs < rp and (rs - 16) % orow_mult:
+        if rs < rp and (rs - 2 * r_halo) % orow_mult:
             continue
         zs = int(_VMEM_BUDGET_3D_BYTES // (num_bufs * rs * cp * itemsize))
         # plane loops are fori_loops, so program size is O(1) in zs — no
@@ -107,10 +112,12 @@ def _brick_geometry(nz: int, rp: int, cp: int, itemsize: int, z_halo: int,
         if rs >= rp:
             orow = rp
         else:
-            orow = rs - 16
+            orow = rs - 2 * r_halo
         if zs >= nz:
             oz = nz
         else:
+            if zs_even and zs % 2:
+                zs -= 1
             oz = zs - 2 * z_halo
             if oz_even and oz % 2:
                 zs -= 1
@@ -639,6 +646,236 @@ def fused_descend3_padded(u, f, n: int, h: float, steps: int,
             vmem_limit_bytes=_vmem_limit(scratch_bytes)),
         interpret=interpret,
     )(u, f)
+
+
+def _fused_ascend3_kernel(u_hbm, f_hbm, cw_hbm, out_hbm,
+                          u_slots, fc_slots, cw_slots, work, a_buf,
+                          load_sems, out_sems, *,
+                          n: int, nz: int, rp: int, cp: int, steps: int,
+                          zs: int, rs: int, oz: int, orow: int,
+                          czs: int, crs: int,
+                          num_zb: int, num_rb: int,
+                          h2: float, omega: float):
+    """The WHOLE 3-D ascend leg in one HBM pass: trilinear prolongation of
+    the coarse correction + the correction add + k post-sweeps.
+
+    The 3-D member of the 2-D _fused_ascend_kernel family (reference leg:
+    doProlongation + addition + smooth, MG_solver_CPU.cpp:682-724; the GPU
+    zoom+add pair at MG_solver_GPU.cu:1364-1423). ``cw_hbm`` is the coarse
+    correction ALREADY lane-expanded to fine lanes by the caller's
+    quarter-volume XLA pass (ops.padded3.prolong3_lanes_p — Mosaic has no
+    lane interleave); the kernel streams a (czs, crs) coarse brick next to
+    every fine brick, z-interpolates per plane (2-tap dynamic leading-dim
+    reads) and row-interleaves with the sublane stack-reshape, then runs
+    the standard fused sweep pipeline on u + e.
+
+    Alignment: row halo 16 (not 8) keeps fine LOAD offsets r0 ×16 so the
+    coarse row window r0//2 is provably ×8; zs is even so czs = zs//2 + 1
+    covers both z taps of every loaded plane at either z0 parity."""
+    num_iter = num_zb * num_rb
+    w = jnp.asarray(omega / 6.0, u_hbm.dtype)
+    half = jnp.asarray(0.5, u_hbm.dtype)
+
+    def zi(idx):
+        if num_rb == 1:
+            return _i32(idx), _i32(0)
+        return _i32(idx) // _i32(num_rb), jax.lax.rem(_i32(idx), _i32(num_rb))
+
+    def load_z(i):
+        return jnp.clip(_i32(i) * _i32(oz) - _i32(steps), _i32(0),
+                        _i32(nz - zs))
+
+    def write_z(i):
+        return jnp.clip(_i32(i) * _i32(oz), _i32(0), _i32(nz - oz))
+
+    def load_r(j):
+        return _mul8(jnp.clip(_i32(j) * _i32(orow) - _i32(16), _i32(0),
+                              _i32(rp - rs)))
+
+    def write_r(j):
+        return _mul8(jnp.clip(_i32(j) * _i32(orow), _i32(0),
+                              _i32(rp - orow)))
+
+    def load_copies(idx, slot):
+        i, j = zi(idx)
+        z0, r0 = load_z(i), load_r(j)
+        cz0 = z0 // _i32(2)
+        cr0 = _mul8(r0 // _i32(2))
+        return (pltpu.make_async_copy(
+                    u_hbm.at[pl.ds(z0, zs), pl.ds(r0, rs), :],
+                    u_slots.at[slot], load_sems.at[slot, _i32(0)]),
+                pltpu.make_async_copy(
+                    f_hbm.at[pl.ds(z0, zs), pl.ds(r0, rs), :],
+                    fc_slots.at[slot], load_sems.at[slot, _i32(1)]),
+                pltpu.make_async_copy(
+                    cw_hbm.at[pl.ds(cz0, czs), pl.ds(cr0, crs), :],
+                    cw_slots.at[slot], load_sems.at[slot, _i32(2)]))
+
+    def out_copy(idx, slot):
+        i, j = zi(idx)
+        wz, wr = write_z(i), write_r(j)
+        zlo = wz - load_z(i)
+        rlo = _mul8(wr - load_r(j))
+        return pltpu.make_async_copy(
+            u_slots.at[slot, pl.ds(zlo, oz), pl.ds(rlo, orow), :],
+            out_hbm.at[pl.ds(wz, oz), pl.ds(wr, orow), :],
+            out_sems.at[slot])
+
+    for cp_ in load_copies(0, _i32(0)):
+        cp_.start()
+
+    def body(idx, carry):
+        slot = jax.lax.rem(_i32(idx), _i32(2))
+        nxt = jax.lax.rem(_i32(idx) + _i32(1), _i32(2))
+
+        @pl.when(idx + 1 < num_iter)
+        def _():
+            @pl.when(idx >= 1)
+            def _():
+                out_copy(idx - 1, nxt).wait()
+            for cp_ in load_copies(idx + 1, nxt):
+                cp_.start()
+
+        for cp_ in load_copies(idx, slot):
+            cp_.wait()
+
+        i, j = zi(idx)
+        z0, r0 = load_z(i), load_r(j)
+        cz0 = z0 // _i32(2)
+
+        rows = jax.lax.broadcasted_iota(jnp.int32, (rs, cp), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (rs, cp), 1)
+        g = rows + r0
+        ok_rc = ((g >= 1) & (g <= n - 2) & (cols >= 1) & (cols <= n - 2))
+        ok = ok_rc & (rows >= 1) & (rows <= rs - 2)
+        a_plane = jnp.where(ok, w, jnp.zeros_like(w)).astype(u_hbm.dtype)
+        h2c = jnp.asarray(h2, u_hbm.dtype)
+        hr = rs // 2
+
+        def build_plane(t, c):
+            gz = z0 + t
+            gate = (gz >= 1) & (gz <= n - 2) & (t > 0) & (t < zs - 1)
+            ap = jnp.where(gate, a_plane, jnp.zeros_like(a_plane))
+            a_buf[t] = ap
+            fc_slots[slot, t] = ap * (h2c * fc_slots[slot, t])
+
+            # e = trilinear(coarse) at this fine plane: 2-tap z combine of
+            # the lane-expanded coarse planes, then the sublane row
+            # interleave (even fine rows copy, odd average — r0 is ×16 so
+            # local row parity IS global parity)
+            lo = gz // _i32(2) - cz0
+            hi = (gz + _i32(1)) // _i32(2) - cz0
+            czp = half * (cw_slots[slot, lo] + cw_slots[slot, hi])
+            ev = czp[0:hr, :]
+            od = half * (czp[0:hr, :] + czp[1:hr + 1, :])
+            e = jnp.stack([ev, od], axis=1).reshape(rs, cp)
+            zgate = (gz >= 1) & (gz <= n - 2)
+            e = jnp.where(ok_rc & zgate, e, jnp.zeros_like(e))
+            u_slots[slot, t] = u_slots[slot, t] + e
+            return c
+
+        jax.lax.fori_loop(_i32(0), _i32(zs), build_plane, _i32(0),
+                          unroll=False)
+
+        def read_u(t):
+            return u_slots[slot, t]
+
+        def write_u(t, v):
+            u_slots[slot, t] = v
+
+        def read_w(t):
+            return work[t]
+
+        def write_w(t, v):
+            work[t] = v
+
+        accessors = [(read_u, write_u), (read_w, write_w)]
+
+        def sweep(rd, wr_):
+            wr_(_i32(0), rd(_i32(0)))
+            wr_(_i32(zs - 1), rd(_i32(zs - 1)))
+
+            def plane(t, c):
+                u = rd(t)
+                nb = (_nb_sum(u, rs, cp) + rd(t - 1) + rd(t + 1) - 6.0 * u)
+                wr_(t, u + a_buf[t] * nb - fc_slots[slot, t])
+                return c
+
+            jax.lax.fori_loop(_i32(1), _i32(zs - 1), plane, _i32(0),
+                              unroll=False)
+
+        for s in range(steps):
+            sweep(accessors[s % 2][0], accessors[(s + 1) % 2][1])
+        if steps % 2 == 1:
+            def copy_back(t, c):
+                u_slots[slot, t] = work[t]
+                return c
+            jax.lax.fori_loop(_i32(0), _i32(zs), copy_back, _i32(0),
+                              unroll=False)
+
+        out_copy(idx, slot).start()
+        return carry
+
+    jax.lax.fori_loop(_i32(0), _i32(num_iter), body, _i32(0), unroll=False)
+
+    last = num_iter - 1
+    if num_iter >= 2:
+        out_copy(_i32(last - 1), _i32((last - 1) % 2)).wait()
+    out_copy(_i32(last), _i32(last % 2)).wait()
+
+
+def fused_ascend3_padded(u, f, cwide, n: int, h: float, steps: int,
+                         omega: float = 6.0 / 7.0, interpret: bool = False):
+    """The 3-D ascend leg — trilinear prolongation + correction add +
+    ``steps`` post-sweeps — in ONE brick-streamed HBM pass.
+
+    ``cwide`` is ops.padded3.prolong3_lanes_p(coarse_correction): the
+    coarse volume at coarse z × coarse rows (rp//2 + 8) × FINE lanes.
+    The added correction is masked to the fine interior (the engines'
+    interior_only semantics). Requires n = 2m − 1 and steps ≥ 1."""
+    nz, rp, cp = u.shape
+    assert (nz, rp, cp) == padded_shape3(n), (u.shape, padded_shape3(n))
+    assert f.shape == u.shape and f.dtype == u.dtype
+    assert n % 2 == 1, "ascend leg needs the odd-halve 2:1 alignment"
+    m = (n + 1) // 2
+    assert cwide.shape == (m, rp // 2 + 8, cp), (cwide.shape, m, rp, cp)
+    assert cwide.dtype == u.dtype
+    assert 1 <= steps <= MAX_FUSED_SWEEPS_3D
+
+    itemsize = jnp.dtype(u.dtype).itemsize
+    # resident: 2 u + 2 f + work + A bricks + 2 quarter cw bricks ≈ 6.6
+    zs, rs, oz, orow = _brick_geometry(nz, rp, cp, itemsize, z_halo=steps,
+                                       num_bufs=6.6, orow_mult=16,
+                                       r_halo=16, zs_even=True)
+    num_zb = math.ceil(nz / oz) if zs < nz else 1
+    num_rb = math.ceil(rp / orow) if rs < rp else 1
+    czs = m if zs >= nz else zs // 2 + 1
+    crs = min(rs // 2 + 8, rp // 2 + 8)
+
+    kernel = partial(_fused_ascend3_kernel, n=n, nz=nz, rp=rp, cp=cp,
+                     steps=steps, zs=zs, rs=rs, oz=oz, orow=orow,
+                     czs=czs, crs=crs, num_zb=num_zb, num_rb=num_rb,
+                     h2=h * h, omega=omega)
+
+    scratch_bytes = (6 * zs * rs + 2 * czs * crs) * cp * itemsize
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nz, rp, cp), u.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, zs, rs, cp), u.dtype),     # u slots
+            pltpu.VMEM((2, zs, rs, cp), u.dtype),     # f slots -> C
+            pltpu.VMEM((2, czs, crs, cp), u.dtype),   # coarse slots
+            pltpu.VMEM((zs, rs, cp), u.dtype),        # ping-pong work
+            pltpu.VMEM((zs, rs, cp), u.dtype),        # A coefficient brick
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit(scratch_bytes)),
+        interpret=interpret,
+    )(u, f, cwide)
 
 
 def _residual3_kernel(u_hbm, f_hbm, out_hbm,

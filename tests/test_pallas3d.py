@@ -185,3 +185,58 @@ def test_fused_descend3_multi_brick(monkeypatch, mode):
     scale = float(jnp.abs(want_fc).max()) + 1e-30
     assert float(jnp.abs(fc - want_fc).max()) < 2e-6 * scale
     assert abs(float(err[0, 0]) - float(want_err)) < 1e-5 * float(want_err)
+
+
+# ---------------------------------------------------------------------------
+# fused ascend leg
+# ---------------------------------------------------------------------------
+
+def _ascend_oracle(u, f, c, h, steps):
+    n = u.shape[0]
+    e = p3.prolong3(c, n)
+    mask = jnp.zeros((n,) * 3, bool).at[1:-1, 1:-1, 1:-1].set(True)
+    u = u + jnp.where(mask, e, jnp.zeros_like(e))
+    return _sweeps(u, f, h, steps)
+
+
+@pytest.mark.parametrize("steps", [1, 2, 3])
+def test_fused_ascend3_matches_oracle(steps):
+    n, h = 33, 1.0 / 32
+    m = (n + 1) // 2
+    u, f = _mk(n, seed=40 + steps)
+    rng = np.random.default_rng(50 + steps)
+    c = np.zeros((m,) * 3, np.float32)
+    c[1:-1, 1:-1, 1:-1] = rng.standard_normal((m - 2,) * 3).astype(np.float32)
+    c = jnp.asarray(c)
+    cpad = jnp.pad(c, [(0, s - m) for s in p3k.padded_shape3(m)])
+    cw = pd3.prolong3_lanes_p(cpad, n, m)
+    got = p3k.unpad_grid3(
+        p3k.fused_ascend3_padded(p3k.pad_grid3(u), p3k.pad_grid3(f), cw,
+                                 n, h, steps, omega=OMEGA3, interpret=True),
+        n)
+    want = _ascend_oracle(u, f, c, h, steps)
+    assert float(jnp.abs(got - want).max()) < 1e-5
+
+
+def test_fused_ascend3_multi_brick(monkeypatch):
+    monkeypatch.setattr(p3k, "_VMEM_BUDGET_3D_BYTES", 1_500_000)
+    n, h = 65, 1.0 / 64
+    m = (n + 1) // 2
+    nz, rp, cp = p3k.padded_shape3(n)
+    zs, rs, oz, orow = p3k._brick_geometry(nz, rp, cp, 4, z_halo=2,
+                                           num_bufs=6.6, orow_mult=16,
+                                           r_halo=16, zs_even=True)
+    assert zs < nz and rs < rp and zs % 2 == 0 and orow % 16 == 0
+
+    u, f = _mk(n, seed=61)
+    rng = np.random.default_rng(62)
+    c = np.zeros((m,) * 3, np.float32)
+    c[1:-1, 1:-1, 1:-1] = rng.standard_normal((m - 2,) * 3).astype(np.float32)
+    c = jnp.asarray(c)
+    cpad = jnp.pad(c, [(0, s - m) for s in p3k.padded_shape3(m)])
+    cw = pd3.prolong3_lanes_p(cpad, n, m)
+    got = p3k.unpad_grid3(
+        p3k.fused_ascend3_padded(p3k.pad_grid3(u), p3k.pad_grid3(f), cw,
+                                 n, h, 2, omega=OMEGA3, interpret=True), n)
+    want = _ascend_oracle(u, f, c, h, 2)
+    assert float(jnp.abs(got - want).max()) < 1e-5
