@@ -211,6 +211,25 @@ def main():
         print(f"[bench] V-cycle bench skipped: {e}", file=sys.stderr)
 
     try:
+        n3 = int(os.environ.get("BENCH_3D_N", 513 if on_tpu else 0))
+        if n3:
+            from multigrid_poisson_solver_tpu.models import poisson3d as p3
+            h3 = 1.0 / (n3 - 1)
+            prob3 = p3.REFERENCE_PROBLEM_3D
+            f3 = prob3.source_grid(n3)
+            u3 = jnp.zeros_like(f3)
+            it3 = 4
+            run3 = jax.jit(lambda u, f: jax.lax.fori_loop(
+                0, it3, lambda i, v: p3.v_cycle3(
+                    v, f, h3, pre=3, post=3,
+                    kernels="pallas" if on_tpu else "xla"), u))
+            dt3 = _timer().measure_differential(run3, u3, f3, reps=3) / it3
+            print(f"[bench] 3-D V(3,3) {n3}^3 (fused bricks + fused legs): "
+                  f"{dt3*1e3:.2f} ms/cycle", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        print(f"[bench] 3-D bench skipped: {e}", file=sys.stderr)
+
+    try:
         dn = int(os.environ.get("BENCH_DEEP_N", 8193 if on_tpu else 257))
         dt10, rel, k, ceff = bench_to_1e10(dn)
         print(f"[bench] to 1e-10 N={dn} (tw32 refinement): "

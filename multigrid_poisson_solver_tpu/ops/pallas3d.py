@@ -41,11 +41,20 @@ MAX_FUSED_SWEEPS_3D = 8
 # 3-D bricks want a large slice of the 128 MiB VMEM: small budgets force
 # tiny bricks whose 2-D trapezoid halos cost ~5x redundant compute at k=8
 # (513³ geometry: red 4.91x at 13 MiB vs 1.93x at 48 MiB). Hardware budget
-# sweep at 513³ k=8 (fori-loop kernels, 2026-08-17): 13 MiB 6.6 ms/sweep,
-# **48 MiB 0.98 ms/sweep = 138 GDoF/s**, 80/100 MiB ~2.1 ms (deep bricks
-# regress, as in 2-D) — 48 MiB is the default.
+# sweep at 513³ k=8, replicated with reps=4 differential AND a 5-pass
+# carry-chained jit loop (2026-08-17, later session): 13 MiB ~6.6 ms/sweep,
+# 48 MiB 2.6-3.0, **56-96 MiB plateau at 1.94-2.25 ms/sweep (~65 GDoF/s)**
+# — 64 MiB default. (An earlier same-day reps=2 measurement recorded
+# 0.98 ms/sweep @48 MiB; it does not replicate under any protocol — the
+# 0.64 s tunnel-sync noise swamps reps=2 differentials at this kernel size.)
 _VMEM_BUDGET_3D_BYTES = int(
-    os.environ.get("MG_VMEM_BUDGET_3D", 48 * 1024 * 1024))
+    os.environ.get("MG_VMEM_BUDGET_3D", 64 * 1024 * 1024))
+
+# The fused descend/ascend legs keep improving past the smoother's sweet
+# spot (hardware sweep 2026-08-17: descend 11.4 ms @48 MiB → 7.8-8.4 @96-112;
+# ascend flat ~11.4) — they get their own, larger default budget.
+_VMEM_BUDGET_3D_LEGS_BYTES = int(
+    os.environ.get("MG_VMEM_BUDGET_3D_LEGS", 96 * 1024 * 1024))
 
 
 def _vmem_limit(scratch_bytes: int) -> int:
@@ -85,7 +94,7 @@ def unpad_grid3(a: jnp.ndarray, n: int) -> jnp.ndarray:
 def _brick_geometry(nz: int, rp: int, cp: int, itemsize: int, z_halo: int,
                     num_bufs: float = 5.0, orow_mult: int = 8,
                     oz_even: bool = False, r_halo: int = 8,
-                    zs_even: bool = False):
+                    zs_even: bool = False, budget: int | None = None):
     """(zs, rs) minimizing redundant compute under the VMEM budget.
 
     Resident: 2 u slots + 2 f slots + 1 work brick (~5 bricks) + one 2-D
@@ -100,12 +109,14 @@ def _brick_geometry(nz: int, rp: int, cp: int, itemsize: int, z_halo: int,
     window r0/2 is provably ×8) and ``zs_even=True`` (the coarse z window
     zs//2 + 1 covers both interpolation taps of every loaded plane only
     for even zs)."""
+    if budget is None:
+        budget = _VMEM_BUDGET_3D_BYTES
     best = None
     r_lo = max(3 * r_halo, 2 * orow_mult)
     for rs in range(r_lo, min(rp, 512) + 1, 8):
         if rs < rp and (rs - 2 * r_halo) % orow_mult:
             continue
-        zs = int(_VMEM_BUDGET_3D_BYTES // (num_bufs * rs * cp * itemsize))
+        zs = int(budget // (num_bufs * rs * cp * itemsize))
         # plane loops are fori_loops, so program size is O(1) in zs — no
         # compile-time cap needed; the cost model picks the (zs, rs) shape
         zs = min(zs, nz)
@@ -610,7 +621,8 @@ def fused_descend3_padded(u, f, n: int, h: float, steps: int,
     # dec_out bricks ≈ 6.6 bricks
     zs, rs, oz, orow = _brick_geometry(nz, rp, cp, itemsize, z_halo=z_halo,
                                        num_bufs=6.6, orow_mult=16,
-                                       oz_even=True)
+                                       oz_even=True,
+                                       budget=_VMEM_BUDGET_3D_LEGS_BYTES)
     num_zb = math.ceil(nz / oz) if zs < nz else 1
     num_rb = math.ceil(rp / orow) if rs < rp else 1
     ozc = m if zs >= nz else oz // 2
@@ -846,7 +858,8 @@ def fused_ascend3_padded(u, f, cwide, n: int, h: float, steps: int,
     # resident: 2 u + 2 f + work + A bricks + 2 quarter cw bricks ≈ 6.6
     zs, rs, oz, orow = _brick_geometry(nz, rp, cp, itemsize, z_halo=steps,
                                        num_bufs=6.6, orow_mult=16,
-                                       r_halo=16, zs_even=True)
+                                       r_halo=16, zs_even=True,
+                                       budget=_VMEM_BUDGET_3D_LEGS_BYTES)
     num_zb = math.ceil(nz / oz) if zs < nz else 1
     num_rb = math.ceil(rp / orow) if rs < rp else 1
     czs = m if zs >= nz else zs // 2 + 1

@@ -166,13 +166,14 @@ def test_fused_descend3_matches_oracle(mode, steps, from_zero):
 
 @pytest.mark.parametrize("mode", ["full_weighting", "sampling"])
 def test_fused_descend3_multi_brick(monkeypatch, mode):
-    monkeypatch.setattr(p3k, "_VMEM_BUDGET_3D_BYTES", 1_600_000)
+    monkeypatch.setattr(p3k, "_VMEM_BUDGET_3D_LEGS_BYTES", 1_600_000)
     n, h = 33, 1.0 / 32
     m = (n + 1) // 2
     nz, rp, cp = p3k.padded_shape3(n)
     zs, rs, oz, orow = p3k._brick_geometry(nz, rp, cp, 4, z_halo=4,
                                            num_bufs=6.6, orow_mult=16,
-                                           oz_even=True)
+                                           oz_even=True,
+                                           budget=p3k._VMEM_BUDGET_3D_LEGS_BYTES)
     assert zs < nz and rs < rp and oz % 2 == 0 and orow % 16 == 0
 
     u, f = _mk(n, seed=31)
@@ -219,13 +220,14 @@ def test_fused_ascend3_matches_oracle(steps):
 
 
 def test_fused_ascend3_multi_brick(monkeypatch):
-    monkeypatch.setattr(p3k, "_VMEM_BUDGET_3D_BYTES", 1_500_000)
+    monkeypatch.setattr(p3k, "_VMEM_BUDGET_3D_LEGS_BYTES", 1_500_000)
     n, h = 65, 1.0 / 64
     m = (n + 1) // 2
     nz, rp, cp = p3k.padded_shape3(n)
     zs, rs, oz, orow = p3k._brick_geometry(nz, rp, cp, 4, z_halo=2,
                                            num_bufs=6.6, orow_mult=16,
-                                           r_halo=16, zs_even=True)
+                                           r_halo=16, zs_even=True,
+                                           budget=p3k._VMEM_BUDGET_3D_LEGS_BYTES)
     assert zs < nz and rs < rp and zs % 2 == 0 and orow % 16 == 0
 
     u, f = _mk(n, seed=61)
