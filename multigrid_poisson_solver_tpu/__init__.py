@@ -30,4 +30,5 @@ from .compiled3 import CompiledCycle3, compile_program3  # noqa: F401
 from .models import BUILTIN_PROBLEMS_3D, Problem3D, REFERENCE_PROBLEM_3D  # noqa: F401
 from .compiled import CompiledCycle, compile_program  # noqa: F401
 from .refine import IterativeRefinementSolver, RefineReport, solve_to_tolerance  # noqa: F401
+from .refine3 import IterativeRefinement3, Refine3Report, solve_to_tolerance3  # noqa: F401
 from . import models  # noqa: F401

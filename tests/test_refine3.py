@@ -1,0 +1,100 @@
+"""3-D iterative-refinement (deep convergence) tests.
+
+Mirrors test_refine.py one dimension up: the multi-word fp32 state + fp32
+V-cycles reach relative residuals far below the plain-fp32 floor, with the
+compensated 7-point residuals validated against an f64 oracle.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import multigrid_poisson_solver_tpu as mg
+from multigrid_poisson_solver_tpu.models import poisson3d as p3
+from multigrid_poisson_solver_tpu.refine3 import (
+    IterativeRefinement3, residual_df3, residual_tw3, solve_to_tolerance3,
+)
+
+PROBLEM = p3.REFERENCE_PROBLEM_3D
+
+
+def _f64_residual(u64, f64, h):
+    return np.asarray(p3.residual3(u64, f64, h))
+
+
+def test_residual_df3_matches_f64_truth(rng):
+    n = 33
+    h = 1.0 / (n - 1)
+    u = rng.standard_normal((n, n, n)).astype(np.float32)
+    # a low word ~eps·|u| like a real refinement state
+    lo = (rng.standard_normal((n, n, n)) * 1e-8).astype(np.float32)
+    f = PROBLEM.source_grid(n, jnp.float32)
+    r = np.asarray(residual_df3(jnp.asarray(u), jnp.asarray(lo),
+                                f, h))
+    truth = _f64_residual(jnp.asarray(u, jnp.float64)
+                          + jnp.asarray(lo, jnp.float64),
+                          jnp.asarray(f, jnp.float64), h)
+    scale = np.abs(truth).max()
+    # fp32 two-sum chains: exact to ~eps of the residual magnitude, decades
+    # below the naive fp32 evaluation noise (~eps·|u|/h²)
+    assert np.abs(r - truth).max() < 2e-7 * scale
+
+
+def test_residual_tw3_matches_f64_truth(rng):
+    n = 33
+    h = 1.0 / (n - 1)
+    u0 = rng.standard_normal((n, n, n)).astype(np.float32)
+    u1 = (rng.standard_normal((n, n, n)) * 1e-8).astype(np.float32)
+    u2 = (rng.standard_normal((n, n, n)) * 1e-16).astype(np.float32)
+    f = PROBLEM.source_grid(n, jnp.float32)
+    r = np.asarray(residual_tw3(*map(jnp.asarray, (u0, u1, u2)), f, h))
+    truth = _f64_residual(sum(jnp.asarray(w, jnp.float64)
+                              for w in (u0, u1, u2)),
+                          jnp.asarray(f, jnp.float64), h)
+    scale = np.abs(truth).max()
+    assert np.abs(r - truth).max() < 2e-7 * scale
+
+
+def test_refine3_df32_reaches_1e9():
+    rep = solve_to_tolerance3(PROBLEM, 33, tol=1e-9, state="df32")
+    assert rep.rel_residual <= 1e-9
+    assert rep.cycles < 30
+    # discretization floor: mean|u−analytic| ~ C·h²
+    assert rep.error_vs_analytic < 4e-3
+
+
+def test_refine3_tw32_reaches_1e12():
+    rep = solve_to_tolerance3(PROBLEM, 33, tol=1e-12, state="tw32",
+                              max_cycles=40)
+    assert rep.rel_residual <= 1e-12
+    assert rep.cycles < 40
+
+
+def test_refine3_harmonic_boundary_problem():
+    rep = solve_to_tolerance3(p3.HARMONIC_PROBLEM_3D, 33, tol=1e-8)
+    # harmonic quadratic: discretely exact, so the solve nails the analytic
+    # solution to the refinement depth
+    assert rep.rel_residual <= 1e-8
+    assert rep.error_vs_analytic < 1e-7
+
+
+def test_refine3_beats_plain_fp32_floor():
+    """The refined state's residual lands decades below what a single fp32
+    word can represent (the point of the subsystem)."""
+    n = 33
+    h = 1.0 / (n - 1)
+    rep = solve_to_tolerance3(PROBLEM, n, tol=1e-11, state="tw32",
+                              max_cycles=40)
+    f = (PROBLEM.source_grid(n, jnp.float32)
+         + PROBLEM.boundary_grid(n, jnp.float32))
+    # residual of the ROUNDED (single-word) state, in f64: the fp32 floor
+    r32 = _f64_residual(jnp.asarray(np.asarray(rep.u), jnp.float64),
+                        jnp.asarray(f, jnp.float64), h)
+    rel32 = np.linalg.norm(r32) / np.linalg.norm(np.asarray(f))
+    assert rep.rel_residual <= 1e-11
+    assert rep.rel_residual < rel32 / 50.0
+
+
+def test_refine3_exported():
+    assert mg.IterativeRefinement3 is IterativeRefinement3
+    assert mg.solve_to_tolerance3 is solve_to_tolerance3
