@@ -145,16 +145,27 @@ def _brick_geometry(nz: int, rp: int, cp: int, itemsize: int, z_halo: int,
     return zs, rs, oz, orow
 
 
-def _fused_jacobi3_kernel(u_hbm, f_hbm, out_hbm,
+def _fused_jacobi3_kernel(offs_smem, u_hbm, f_hbm, out_hbm,
                           u_slots, fc_slots, work, a_buf,
                           load_sems, out_sems, *,
                           n: int, nz: int, rp: int, cp: int, steps: int,
+                          ext_z: int, out_z: int,
                           zs: int, rs: int, oz: int, orow: int,
                           num_zb: int, num_rb: int,
                           h2: float, omega: float, from_zero: bool):
-    """k fused sweeps of the 7-point stencil over (z, row) bricks."""
+    """k fused sweeps of the 7-point stencil over (z, row) bricks.
+
+    Single-device: nz == out_z == the padded volume depth, ext_z = 0 and
+    offs_smem = (0,). Sharded (parallel.pallas_shard3): the input volume is
+    a z-shard EXTENDED by ext_z freshly-ppermuted halo planes on each side
+    (nz = out_z + 2·ext_z), the output is the bare shard, and offs_smem[0]
+    holds the GLOBAL z index of extended plane 0 so the z-Dirichlet gates
+    stay exact under partitioning. Trapezoid staleness at the extension
+    edges is bounded by the same ≤steps-sweep argument as interior brick
+    z-cuts."""
     num_iter = num_zb * num_rb
     w = jnp.asarray(omega / 6.0, u_hbm.dtype)
+    zoff = offs_smem[0]
 
     def zi(idx):
         if num_rb == 1:
@@ -162,11 +173,11 @@ def _fused_jacobi3_kernel(u_hbm, f_hbm, out_hbm,
         return _i32(idx) // _i32(num_rb), jax.lax.rem(_i32(idx), _i32(num_rb))
 
     def load_z(i):
-        return jnp.clip(_i32(i) * _i32(oz) - _i32(steps), _i32(0),
+        return jnp.clip(_i32(i) * _i32(oz) + _i32(ext_z - steps), _i32(0),
                         _i32(nz - zs))
 
     def write_z(i):
-        return jnp.clip(_i32(i) * _i32(oz), _i32(0), _i32(nz - oz))
+        return jnp.clip(_i32(i) * _i32(oz), _i32(0), _i32(out_z - oz))
 
     def load_r(j):
         return _mul8(jnp.clip(_i32(j) * _i32(orow) - _i32(8), _i32(0),
@@ -191,7 +202,7 @@ def _fused_jacobi3_kernel(u_hbm, f_hbm, out_hbm,
     def out_copy(idx, slot):
         i, j = zi(idx)
         wz, wr = write_z(i), write_r(j)
-        zlo = wz - load_z(i)
+        zlo = wz + _i32(ext_z) - load_z(i)
         rlo = _mul8(wr - load_r(j))
         return pltpu.make_async_copy(
             u_slots.at[slot, pl.ds(zlo, oz), pl.ds(rlo, orow), :],
@@ -235,7 +246,7 @@ def _fused_jacobi3_kernel(u_hbm, f_hbm, out_hbm,
         # is what lets large-VMEM bricks compile at all — the unrolled form
         # (zs x steps plane statements) killed the compiler past ~30 planes.
         def build_plane(t, c):
-            gz = z0 + t
+            gz = zoff + z0 + t
             # updatable: interior in z AND not a brick z-cut plane
             gate = (gz >= 1) & (gz <= n - 2) & (t > 0) & (t < zs - 1)
             ap = jnp.where(gate, a_plane, jnp.zeros_like(a_plane))
@@ -302,33 +313,42 @@ def _fused_jacobi3_kernel(u_hbm, f_hbm, out_hbm,
     out_copy(_i32(last), _i32(last % 2)).wait()
 
 
-def fused_jacobi3_padded(u, f, n: int, h: float, steps: int,
-                         omega: float = 6.0 / 7.0, from_zero: bool = False,
-                         interpret: bool = False):
-    """``steps`` fused 3-D Jacobi sweeps in one HBM pass over the padded
-    volume (see module docstring). ``from_zero`` skips the u stream and
-    folds the closed-form first sweep (correction levels)."""
+def _fused_jacobi3_shard_call(zoff, u, f, n: int, h: float, steps: int,
+                              omega: float, ext_z: int, from_zero: bool,
+                              interpret: bool):
+    """One ≤8-sweep fused 3-D pass on a (possibly z-halo-extended) volume.
+
+    ``zoff`` = int32 (1,) GLOBAL z index of u's plane 0; ``ext_z`` halo
+    planes on each side are consumed but not written — the output is
+    (nz − 2·ext_z, rp, cp). Single-device callers pass zoff = (0,) and
+    ext_z = 0 (then nz must be the full padded depth)."""
     nz, rp, cp = u.shape
-    assert (nz, rp, cp) == padded_shape3(n), (u.shape, padded_shape3(n))
     assert f.shape == u.shape and f.dtype == u.dtype
     assert 1 <= steps <= MAX_FUSED_SWEEPS_3D
+    assert ext_z == 0 or steps <= ext_z, (steps, ext_z)
+    out_z = nz - 2 * ext_z
+    assert out_z >= 1, (nz, ext_z)
 
     itemsize = jnp.dtype(u.dtype).itemsize
     # resident: 2 u slots + 2 f slots + work + A brick = 6 bricks
     zs, rs, oz, orow = _brick_geometry(nz, rp, cp, itemsize, z_halo=steps,
                                        num_bufs=6.0)
-    num_zb = math.ceil(nz / oz) if zs < nz else 1
+    oz = out_z if zs >= nz else min(oz, out_z)
+    num_zb = math.ceil(out_z / oz) if zs < nz else 1
     num_rb = math.ceil(rp / orow) if rs < rp else 1
 
     kernel = partial(_fused_jacobi3_kernel, n=n, nz=nz, rp=rp, cp=cp,
-                     steps=steps, zs=zs, rs=rs, oz=oz, orow=orow,
+                     steps=steps, ext_z=ext_z, out_z=out_z,
+                     zs=zs, rs=rs, oz=oz, orow=orow,
                      num_zb=num_zb, num_rb=num_rb, h2=h * h, omega=omega,
                      from_zero=from_zero)
 
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((nz, rp, cp), u.dtype),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_shape=jax.ShapeDtypeStruct((out_z, rp, cp), u.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, zs, rs, cp), u.dtype),     # u slots
@@ -341,7 +361,19 @@ def fused_jacobi3_padded(u, f, n: int, h: float, steps: int,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_vmem_limit(6 * zs * rs * cp * itemsize)),
         interpret=interpret,
-    )(u, f)
+    )(zoff, u, f)
+
+
+def fused_jacobi3_padded(u, f, n: int, h: float, steps: int,
+                         omega: float = 6.0 / 7.0, from_zero: bool = False,
+                         interpret: bool = False):
+    """``steps`` fused 3-D Jacobi sweeps in one HBM pass over the padded
+    volume (see module docstring). ``from_zero`` skips the u stream and
+    folds the closed-form first sweep (correction levels)."""
+    assert u.shape == padded_shape3(n), (u.shape, padded_shape3(n))
+    return _fused_jacobi3_shard_call(
+        jnp.zeros((1,), jnp.int32), u, f, n, h, steps, omega,
+        ext_z=0, from_zero=from_zero, interpret=interpret)
 
 
 # Descend sweep caps: the 8-row halo must absorb k neighbor-reading sweeps
@@ -891,14 +923,19 @@ def fused_ascend3_padded(u, f, cwide, n: int, h: float, steps: int,
     )(u, f, cwide)
 
 
-def _residual3_kernel(u_hbm, f_hbm, out_hbm,
+def _residual3_kernel(offs_smem, u_hbm, f_hbm, out_hbm,
                       u_slots, f_slots, out_slots, load_sems,
                       out_sems, *,
-                      n: int, nz: int, rp: int, cp: int,
+                      n: int, nz: int, rp: int, cp: int, ext_z: int,
+                      out_z: int,
                       zs: int, rs: int, oz: int, orow: int,
                       num_zb: int, num_rb: int, inv_h2: float, negate: bool):
-    """r = ∇²u − f (or its negation) in one brick-streamed pass."""
+    """r = ∇²u − f (or its negation) in one brick-streamed pass.
+
+    offs_smem / ext_z generalize over z-halo-extended shard volumes exactly
+    as in _fused_jacobi3_kernel (a single halo plane suffices here)."""
     num_iter = num_zb * num_rb
+    zoff = offs_smem[0]
 
     def zi(idx):
         if num_rb == 1:
@@ -906,10 +943,11 @@ def _residual3_kernel(u_hbm, f_hbm, out_hbm,
         return _i32(idx) // _i32(num_rb), jax.lax.rem(_i32(idx), _i32(num_rb))
 
     def load_z(i):
-        return jnp.clip(_i32(i) * _i32(oz) - _i32(1), _i32(0), _i32(nz - zs))
+        return jnp.clip(_i32(i) * _i32(oz) + _i32(ext_z - 1), _i32(0),
+                        _i32(nz - zs))
 
     def write_z(i):
-        return jnp.clip(_i32(i) * _i32(oz), _i32(0), _i32(nz - oz))
+        return jnp.clip(_i32(i) * _i32(oz), _i32(0), _i32(out_z - oz))
 
     def load_r(j):
         return _mul8(jnp.clip(_i32(j) * _i32(orow) - _i32(8), _i32(0),
@@ -932,7 +970,7 @@ def _residual3_kernel(u_hbm, f_hbm, out_hbm,
     def out_copy(idx, slot):
         i, j = zi(idx)
         wz, wr = write_z(i), write_r(j)
-        zlo = wz - load_z(i)
+        zlo = wz + _i32(ext_z) - load_z(i)
         rlo = _mul8(wr - load_r(j))
         return pltpu.make_async_copy(
             out_slots.at[slot, pl.ds(zlo, oz), pl.ds(rlo, orow), :],
@@ -973,7 +1011,7 @@ def _residual3_kernel(u_hbm, f_hbm, out_hbm,
 
         def plane(t, c):
             u = u_slots[slot, t]
-            gz = z0 + t
+            gz = zoff + z0 + t
             nb = (_nb_sum(u, rs, cp) + u_slots[slot, t - 1]
                   + u_slots[slot, t + 1] - 6.0 * u)
             r = sgn * nb - sgf * f_slots[slot, t]
@@ -995,28 +1033,34 @@ def _residual3_kernel(u_hbm, f_hbm, out_hbm,
     out_copy(_i32(last), _i32(last % 2)).wait()
 
 
-def residual3_pallas(u, f, n: int, h: float, negate: bool = False,
-                     interpret: bool = False):
-    """3-D residual in one brick-streamed HBM pass; zero on all faces."""
+def _residual3_shard_call(zoff, u, f, n: int, h: float, negate: bool,
+                          ext_z: int, interpret: bool):
+    """Brick-streamed 3-D residual on a (possibly z-halo-extended) volume;
+    output is (nz − 2·ext_z, rp, cp). See _fused_jacobi3_shard_call."""
     nz, rp, cp = u.shape
-    assert (nz, rp, cp) == padded_shape3(n)
     assert f.shape == u.shape and f.dtype == u.dtype
+    assert ext_z in (0, 1), ext_z
+    out_z = nz - 2 * ext_z
     itemsize = jnp.dtype(u.dtype).itemsize
     # 2 u + 2 f + 2 out slots resident
     zs, rs, oz, orow = _brick_geometry(nz, rp, cp, itemsize, z_halo=1,
                                        num_bufs=6.0)
-    num_zb = math.ceil(nz / oz) if zs < nz else 1
+    oz = out_z if zs >= nz else min(oz, out_z)
+    num_zb = math.ceil(out_z / oz) if zs < nz else 1
     num_rb = math.ceil(rp / orow) if rs < rp else 1
 
     kernel = partial(_residual3_kernel, n=n, nz=nz, rp=rp, cp=cp,
+                     ext_z=ext_z, out_z=out_z,
                      zs=zs, rs=rs, oz=oz, orow=orow,
                      num_zb=num_zb, num_rb=num_rb,
                      inv_h2=1.0 / (h * h), negate=negate)
 
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((nz, rp, cp), u.dtype),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_shape=jax.ShapeDtypeStruct((out_z, rp, cp), u.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, zs, rs, cp), u.dtype),
@@ -1028,4 +1072,12 @@ def residual3_pallas(u, f, n: int, h: float, negate: bool = False,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_vmem_limit(6 * zs * rs * cp * itemsize)),
         interpret=interpret,
-    )(u, f)
+    )(zoff, u, f)
+
+
+def residual3_pallas(u, f, n: int, h: float, negate: bool = False,
+                     interpret: bool = False):
+    """3-D residual in one brick-streamed HBM pass; zero on all faces."""
+    assert u.shape == padded_shape3(n), (u.shape, padded_shape3(n))
+    return _residual3_shard_call(jnp.zeros((1,), jnp.int32), u, f, n, h,
+                                 negate, ext_z=0, interpret=interpret)

@@ -1,0 +1,175 @@
+"""shard_map + per-shard Pallas for the 3-D hot path: fused brick kernels
+under a 1-D z-plane decomposition.
+
+The 3-D GSPMD path (tests/test_parallel3.py, __graft_entry__) partitions the
+plain-jnp V-cycle; like the round-1 2-D story, that abandons the fused brick
+kernels (ops.pallas3d) under sharding. This module is the 3-D member of the
+parallel.pallas_shard family:
+
+  * the volume stays a global (nzp, rp, cp) padded array elsewhere; each
+    smoothing/residual call drops into ``shard_map`` (manual mode) over a
+    1-D mesh on the z axis — contiguous plane blocks per device, the
+    natural 3-D analog of the 2-D rows policy;
+  * per fused pass (≤8 sweeps), every device ``lax.ppermute``s its ``k``
+    edge PLANES to its ring neighbors — one halo exchange per pass instead
+    of k per-sweep GSPMD collectives, riding ICI;
+  * each shard runs the SAME brick-streamed kernel as the single-device
+    path on its halo-extended block, with the block's global z origin in
+    SMEM so the z-Dirichlet gates stay exact under partitioning;
+  * the z-halo of exactly ``k`` planes is the same trapezoid argument that
+    makes interior brick z-cuts exact for k fused sweeps, so owned planes
+    BIT-MATCH the unsharded kernel.
+
+Alignment contract: the z axis is untiled in Mosaic (plane offsets need no
+alignment), so the only requirement is equal blocks — ``nzp`` must divide
+the device count. ``padded_depth3`` / ``pad_planes3`` provide compliant
+volumes (zero planes at gz ≥ n are frozen by the global gates and stay
+zero). Rows/lanes are never split by this policy: every shard keeps full
+(rp, cp) planes, Mosaic tiling untouched.
+
+No reference counterpart (single GPU, strictly 2-D)."""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.pallas3d import (
+    MAX_FUSED_SWEEPS_3D,
+    _fused_jacobi3_shard_call,
+    _residual3_shard_call,
+    padded_shape3,
+)
+
+Z_AXIS = "z"
+
+
+def make_mesh_z(devices=None, axis_name: str = Z_AXIS) -> Mesh:
+    """A 1-D mesh over the z (plane) axis."""
+    import numpy as np
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def z_sharding(mesh: Mesh, axis_name: str = Z_AXIS) -> NamedSharding:
+    return NamedSharding(mesh, P(axis_name, None, None))
+
+
+def padded_depth3(n: int, n_devices: int) -> int:
+    """Plane count after padding to a device-divisible depth."""
+    return -(-n // n_devices) * n_devices
+
+
+def sharded_shape3(n: int, n_devices: int) -> tuple[int, int, int]:
+    nz, rp, cp = padded_shape3(n)
+    return (padded_depth3(n, n_devices), rp, cp)
+
+
+def pad_planes3(a: jnp.ndarray, n_devices: int) -> jnp.ndarray:
+    """Zero-pad trailing z planes so the depth divides the device count
+    (shard_map needs equal blocks; the padded planes sit at gz > n − 1 and
+    are frozen by every kernel's global Dirichlet gates)."""
+    nz = a.shape[0]
+    nzp = padded_depth3(nz, n_devices)
+    if nzp == nz:
+        return a
+    return jnp.concatenate(
+        [a, jnp.zeros((nzp - nz,) + a.shape[1:], a.dtype)], axis=0)
+
+
+def _ring_perms(ndev: int):
+    fwd = [(i, (i + 1) % ndev) for i in range(ndev)]   # receive from previous
+    bwd = [(i, (i - 1) % ndev) for i in range(ndev)]   # receive from next
+    return fwd, bwd
+
+
+def _extend_planes(x, axis: str, k: int):
+    """Prepend/append the k edge planes of the ring neighbors (wrap-around
+    values land only on globally-gated planes and never propagate past the
+    frozen Dirichlet faces)."""
+    fwd, bwd = _ring_perms(lax.axis_size(axis))
+    above = lax.ppermute(x[-k:], axis, fwd)
+    below = lax.ppermute(x[:k], axis, bwd)
+    return jnp.concatenate([above, x, below], axis=0)
+
+
+def _check_shape(u, n: int, mesh: Mesh, axis_name: str):
+    ndev = mesh.shape[axis_name]
+    assert u.shape == sharded_shape3(n, ndev), (
+        f"global volume {u.shape} is not the z-sharded padded layout "
+        f"{sharded_shape3(n, ndev)} for n={n} on {ndev} devices; build "
+        f"arrays with pad_planes3(pad_grid3(a), ndev)")
+
+
+@partial(jax.jit, static_argnames=("n", "h", "steps", "omega", "mesh",
+                                   "axis_name", "from_zero", "interpret"))
+def sharded_fused_jacobi3(u, f, n: int, h: float, steps: int,
+                          omega: float, mesh: Mesh,
+                          axis_name: str = Z_AXIS,
+                          from_zero: bool = False,
+                          interpret: bool = False):
+    """``steps`` fused 3-D damped-Jacobi sweeps on a z-sharded volume.
+
+    Semantics identical to ops.pallas3d.fused_jacobi3_padded on the global
+    volume: owned planes bit-match the unsharded kernel. One plane-halo
+    exchange per ≤8-sweep pass."""
+    _check_shape(u, n, mesh, axis_name)
+
+    def body(u_loc, f_loc):
+        nz_loc = u_loc.shape[0]
+        zi = lax.axis_index(axis_name)
+
+        # the one-neighbor ppermute supplies at most nz_loc halo planes, so
+        # a pass fuses at most that many sweeps (only binds for extremely
+        # shallow shards)
+        kmax = min(MAX_FUSED_SWEEPS_3D, nz_loc)
+        out, remaining, first = u_loc, steps, True
+        while remaining > 0:
+            k = min(remaining, kmax)
+            zoff = (zi * nz_loc - k).astype(jnp.int32).reshape(1)
+            u_e = _extend_planes(out, axis_name, k)
+            f_e = _extend_planes(f_loc, axis_name, k)
+            out = _fused_jacobi3_shard_call(
+                zoff, u_e, f_e, n, h, k, omega, ext_z=k,
+                from_zero=from_zero and first, interpret=interpret)
+            remaining -= k
+            first = False
+        return out
+
+    spec = P(axis_name, None, None)
+    return shard_map(body, mesh=mesh, in_specs=(spec, spec),
+                     out_specs=spec, check_vma=False)(u, f)
+
+
+@partial(jax.jit, static_argnames=("n", "h", "mesh", "axis_name", "negate",
+                                   "interpret"))
+def sharded_residual3_pallas(u, f, n: int, h: float, mesh: Mesh,
+                             axis_name: str = Z_AXIS, negate: bool = False,
+                             interpret: bool = False):
+    """Brick-streamed 7-point residual on a z-sharded volume; matches
+    ops.pallas3d.residual3_pallas on owned planes."""
+    _check_shape(u, n, mesh, axis_name)
+
+    def body(u_loc, f_loc):
+        nz_loc = u_loc.shape[0]
+        zi = lax.axis_index(axis_name)
+        zoff = (zi * nz_loc - 1).astype(jnp.int32).reshape(1)
+        u_e = _extend_planes(u_loc, axis_name, 1)
+        f_e = _extend_planes(f_loc, axis_name, 1)
+        return _residual3_shard_call(zoff, u_e, f_e, n, h, negate,
+                                     ext_z=1, interpret=interpret)
+
+    spec = P(axis_name, None, None)
+    return shard_map(body, mesh=mesh, in_specs=(spec, spec),
+                     out_specs=spec, check_vma=False)(u, f)
+
+
+__all__ = ["make_mesh_z", "z_sharding", "padded_depth3", "sharded_shape3",
+           "pad_planes3", "sharded_fused_jacobi3",
+           "sharded_residual3_pallas", "Z_AXIS"]

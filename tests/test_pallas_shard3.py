@@ -1,0 +1,112 @@
+"""Sharded 3-D Pallas: the fused brick kernels under a z-plane decomposition
+must match the unsharded kernels on owned planes (8-device virtual CPU mesh,
+interpret mode — the same harness that validates the 2-D pallas_shard)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multigrid_poisson_solver_tpu.models import poisson3d as p3
+from multigrid_poisson_solver_tpu.ops import pallas3d as pk3
+from multigrid_poisson_solver_tpu.parallel import pallas_shard3 as ps3
+
+NDEV = 8
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == NDEV
+    return ps3.make_mesh_z(jax.devices())
+
+
+def _volumes(n):
+    prob = p3.REFERENCE_PROBLEM_3D
+    f = prob.source_grid(n) + prob.boundary_grid(n)
+    u = prob.boundary_grid(n) + 0.01 * f            # non-trivial interior
+    return (pk3.pad_grid3(u.astype(jnp.float32)),
+            pk3.pad_grid3(f.astype(jnp.float32)))
+
+
+def _to_sharded(a, mesh):
+    return jax.device_put(ps3.pad_planes3(a, NDEV), ps3.z_sharding(mesh))
+
+
+@pytest.mark.parametrize("n,steps", [(33, 3), (33, 8), (65, 5)])
+def test_sharded_jacobi3_matches_unsharded(mesh, n, steps):
+    h = 1.0 / (n - 1)
+    up, fp = _volumes(n)
+    want = pk3.fused_jacobi3_padded(up, fp, n, h, steps, interpret=True)
+
+    us, fs = _to_sharded(up, mesh), _to_sharded(fp, mesh)
+    with mesh:
+        got = ps3.sharded_fused_jacobi3(us, fs, n, h, steps, 6.0 / 7.0,
+                                        mesh, interpret=True)
+    assert got.shape == ps3.sharded_shape3(n, NDEV)
+    np.testing.assert_array_equal(np.asarray(got)[:n], np.asarray(want))
+    # padded planes stay zero
+    assert not np.asarray(got)[n:].any()
+
+
+def test_sharded_jacobi3_multi_pass(mesh):
+    """steps > 8 splits into multiple fused passes with fresh halo
+    exchanges; must still match the unsharded multi-pass result."""
+    n, steps = 33, 11
+    h = 1.0 / (n - 1)
+    up, fp = _volumes(n)
+    want = pk3.fused_jacobi3_padded(up, fp, n, h, 8, interpret=True)
+    want = pk3.fused_jacobi3_padded(want, fp, n, h, 3, interpret=True)
+
+    us, fs = _to_sharded(up, mesh), _to_sharded(fp, mesh)
+    with mesh:
+        got = ps3.sharded_fused_jacobi3(us, fs, n, h, steps, 6.0 / 7.0,
+                                        mesh, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got)[:n], np.asarray(want))
+
+
+def test_sharded_jacobi3_from_zero(mesh):
+    n, steps = 33, 4
+    h = 1.0 / (n - 1)
+    _, fp = _volumes(n)
+    z = jnp.zeros_like(fp)
+    want = pk3.fused_jacobi3_padded(z, fp, n, h, steps, from_zero=True,
+                                    interpret=True)
+    zs, fs = _to_sharded(z, mesh), _to_sharded(fp, mesh)
+    with mesh:
+        got = ps3.sharded_fused_jacobi3(zs, fs, n, h, steps, 6.0 / 7.0,
+                                        mesh, from_zero=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got)[:n], np.asarray(want))
+
+
+@pytest.mark.parametrize("negate", [False, True])
+def test_sharded_residual3_matches_unsharded(mesh, negate):
+    n = 33
+    h = 1.0 / (n - 1)
+    up, fp = _volumes(n)
+    want = pk3.residual3_pallas(up, fp, n, h, negate=negate, interpret=True)
+    us, fs = _to_sharded(up, mesh), _to_sharded(fp, mesh)
+    with mesh:
+        got = ps3.sharded_residual3_pallas(us, fs, n, h, mesh, negate=negate,
+                                           interpret=True)
+    np.testing.assert_array_equal(np.asarray(got)[:n], np.asarray(want))
+    assert not np.asarray(got)[n:].any()
+
+
+def test_sharded_jacobi3_vs_oracle(mesh):
+    """End-to-end sanity straight against the plain-jnp oracle sweeps."""
+    n, steps = 33, 6
+    h = 1.0 / (n - 1)
+    prob = p3.REFERENCE_PROBLEM_3D
+    f = (prob.source_grid(n) + prob.boundary_grid(n)).astype(jnp.float32)
+    u = prob.boundary_grid(n).astype(jnp.float32)
+    want = u
+    for _ in range(steps):
+        want = p3.jacobi_sweep3(want, f, h, 6.0 / 7.0)
+
+    us = _to_sharded(pk3.pad_grid3(u), mesh)
+    fs = _to_sharded(pk3.pad_grid3(f), mesh)
+    with mesh:
+        got = ps3.sharded_fused_jacobi3(us, fs, n, h, steps, 6.0 / 7.0,
+                                        mesh, interpret=True)
+    np.testing.assert_allclose(np.asarray(got)[:n, :n, :n],
+                               np.asarray(want), rtol=0, atol=5e-6)
