@@ -334,75 +334,14 @@ def v_cycle3(u, f, h: float, n_min: int = 5, pre: int = 2, post: int = 2,
     to benefit; transfers stay XLA (separable rolls — not the hot path).
     """
     n = u.shape[0]
-    sizes = _sizes(n, n_min)
     if kernels == "pallas":
-        # padded-resident cycle: pad once, run every level's smoothing,
-        # residual AND transfers in the (nz, rp, cp) layout, unpad once.
-        # Padding around each kernel call instead cost ~3 extra full-volume
-        # copies per smooth, and the plain-jnp transfers lower to strided
-        # lane scatters / moveaxis transposes — both 10×-class slow on TPU.
         from ..ops import pallas3d as _p3k
-        from ..ops import padded3 as _pd3
-        interp = jax.default_backend() != "tpu"
-        # 2:1-aligned odd sizes all the way down (guaranteed by _sizes)
-
-        def smooth_p(up, fp, nn, h, k, from_zero=False):
-            if nn >= 65:
-                while k > 0:
-                    kk = min(k, _p3k.MAX_FUSED_SWEEPS_3D)
-                    up = _p3k.fused_jacobi3_padded(
-                        up, fp, nn, h, kk, omega=omega,
-                        from_zero=from_zero, interpret=interp)
-                    from_zero = False
-                    k -= kk
-                return up
-            u = _p3k.unpad_grid3(up, nn)
-            f = _p3k.unpad_grid3(fp, nn)
-            if from_zero:
-                u = jnp.zeros_like(u)
-            for _ in range(k):
-                u = jacobi_sweep3(u, f, h, omega)
-            return _p3k.pad_grid3(u)
-
-        def run_p(up, fp, nn, h, depth, from_zero):
-            if depth == len(sizes) - 1:
-                return smooth_p(up, fp, nn, h, coarse_sweeps, from_zero)
-            m = sizes[depth + 1]
-            # ONE-kernel legs on big levels: descend fuses pre-sweeps +
-            # residual + z/row restriction, ascend fuses prolongation +
-            # add + post-sweeps; each leaves only a quarter-volume XLA
-            # lane pass outside the kernel.
-            fuse_down = (nn >= 65 and 1 <= pre - (1 if from_zero else 0)
-                         <= _p3k.MAX_DESCEND3_SWEEPS_FW)
-            if fuse_down:
-                up, dw, _ = _p3k.fused_descend3_padded(
-                    up, fp, nn, h, pre, omega=omega, from_zero=from_zero,
-                    interpret=interp)
-                fc = _pd3.restrict3_lanes_p(dw, nn, m)
-            else:
-                up = smooth_p(up, fp, nn, h, pre, from_zero)
-                if nn >= 65:
-                    rp = _p3k.residual3_pallas(up, fp, nn, h, negate=True,
-                                               interpret=interp)
-                else:
-                    rp = _p3k.pad_grid3(-residual3(
-                        _p3k.unpad_grid3(up, nn),
-                        _p3k.unpad_grid3(fp, nn), h))
-                fc = _pd3.restrict3_p(rp, nn, m)
-            # from_zero=True: the zeros volume is a formal operand only —
-            # the kernel's from_zero path never DMAs the u stream
-            ec = run_p(jnp.zeros_like(fc), fc, m, 2 * h, depth + 1, True)
-            if nn >= 65 and 1 <= post <= _p3k.MAX_FUSED_SWEEPS_3D:
-                cw = _pd3.prolong3_lanes_p(ec, nn, m)
-                return _p3k.fused_ascend3_padded(up, fp, cw, nn, h, post,
-                                                 omega=omega,
-                                                 interpret=interp)
-            up = _pd3.prolong3_add_p(up, ec, nn, m)
-            return smooth_p(up, fp, nn, h, post)
-
         up = _p3k.pad_grid3(u)
         fp = _p3k.pad_grid3(f)
-        return _p3k.unpad_grid3(run_p(up, fp, n, h, 0, False), n)
+        return _p3k.unpad_grid3(
+            v_cycle3_p(up, fp, n, h, n_min=n_min, pre=pre, post=post,
+                       coarse_sweeps=coarse_sweeps, omega=omega), n)
+    sizes = _sizes(n, n_min)
 
     def smooth(u, f, h, k):
         for _ in range(k):
@@ -425,6 +364,84 @@ def v_cycle3(u, f, h: float, n_min: int = 5, pre: int = 2, post: int = 2,
         return smooth(u, f, h, post)
 
     return run(u, f, h, 0)
+
+
+@partial(jax.jit, static_argnames=("n", "h", "n_min", "pre", "post",
+                                   "coarse_sweeps", "omega"))
+def v_cycle3_p(up, fp, n: int, h: float, n_min: int = 5, pre: int = 2,
+               post: int = 2, coarse_sweeps: int = 50,
+               omega: float = 0.857):
+    """One recursive 3-D V-cycle on PADDED-resident (nz, rp, cp) state —
+    the fused-brick-kernel hot path of ``v_cycle3(kernels="pallas")``,
+    exposed for callers that keep state padded across cycles (refine3).
+
+    Every level's smoothing, residual AND transfers run in the padded
+    layout: padding around each kernel call instead cost ~3 extra
+    full-volume copies per smooth, and the plain-jnp transfers lower to
+    strided lane scatters / moveaxis transposes — both 10×-class slow on
+    TPU."""
+    from ..ops import pallas3d as _p3k
+    from ..ops import padded3 as _pd3
+    assert up.shape == _p3k.padded_shape3(n), (up.shape, n)
+    sizes = _sizes(n, n_min)
+    interp = jax.default_backend() != "tpu"
+    # 2:1-aligned odd sizes all the way down (guaranteed by _sizes)
+
+    def smooth_p(up, fp, nn, h, k, from_zero=False):
+        if nn >= 65:
+            while k > 0:
+                kk = min(k, _p3k.MAX_FUSED_SWEEPS_3D)
+                up = _p3k.fused_jacobi3_padded(
+                    up, fp, nn, h, kk, omega=omega,
+                    from_zero=from_zero, interpret=interp)
+                from_zero = False
+                k -= kk
+            return up
+        u = _p3k.unpad_grid3(up, nn)
+        f = _p3k.unpad_grid3(fp, nn)
+        if from_zero:
+            u = jnp.zeros_like(u)
+        for _ in range(k):
+            u = jacobi_sweep3(u, f, h, omega)
+        return _p3k.pad_grid3(u)
+
+    def run_p(up, fp, nn, h, depth, from_zero):
+        if depth == len(sizes) - 1:
+            return smooth_p(up, fp, nn, h, coarse_sweeps, from_zero)
+        m = sizes[depth + 1]
+        # ONE-kernel legs on big levels: descend fuses pre-sweeps +
+        # residual + z/row restriction, ascend fuses prolongation +
+        # add + post-sweeps; each leaves only a quarter-volume XLA
+        # lane pass outside the kernel.
+        fuse_down = (nn >= 65 and 1 <= pre - (1 if from_zero else 0)
+                     <= _p3k.MAX_DESCEND3_SWEEPS_FW)
+        if fuse_down:
+            up, dw, _ = _p3k.fused_descend3_padded(
+                up, fp, nn, h, pre, omega=omega, from_zero=from_zero,
+                interpret=interp)
+            fc = _pd3.restrict3_lanes_p(dw, nn, m)
+        else:
+            up = smooth_p(up, fp, nn, h, pre, from_zero)
+            if nn >= 65:
+                rp = _p3k.residual3_pallas(up, fp, nn, h, negate=True,
+                                           interpret=interp)
+            else:
+                rp = _p3k.pad_grid3(-residual3(
+                    _p3k.unpad_grid3(up, nn),
+                    _p3k.unpad_grid3(fp, nn), h))
+            fc = _pd3.restrict3_p(rp, nn, m)
+        # from_zero=True: the zeros volume is a formal operand only —
+        # the kernel's from_zero path never DMAs the u stream
+        ec = run_p(jnp.zeros_like(fc), fc, m, 2 * h, depth + 1, True)
+        if nn >= 65 and 1 <= post <= _p3k.MAX_FUSED_SWEEPS_3D:
+            cw = _pd3.prolong3_lanes_p(ec, nn, m)
+            return _p3k.fused_ascend3_padded(up, fp, cw, nn, h, post,
+                                             omega=omega,
+                                             interpret=interp)
+        up = _pd3.prolong3_add_p(up, ec, nn, m)
+        return smooth_p(up, fp, nn, h, post)
+
+    return run_p(up, fp, n, h, 0, False)
 
 
 def solve3(problem: Problem3D, n: int, cycles: int = 10,

@@ -1081,3 +1081,214 @@ def residual3_pallas(u, f, n: int, h: float, negate: bool = False,
     assert u.shape == padded_shape3(n), (u.shape, padded_shape3(n))
     return _residual3_shard_call(jnp.zeros((1,), jnp.int32), u, f, n, h,
                                  negate, ext_z=0, interpret=interpret)
+
+
+# --- multi-word (compensated) 3-D residual ---------------------------------
+# The 3-D member of the 2-D _residual_mw_kernel family (pallas_kernels):
+# the dd-EFT stencil chains of refine3.residual_tw3 / residual_df3 in ONE
+# brick-streamed pass. The XLA forms materialize every roll of every word —
+# ~10 full-volume temporaries that both cost ~2x the inner-cycle time at
+# 257³ and OOM the chip at 513³ (measured 2026-08-18); this streams
+# nwords+1 volumes once with plane-sized temporaries.
+
+def _residual_mw3_kernel(*args, n: int, nz: int, rp: int, cp: int,
+                         zs: int, rs: int, oz: int, orow: int,
+                         num_zb: int, num_rb: int, inv_h2: float,
+                         nwords: int):
+    from .pallas_kernels import _two_sum
+
+    w_hbm = args[:nwords]
+    f_hbm = args[nwords]
+    out_hbm = args[nwords + 1]
+    w_slots = args[nwords + 2]          # (nwords, 2, zs, rs, cp)
+    f_slots = args[nwords + 3]          # (2, zs, rs, cp)
+    out_slots = args[nwords + 4]        # (2, zs, rs, cp)
+    load_sems = args[nwords + 5]        # (2, nwords + 1)
+    out_sems = args[nwords + 6]         # (2,)
+    num_iter = num_zb * num_rb
+
+    def zi(idx):
+        if num_rb == 1:
+            return _i32(idx), _i32(0)
+        return _i32(idx) // _i32(num_rb), jax.lax.rem(_i32(idx), _i32(num_rb))
+
+    def load_z(i):
+        return jnp.clip(_i32(i) * _i32(oz) - _i32(1), _i32(0), _i32(nz - zs))
+
+    def write_z(i):
+        return jnp.clip(_i32(i) * _i32(oz), _i32(0), _i32(nz - oz))
+
+    def load_r(j):
+        return _mul8(jnp.clip(_i32(j) * _i32(orow) - _i32(8), _i32(0),
+                              _i32(rp - rs)))
+
+    def write_r(j):
+        return _mul8(jnp.clip(_i32(j) * _i32(orow), _i32(0),
+                              _i32(rp - orow)))
+
+    def load_copies(idx, slot):
+        i, j = zi(idx)
+        z0, r0 = load_z(i), load_r(j)
+        copies = tuple(
+            pltpu.make_async_copy(
+                w_hbm[w].at[pl.ds(z0, zs), pl.ds(r0, rs), :],
+                w_slots.at[_i32(w), slot], load_sems.at[slot, _i32(w)])
+            for w in range(nwords))
+        copies += (pltpu.make_async_copy(
+            f_hbm.at[pl.ds(z0, zs), pl.ds(r0, rs), :],
+            f_slots.at[slot], load_sems.at[slot, _i32(nwords)]),)
+        return copies
+
+    def out_copy(idx, slot):
+        i, j = zi(idx)
+        wz, wr = write_z(i), write_r(j)
+        zlo = wz - load_z(i)
+        rlo = _mul8(wr - load_r(j))
+        return pltpu.make_async_copy(
+            out_slots.at[slot, pl.ds(zlo, oz), pl.ds(rlo, orow), :],
+            out_hbm.at[pl.ds(wz, oz), pl.ds(wr, orow), :],
+            out_sems.at[slot])
+
+    for cp_ in load_copies(0, _i32(0)):
+        cp_.start()
+
+    def dd_chain(w, slot, t):
+        """(hi, lo, lo2): doubly-compensated 7-point stencil sum of word w
+        at plane t — refine3._eft_stencil_sum_dd3's exact op order (z pair
+        first, then in-plane shifts, then the six −u terms)."""
+        u = w_slots[_i32(w), slot, t]
+        hi, lo = _two_sum(w_slots[_i32(w), slot, t - 1],
+                          w_slots[_i32(w), slot, t + 1])
+        lo2 = jnp.zeros_like(hi)
+        un = _wrap_shift(u, 1, axis=0)
+        us = _wrap_shift(u, rs - 1, axis=0)
+        uw = _wrap_shift(u, 1, axis=1)
+        ue = _wrap_shift(u, cp - 1, axis=1)
+        for term in (un, us, uw, ue, -u, -u, -u, -u, -u, -u):
+            hi, e = _two_sum(hi, term)
+            lo, e2 = _two_sum(lo, e)
+            lo2 = lo2 + e2
+        hi, e = _two_sum(hi, lo)
+        lo, e2 = _two_sum(e, lo2)
+        return hi, lo, e2
+
+    def body(idx, carry):
+        slot = jax.lax.rem(_i32(idx), _i32(2))
+        nxt = jax.lax.rem(_i32(idx) + _i32(1), _i32(2))
+
+        @pl.when(idx + 1 < num_iter)
+        def _():
+            @pl.when(idx >= 1)
+            def _():
+                out_copy(idx - 1, nxt).wait()
+            for cp_ in load_copies(idx + 1, nxt):
+                cp_.start()
+
+        for cp_ in load_copies(idx, slot):
+            cp_.wait()
+
+        i, j = zi(idx)
+        z0, r0 = load_z(i), load_r(j)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (rs, cp), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (rs, cp), 1)
+        g = rows + r0
+        ok2 = ((g >= 1) & (g <= n - 2) & (cols >= 1) & (cols <= n - 2))
+        c = jnp.asarray(inv_h2, f_hbm.dtype)
+
+        zero_plane = jnp.zeros((rs, cp), f_hbm.dtype)
+        out_slots[slot, 0] = zero_plane
+        out_slots[slot, zs - 1] = zero_plane
+
+        def plane(t, cc):
+            hi0, lo0, m0 = dd_chain(0, slot, t)
+            if nwords >= 2:
+                hi1, lo1, m1 = dd_chain(1, slot, t)
+            else:
+                hi1 = lo1 = m1 = jnp.zeros_like(hi0)
+            if nwords == 3:
+                u2 = w_slots[_i32(2), slot, t]
+                s2 = (w_slots[_i32(2), slot, t - 1]
+                      + w_slots[_i32(2), slot, t + 1]
+                      + _wrap_shift(u2, 1, axis=0)
+                      + _wrap_shift(u2, rs - 1, axis=0)
+                      + _wrap_shift(u2, 1, axis=1)
+                      + _wrap_shift(u2, cp - 1, axis=1) - 6.0 * u2)
+            else:
+                s2 = jnp.zeros_like(hi0)
+
+            # combination identical to refine3.residual_tw3
+            r_big = hi0 * c - f_slots[slot, t]
+            t_, tc = _two_sum(lo0, hi1)
+            t2 = ((lo1 + m0) + (m1 + s2)) + tc
+            r = (r_big + t_ * c) + t2 * c
+
+            gz = z0 + t
+            gate = ok2 & (gz >= 1) & (gz <= n - 2)
+            out_slots[slot, t] = jnp.where(gate, r, jnp.zeros_like(r))
+            return cc
+
+        jax.lax.fori_loop(_i32(1), _i32(zs - 1), plane, _i32(0),
+                          unroll=False)
+        out_copy(idx, slot).start()
+        return carry
+
+    jax.lax.fori_loop(_i32(0), _i32(num_iter), body, _i32(0), unroll=False)
+
+    last = num_iter - 1
+    if num_iter >= 2:
+        out_copy(_i32(last - 1), _i32((last - 1) % 2)).wait()
+    out_copy(_i32(last), _i32(last % 2)).wait()
+
+
+def _residual_mw3_call(words, f, n: int, h: float, interpret: bool):
+    nwords = len(words)
+    nz, rp, cp = f.shape
+    assert (nz, rp, cp) == padded_shape3(n), (f.shape, padded_shape3(n))
+    for w in words:
+        assert w.shape == f.shape and w.dtype == f.dtype
+    itemsize = jnp.dtype(f.dtype).itemsize
+
+    num_bufs = 2 * nwords + 4        # nwords×2 word slots + 2 f + 2 out
+    zs, rs, oz, orow = _brick_geometry(nz, rp, cp, itemsize, z_halo=1,
+                                       num_bufs=float(num_bufs))
+    num_zb = math.ceil(nz / oz) if zs < nz else 1
+    num_rb = math.ceil(rp / orow) if rs < rp else 1
+
+    kernel = partial(_residual_mw3_kernel, n=n, nz=nz, rp=rp, cp=cp,
+                     zs=zs, rs=rs, oz=oz, orow=orow,
+                     num_zb=num_zb, num_rb=num_rb,
+                     inv_h2=1.0 / (h * h), nwords=nwords)
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nz, rp, cp), f.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (nwords + 1),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((nwords, 2, zs, rs, cp), f.dtype),
+            pltpu.VMEM((2, zs, rs, cp), f.dtype),
+            pltpu.VMEM((2, zs, rs, cp), f.dtype),
+            pltpu.SemaphoreType.DMA((2, nwords + 1)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit(num_bufs * zs * rs * cp * itemsize)),
+        interpret=interpret,
+    )(*words, f)
+
+
+@partial(jax.jit, static_argnames=("n", "h", "interpret"))
+def residual_tw3_pallas(u0, u1, u2, f, n: int, h: float,
+                        interpret: bool = False):
+    """Brick-streamed compensated residual of the 3-D triple-word state
+    (padded layout); matches refine3.residual_tw3 bit-for-bit in op order."""
+    return _residual_mw3_call((u0, u1, u2), f, n, h, interpret)
+
+
+@partial(jax.jit, static_argnames=("n", "h", "interpret"))
+def residual_df3_pallas(u0, u1, f, n: int, h: float, interpret: bool = False):
+    """Brick-streamed compensated residual of the 3-D double-word state.
+    Slightly MORE accurate than refine3.residual_df3 (the second word also
+    gets the dd-EFT chain, as in the 2-D residual_df_pallas) — acceptable:
+    callers treat the result as the truth."""
+    return _residual_mw3_call((u0, u1), f, n, h, interpret)

@@ -37,18 +37,20 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .models.poisson3d import Problem3D, v_cycle3
+from .models.poisson3d import Problem3D, v_cycle3, v_cycle3_p
 from .ops.precision import two_sum
 from .refine import df_add, tw_add
 
 
-def _interior_mask3(n: int, dtype=bool):
-    z = jnp.arange(n).reshape(n, 1, 1)
-    r = jnp.arange(n).reshape(1, n, 1)
-    c = jnp.arange(n).reshape(1, 1, n)
-    m = ((z >= 1) & (z <= n - 2) & (r >= 1) & (r <= n - 2)
-         & (c >= 1) & (c <= n - 2))
-    return m if dtype is bool else m.astype(dtype)
+def _interior_mask3(n: int, shape=None):
+    """Interior mask for a cubic (n, n, n) or padded (n, rp, cp) volume —
+    the padded rows/lanes (≥ n) are excluded like the Dirichlet faces."""
+    nz, rp, cp = (n, n, n) if shape is None else shape
+    z = jnp.arange(nz).reshape(nz, 1, 1)
+    r = jnp.arange(rp).reshape(1, rp, 1)
+    c = jnp.arange(cp).reshape(1, 1, cp)
+    return ((z >= 1) & (z <= n - 2) & (r >= 1) & (r <= n - 2)
+            & (c >= 1) & (c <= n - 2))
 
 
 def _rolled_neighbors3(u):
@@ -76,7 +78,8 @@ def residual_df3(u_hi, u_lo, f, h: float):
     slo = nbl[0] + nbl[1] + nbl[2] + nbl[3] + nbl[4] + nbl[5] - 6.0 * u_lo
     inv_h2 = jnp.asarray(1.0 / (h * h), u_hi.dtype)
     r = (hi * inv_h2 - f) + (lo + slo) * inv_h2
-    return jnp.where(_interior_mask3(u_hi.shape[0]), r, jnp.zeros_like(r))
+    return jnp.where(_interior_mask3(u_hi.shape[0], u_hi.shape), r,
+                     jnp.zeros_like(r))
 
 
 def _eft_stencil_sum_dd3(u):
@@ -108,7 +111,8 @@ def residual_tw3(u0, u1, u2, f, h: float):
     t, c = two_sum(lo0, hi1)
     t2 = ((lo1 + m0) + (m1 + s2)) + c
     r = (r_big + t * inv_h2) + t2 * inv_h2
-    return jnp.where(_interior_mask3(u0.shape[0]), r, jnp.zeros_like(r))
+    return jnp.where(_interior_mask3(u0.shape[0], u0.shape), r,
+                     jnp.zeros_like(r))
 
 
 @dataclasses.dataclass
@@ -132,6 +136,9 @@ class IterativeRefinement3:
                  state: str = "df32", pre: int = 3, post: int = 3,
                  omega: float = 6.0 / 7.0, kernels: Optional[str] = None,
                  dtype=jnp.float32):
+        from .ops.pallas3d import (padded_shape3, residual_df3_pallas,
+                                   residual_tw3_pallas)
+
         if state not in ("df32", "tw32"):
             raise ValueError(f"unknown state {state!r} (df32 or tw32)")
         self.problem, self.n, self.state = problem, n, state
@@ -141,13 +148,38 @@ class IterativeRefinement3:
         if kernels is None:
             kernels = "pallas" if jax.default_backend() == "tpu" else "xla"
         h = self.h
+        # the outer state lives in the padded (nz, rp, cp) brick layout for
+        # the whole solve: the pallas path then never pads/unpads, and the
+        # Pallas mw-residual kernels replace the XLA roll forms, whose ~10
+        # full-volume roll temporaries both cost ~2x the inner-cycle time at
+        # 257³ and OOM the chip at 513³ (measured 2026-08-18)
+        self._shape = padded_shape3(n)
+        use_pk = kernels == "pallas"
+        interp = jax.default_backend() != "tpu"
+
+        def res_df(u0, u1, f):
+            if use_pk:
+                return residual_df3_pallas(u0, u1, f, n, h, interpret=interp)
+            return residual_df3(u0, u1, f, h)
+
+        def res_tw(u0, u1, u2, f):
+            if use_pk:
+                return residual_tw3_pallas(u0, u1, u2, f, n, h,
+                                           interpret=interp)
+            return residual_tw3(u0, u1, u2, f, h)
 
         def cycle(rhs):
             # correction equation A·e = rhs, zero Dirichlet everywhere
-            return v_cycle3(jnp.zeros_like(rhs), rhs, h, pre=pre, post=post,
-                            omega=omega, kernels=kernels)
+            if use_pk:
+                return v_cycle3_p(jnp.zeros_like(rhs), rhs, n, h, pre=pre,
+                                  post=post, omega=omega)
+            from .ops.pallas3d import pad_grid3, unpad_grid3
+            e = v_cycle3(jnp.zeros((n,) * 3, rhs.dtype),
+                         unpad_grid3(rhs, n), h, pre=pre, post=post,
+                         omega=omega, kernels="xla")
+            return pad_grid3(e)
 
-        mask = _interior_mask3(n)
+        mask = _interior_mask3(n, self._shape)
 
         def fnorm(f):
             return jnp.linalg.norm(jnp.ravel(jnp.where(mask, f, 0.0)))
@@ -162,14 +194,14 @@ class IterativeRefinement3:
         def run_df(u0, u1, f, tol, budget):
             i0, i1 = self.initial_state()
             den = make_den(f, jnp.linalg.norm(jnp.ravel(
-                residual_df3(i0, i1, f, h))))
-            r = residual_df3(u0, u1, f, h)
+                res_df(i0, i1, f))))
+            r = res_df(u0, u1, f)
 
             def step(state_):
                 u0, u1, r, _, k = state_
                 e = cycle(-r)
                 u0, u1 = df_add(u0, u1, e)
-                r = residual_df3(u0, u1, f, h)
+                r = res_df(u0, u1, f)
                 rel = jnp.linalg.norm(jnp.ravel(r)) / den
                 return u0, u1, r, rel, k + 1
 
@@ -184,14 +216,14 @@ class IterativeRefinement3:
         def run_tw(u0, u1, u2, f, tol, budget):
             i0, i1 = self.initial_state()
             den = make_den(f, jnp.linalg.norm(jnp.ravel(
-                residual_tw3(i0, i1, jnp.zeros_like(i0), f, h))))
-            r = residual_tw3(u0, u1, u2, f, h)
+                res_tw(i0, i1, jnp.zeros_like(i0), f))))
+            r = res_tw(u0, u1, u2, f)
 
             def step(state_):
                 u0, u1, u2, r, _, k = state_
                 e = cycle(-r)
                 u0, u1, u2 = tw_add(u0, u1, u2, e)
-                r = residual_tw3(u0, u1, u2, f, h)
+                r = res_tw(u0, u1, u2, f)
                 rel = jnp.linalg.norm(jnp.ravel(r)) / den
                 return u0, u1, u2, r, rel, k + 1
 
@@ -206,12 +238,15 @@ class IterativeRefinement3:
         self._run = jax.jit(run_tw if state == "tw32" else run_df)
 
     def initial_state(self):
-        u0 = self.problem.boundary_grid(self.n, self.dtype)
+        """Padded-layout (u0, u1): Dirichlet faces + zero interior."""
+        from .ops.pallas3d import pad_grid3
+        u0 = pad_grid3(self.problem.boundary_grid(self.n, self.dtype))
         return u0, jnp.zeros_like(u0)
 
     def init_rhs(self) -> jnp.ndarray:
-        return (self.problem.source_grid(self.n, self.dtype)
-                + self.problem.boundary_grid(self.n, self.dtype))
+        from .ops.pallas3d import pad_grid3
+        return pad_grid3(self.problem.source_grid(self.n, self.dtype)
+                         + self.problem.boundary_grid(self.n, self.dtype))
 
     def solve(self, tol: float = 1e-8) -> Refine3Report:
         f = self.init_rhs()
@@ -224,6 +259,8 @@ class IterativeRefinement3:
             u0, u1, rel, k = self._run(u0, u1, f, tol, self.max_cycles)
         rel_f = float(jax.device_get(rel))
         wall = time.perf_counter() - start
+        from .ops.pallas3d import unpad_grid3
+        u0, u1 = unpad_grid3(u0, self.n), unpad_grid3(u1, self.n)
         err = None
         if self.problem.analytic is not None:
             ua = self.problem.analytic_grid(self.n, self.dtype)
