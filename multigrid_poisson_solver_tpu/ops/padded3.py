@@ -94,27 +94,34 @@ def _zr_gather(a, taps, out_z: int, out_r: int):
     return acc.reshape(out_z, out_r, cp)
 
 
-@partial(jax.jit, static_argnames=("n", "m", "mode", "precision"))
+@partial(jax.jit, static_argnames=("n", "m", "mode", "precision", "zp_out"))
 def restrict3_p(d, n: int, m: int, mode: str = "full_weighting",
-                precision=_HIGHEST):
-    """Padded (n, rp_n, cp_n) → padded (m, rp_m, cp_m) 2:1 restriction with
-    zero boundary; requires n == 2m − 1. ``mode`` picks the stencil:
-    "full_weighting" ([¼,½,¼]³ — REQUIRED for rb-GS smoothing) or
-    "sampling" (even points, the reference's doRestriction semantics)."""
+                precision=_HIGHEST, zp_out: int | None = None):
+    """Padded (zp_in, rp_n, cp_n) → padded (zp_out, rp_m, cp_m) 2:1
+    restriction with zero boundary; requires n == 2m − 1. ``mode`` picks the
+    stencil: "full_weighting" ([¼,½,¼]³ — REQUIRED for rb-GS smoothing) or
+    "sampling" (even points, the reference's doRestriction semantics).
+
+    The z depths may carry zero padding beyond the grid (z-sharded layouts,
+    parallel.pallas_shard3): zp_in = d.shape[0] ≥ n, and ``zp_out`` ≥ m
+    (default m) sizes the output depth — the weight rows for padded planes
+    are all-zero, so padding stays zero with no re-masking."""
     if n != 2 * m - 1:
         raise ValueError(f"need n == 2m-1, got {n} -> {m}")
-    rp_n, cp_n = d.shape[1], d.shape[2]
+    zp_in, rp_n, cp_n = d.shape
+    assert zp_in >= n, (d.shape, n)
+    zp_out = m if zp_out is None else zp_out
     rp_m, cp_m = pad_rows_to(m), pad_cols_to(m)
 
     if mode == "sampling":
         # 1-tap gather in (z, row), one lane take, then the interior mask
-        idx_z = jnp.clip(2 * jnp.arange(m), 0, n - 1)
+        idx_z = jnp.clip(2 * jnp.arange(zp_out), 0, n - 1)
         idx_r = jnp.clip(2 * jnp.arange(rp_m), 0, n - 1)
-        out = _zr_gather(d, [(idx_z, idx_r, 1.0)], m, rp_m)
+        out = _zr_gather(d, [(idx_z, idx_r, 1.0)], zp_out, rp_m)
         idx_c = jnp.clip(2 * jnp.arange(cp_m), 0, n - 1)
-        out = jnp.take(out.reshape(m * rp_m, cp_n), idx_c,
-                       axis=1).reshape(m, rp_m, cp_m)
-        z = jnp.arange(m).reshape(m, 1, 1)
+        out = jnp.take(out.reshape(zp_out * rp_m, cp_n), idx_c,
+                       axis=1).reshape(zp_out, rp_m, cp_m)
+        z = jnp.arange(zp_out).reshape(zp_out, 1, 1)
         r = jnp.arange(rp_m).reshape(1, rp_m, 1)
         c = jnp.arange(cp_m).reshape(1, 1, cp_m)
         interior = ((z >= 1) & (z <= m - 2) & (r >= 1) & (r <= m - 2)
@@ -124,7 +131,7 @@ def restrict3_p(d, n: int, m: int, mode: str = "full_weighting",
         raise ValueError(f"unknown restriction mode {mode!r}")
 
     taps = [(-1, 0.25), (0, 0.5), (1, 0.25)]
-    wz = _restrict_w(m, m, n, taps, d.dtype)
+    wz = _restrict_w(zp_out, m, zp_in, taps, d.dtype)
     wr = _restrict_w(rp_m, m, rp_n, taps, d.dtype)
     wc = _restrict_w(cp_m, m, cp_n, taps, d.dtype)
     x = jnp.einsum('zs,src->zrc', wz, d, precision=precision)
@@ -182,19 +189,21 @@ def prolong3_add_p(u, c, n: int, m: int, interior_only: bool = False,
     a full FMG solution with nonzero boundary)."""
     if n != 2 * m - 1:
         raise ValueError(f"need n == 2m-1, got {m} -> {n}")
-    rp_m, cp_m = c.shape[1], c.shape[2]
-    rp_n, cp_n = pad_rows_to(n), pad_cols_to(n)
+    zp_c, rp_m, cp_m = c.shape
+    zp_f, rp_n, cp_n = u.shape
+    assert zp_c >= m and zp_f >= n, (c.shape, u.shape, n, m)
+    assert (rp_n, cp_n) == (pad_rows_to(n), pad_cols_to(n)), (u.shape, n)
 
     wc = _prolong_w(cp_n, n, cp_m, m, c.dtype)
     wr = _prolong_w(rp_n, n, rp_m, m, c.dtype)
-    wz = _prolong_w(n, n, m, m, c.dtype)
+    wz = _prolong_w(zp_f, n, zp_c, m, c.dtype)
     # ascending size order: lanes on the coarse volume first, z last
     e = jnp.einsum('cs,zrs->zrc', wc, c, precision=precision)
     e = jnp.einsum('rs,zsc->zrc', wr, e, precision=precision)
     e = jnp.einsum('zs,src->zrc', wz, e, precision=precision)
 
     if interior_only:
-        z = jnp.arange(n).reshape(n, 1, 1)
+        z = jnp.arange(zp_f).reshape(zp_f, 1, 1)
         r = jnp.arange(rp_n).reshape(1, rp_n, 1)
         cc = jnp.arange(cp_n).reshape(1, 1, cp_n)
         mask = ((z >= 1) & (z <= n - 2) & (r >= 1) & (r <= n - 2)

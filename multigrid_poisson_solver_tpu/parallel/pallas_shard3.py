@@ -170,6 +170,83 @@ def sharded_residual3_pallas(u, f, n: int, h: float, mesh: Mesh,
                      out_specs=spec, check_vma=False)(u, f)
 
 
+@partial(jax.jit, static_argnames=("n", "h", "mesh", "axis_name", "n_min",
+                                   "pre", "post", "coarse_sweeps", "omega",
+                                   "threshold_planes", "interpret"))
+def v_cycle3_sharded(u, f, n: int, h: float, mesh: Mesh,
+                     axis_name: str = Z_AXIS, n_min: int = 5, pre: int = 3,
+                     post: int = 3, coarse_sweeps: int = 50,
+                     omega: float = 6.0 / 7.0, threshold_planes: int = 8,
+                     interpret: bool = False):
+    """One recursive 3-D V-cycle, multi-chip: per-shard fused brick kernels
+    on every level deep enough to shard, replicated below (coarse-level
+    agglomeration).
+
+    The full z-sharded analog of models.poisson3d.v_cycle3(kernels="pallas"):
+
+      * levels with ≥ ``threshold_planes`` planes/device run smoothing and
+        the residual through shard_map + the brick kernels (one plane-halo
+        ppermute per fused pass) — multi-chip keeps the single-chip kernel
+        win instead of falling back to GSPMD roll stencils;
+      * the 2:1 transfers stay the padded-layout einsum resamplings
+        (ops.padded3) on z-padded depths under GSPMD sharding constraints
+        (einsum is what the SPMD partitioner handles well — the round-1
+        lesson was that per-sweep STENCILS are what it does badly);
+      * below the threshold the hierarchy is replicated and the remaining
+        sub-cycle is the single-device padded-resident v_cycle3_p.
+
+    ``u``/``f`` are cubic (n, n, n) global arrays; returns the cycled u.
+    """
+    import numpy as np
+    from jax.sharding import NamedSharding
+
+    from ..models.poisson3d import _sizes, v_cycle3_p
+    from ..ops import padded3 as pd3
+    from ..ops.pallas3d import pad_grid3, unpad_grid3
+
+    ndev = mesh.shape[axis_name]
+    sizes = _sizes(n, n_min)
+    zsh = z_sharding(mesh, axis_name)
+    rep = NamedSharding(mesh, jax.sharding.PartitionSpec())
+    wsc = jax.lax.with_sharding_constraint
+
+    def is_sharded(s: int) -> bool:
+        return (ndev > 1 and s >= 65
+                and padded_depth3(s, ndev) // ndev >= threshold_planes)
+
+    def run(up, fp, nn, hh, depth, from_zero):
+        if not is_sharded(nn):
+            # replicated remainder: the whole sub-cycle from this level down
+            up, fp = wsc(up, rep), wsc(fp, rep)
+            return v_cycle3_p(up, fp, nn, hh, n_min=n_min, pre=pre,
+                              post=post, coarse_sweeps=coarse_sweeps,
+                              omega=omega)
+        up, fp = wsc(up, zsh), wsc(fp, zsh)
+        if depth == len(sizes) - 1:     # sharded coarsest (huge n_min only)
+            return sharded_fused_jacobi3(up, fp, nn, hh, coarse_sweeps,
+                                         omega, mesh, axis_name,
+                                         from_zero=from_zero,
+                                         interpret=interpret)
+        m = sizes[depth + 1]
+        up = sharded_fused_jacobi3(up, fp, nn, hh, pre, omega, mesh,
+                                   axis_name, from_zero=from_zero,
+                                   interpret=interpret)
+        rneg = sharded_residual3_pallas(up, fp, nn, hh, mesh, axis_name,
+                                        negate=True, interpret=interpret)
+        child_sharded = is_sharded(m)
+        zp_out = padded_depth3(m, ndev) if child_sharded else m
+        fc = wsc(pd3.restrict3_p(rneg, nn, m, zp_out=zp_out),
+                 zsh if child_sharded else rep)
+        ec = run(jnp.zeros_like(fc), fc, m, 2 * hh, depth + 1, True)
+        up = wsc(pd3.prolong3_add_p(up, ec, nn, m), zsh)
+        return sharded_fused_jacobi3(up, fp, nn, hh, post, omega, mesh,
+                                     axis_name, interpret=interpret)
+
+    up = wsc(pad_planes3(pad_grid3(u), ndev), zsh)
+    fp = wsc(pad_planes3(pad_grid3(f), ndev), zsh)
+    return unpad_grid3(run(up, fp, n, h, 0, False), n)
+
+
 __all__ = ["make_mesh_z", "z_sharding", "padded_depth3", "sharded_shape3",
            "pad_planes3", "sharded_fused_jacobi3",
-           "sharded_residual3_pallas", "Z_AXIS"]
+           "sharded_residual3_pallas", "v_cycle3_sharded", "Z_AXIS"]
