@@ -144,12 +144,35 @@ def _run_3d(program, config, args, cycle_path) -> int:
         print(f"[ ERROR ]: unknown 3-D problem {args.problem!r} "
               f"(choose from {sorted(BUILTIN_PROBLEMS_3D)})", file=sys.stderr)
         return 1
-    if args.tol is not None:
-        print("[ ERROR ]: --tol refinement is 2-D only (for now)",
-              file=sys.stderr)
-        return 1
 
     problem = BUILTIN_PROBLEMS_3D[args.problem]
+
+    if args.tol is not None:
+        # deep-solve mode: 3-D mixed-precision iterative refinement
+        from .refine3 import IterativeRefinement3
+
+        if args.state == "f64":
+            print("[ ERROR ]: --state f64 is 2-D only; the 3-D refinement "
+                  "states are df32/tw32 (tw32 reaches 1e-10+)",
+                  file=sys.stderr)
+            return 1
+        solver = IterativeRefinement3(problem, program.n_max,
+                                      max_cycles=args.max_cycles,
+                                      state=args.state)
+        rep = solver.solve(args.tol)
+        print()
+        print("===== Final Result =====")
+        if rep.error_vs_analytic is not None:
+            print(f"    Error = {rep.error_vs_analytic:e}")
+        print(f"Relative residual = {rep.rel_residual:.3e} "
+              f"({rep.cycles} refinement cycles)")
+        print(f"Time Used = {rep.wall_time_s * 1e3:.3f} (ms)")
+        if not args.no_output:
+            out = args.output or (solution_filename(cycle_path) + ".npz")
+            np.savez_compressed(out, u=np.asarray(rep.u),
+                                u_lo=np.asarray(rep.u_lo))
+            print(f"Output file name = {out}")
+        return 0
     engine = args.engine
     if engine == "auto":
         engine = "interpreted" if (args.stats or not args.quiet) else "compiled"

@@ -99,3 +99,16 @@ def test_cli_rejects_missing_file(tmp_path):
     res = run_cli(["nonexistent.txt"], cwd=tmp_path)
     assert res.returncode == 1
     assert "Cannot open" in res.stderr
+
+
+@pytest.mark.slow
+def test_cli_3d_deep_solve(tmp_path):
+    """--dim 3 --tol: the 3-D refinement deep-solve mode end to end."""
+    res = run_cli(["1", str(SCHEDULES / "test.txt"), "--dim", "3",
+                   "--tol", "1e-9", "--state", "tw32", "--quiet"],
+                  cwd=tmp_path)
+    assert res.returncode == 0, res.stderr
+    assert "Relative residual = " in res.stdout
+    rel = float(res.stdout.split("Relative residual = ")[1].split()[0])
+    assert rel <= 1e-9
+    assert (tmp_path / "Sol_TPU_test.txt.npz").exists()
