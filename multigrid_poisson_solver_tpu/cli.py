@@ -159,7 +159,12 @@ def _run_3d(program, config, args, cycle_path) -> int:
         solver = IterativeRefinement3(problem, program.n_max,
                                       max_cycles=args.max_cycles,
                                       state=args.state)
-        rep = solver.solve(args.tol)
+        checkpoints = None
+        if args.checkpoint:
+            from .utils.checkpoint import CheckpointManager
+
+            checkpoints = CheckpointManager(args.checkpoint)
+        rep = solver.solve(args.tol, checkpoints=checkpoints)
         print()
         print("===== Final Result =====")
         if rep.error_vs_analytic is not None:

@@ -248,11 +248,23 @@ class IterativeRefinement3:
         return pad_grid3(self.problem.source_grid(self.n, self.dtype)
                          + self.problem.boundary_grid(self.n, self.dtype))
 
-    def solve(self, tol: float = 1e-8) -> Refine3Report:
+    def _fingerprint(self) -> str:
+        return (f"refine3/{self.problem.name}/n={self.n}/{self.state}/"
+                f"{jnp.dtype(self.dtype).name}")
+
+    def solve(self, tol: float = 1e-8, checkpoints=None,
+              checkpoint_chunk: int = 10) -> Refine3Report:
+        """Refine to ``tol``. With a ``CheckpointManager`` in ``checkpoints``
+        the loop runs in device-side chunks of ``checkpoint_chunk`` cycles,
+        persisting (and resuming) the full multi-word state between chunks —
+        the same contract as the 2-D IterativeRefinementSolver.solve."""
         f = self.init_rhs()
         u0, u1 = self.initial_state()
         start = time.perf_counter()
-        if self.state == "tw32":
+        if checkpoints is not None:
+            u0, u1, rel, k = self._solve_checkpointed(f, tol, checkpoints,
+                                                      checkpoint_chunk)
+        elif self.state == "tw32":
             u0, u1, _, rel, k = self._run(u0, u1, jnp.zeros_like(u0), f,
                                           tol, self.max_cycles)
         else:
@@ -268,6 +280,48 @@ class IterativeRefinement3:
         return Refine3Report(u=u0, u_lo=u1, rel_residual=rel_f,
                              cycles=int(jax.device_get(k)),
                              wall_time_s=wall, error_vs_analytic=err)
+
+
+    def _solve_checkpointed(self, f, tol, manager, chunk: int):
+        """Host-side chunked loop with persistence (utils.checkpoint): both
+        the df32 (two-word) and tw32 (three-word) states resume losslessly
+        (the npz format keeps all words at full width)."""
+        from .utils.checkpoint import SolverState
+
+        is_tw = self.state == "tw32"
+        fp = self._fingerprint()
+        done = 0
+        resumed = manager.latest()
+        if (resumed is not None and resumed.meta
+                and resumed.meta.get("schedule") == fp
+                and resumed.u.shape == self._shape):
+            u0 = jnp.asarray(resumed.u)
+            u1 = (jnp.asarray(resumed.u_lo) if resumed.u_lo is not None
+                  else jnp.zeros_like(u0))
+            u2 = (jnp.asarray(resumed.u_lo2) if resumed.u_lo2 is not None
+                  else jnp.zeros_like(u0))
+            done = resumed.cycle
+        else:
+            u0, u1 = self.initial_state()
+            u2 = jnp.zeros_like(u0)
+
+        rel = jnp.asarray(jnp.inf, self.dtype)
+        while done < self.max_cycles:
+            budget = min(chunk, self.max_cycles - done)
+            if is_tw:
+                u0, u1, u2, rel, k = self._run(u0, u1, u2, f, tol, budget)
+                state = SolverState(u=u0, f=f, u_lo=u1, u_lo2=u2, cycle=0,
+                                    meta={"schedule": fp, "tol": tol})
+            else:
+                u0, u1, rel, k = self._run(u0, u1, f, tol, budget)
+                state = SolverState(u=u0, f=f, u_lo=u1, cycle=0,
+                                    meta={"schedule": fp, "tol": tol})
+            done += int(jax.device_get(k))
+            state.cycle = done
+            manager.maybe_save(state)
+            if float(jax.device_get(rel)) <= tol:
+                break
+        return u0, u1, rel, jnp.asarray(done, jnp.int32)
 
 
 def solve_to_tolerance3(problem: Problem3D, n: int, tol: float = 1e-8,

@@ -146,3 +146,29 @@ def test_refine3_pallas_path_reaches_tolerance():
     assert rep.rel_residual <= 1e-9
     assert rep.u.shape == (33, 33, 33)
     assert rep.error_vs_analytic < 4e-3
+
+
+def test_refine3_checkpoint_resume(tmp_path):
+    """Chunked solve persists the multi-word state; a fresh solver resumes
+    from the checkpoint and finishes without restarting from cycle 0."""
+    from multigrid_poisson_solver_tpu.utils.checkpoint import CheckpointManager
+
+    n, tol = 33, 1e-11
+    # phase 1: budget-capped run that cannot finish
+    s1 = IterativeRefinement3(PROBLEM, n, max_cycles=4, state="tw32")
+    mgr = CheckpointManager(tmp_path / "ck")
+    rep1 = s1.solve(tol, checkpoints=mgr, checkpoint_chunk=2)
+    assert rep1.cycles == 4 and rep1.rel_residual > tol
+    assert mgr.latest() is not None and mgr.latest().cycle == 4
+
+    # phase 2: resume and finish
+    s2 = IterativeRefinement3(PROBLEM, n, max_cycles=40, state="tw32")
+    rep2 = s2.solve(tol, checkpoints=mgr, checkpoint_chunk=5)
+    assert rep2.rel_residual <= tol
+    # cycles counts TOTAL cycles including the resumed ones
+    assert rep2.cycles > 4
+
+    # resumed trajectory matches an uninterrupted solve's depth
+    rep_ref = IterativeRefinement3(PROBLEM, n, max_cycles=40,
+                                   state="tw32").solve(tol)
+    assert abs(rep2.cycles - rep_ref.cycles) <= 1
