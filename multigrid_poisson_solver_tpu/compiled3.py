@@ -79,24 +79,71 @@ def _trace_program3(u, f, *, program: CycleProgram, problem: Problem3D,
                           compat=compat, smoother=cfg.smoother)
 
     def smooth(lu, lf, n, h, steps):
-        """State-layout-polymorphic smoothing: padded under pallas."""
+        """State-layout-polymorphic smoothing: padded under pallas. The
+        error metric (clean OR gpu) is fused into the final kernel pass —
+        no separate residual sweep over HBM (the 2-D compiled engine's
+        ker_Smoothing_GPU-style fusion, one dimension up)."""
         if not use_pallas:
             return smooth_xla(lu, lf, h, steps)
-        fast = (n >= _PALLAS3_MIN_N and steps >= 1 and compat == "clean"
-                and cfg.smoother == "jacobi")
+        fast = (n >= _PALLAS3_MIN_N and cfg.smoother == "jacobi"
+                and compat in ("clean", "gpu"))
+        if steps == -1 and fast:
+            return trigger_p(lu, lf, n, h)
+        fast = fast and steps >= 1
         if not fast:
             u, err = smooth_xla(from_p(lu, n), from_p(lf, n), h, steps)
             return to_p(u), err
-        k = steps
+        k, err = steps, None
         while k > 0:
             kk = min(k, p3k.MAX_FUSED_SWEEPS_3D)
-            lu = p3k.fused_jacobi3_padded(lu, lf, n, h, kk, omega=cfg.omega,
-                                          interpret=interp)
+            emode = compat if k == kk else None       # metric of the FINAL pass
+            if emode == "clean" and kk > 7:
+                emode = None                          # err ring needs ≤7 sweeps
+            if emode is not None:
+                lu, raw = p3k.fused_jacobi3_padded(
+                    lu, lf, n, h, kk, omega=cfg.omega, interpret=interp,
+                    err_mode=emode)
+                err = (raw / (n ** 3)).astype(cfg.dtype)
+            else:
+                lu = p3k.fused_jacobi3_padded(lu, lf, n, h, kk,
+                                              omega=cfg.omega,
+                                              interpret=interp)
             k -= kk
-        # clean metric: mean |residual| over n³ (r is zero on faces and in
-        # the padding, so the padded sum is the interior sum)
-        r = p3k.residual3_pallas(lu, lf, n, h, interpret=interp)
-        return lu, jnp.sum(jnp.abs(r)) / (n ** 3)
+        if err is None:   # clean metric after a full 8-sweep final pass
+            r = p3k.residual3_pallas(lu, lf, n, h, interpret=interp)
+            err = (jnp.sum(jnp.abs(r)) / (n ** 3)).astype(cfg.dtype)
+        return lu, err
+
+    def trigger_p(lu, lf, n, h):
+        """Error-triggered smoothing on the padded fast path: ONE fused
+        kernel pass (sweep + metric partial) per trigger sweep — vs the XLA
+        fallback's separate sweep and residual passes. Same slope-stop rule
+        as models.poisson3d.trigger_smooth3."""
+        mode = "gpu" if compat == "gpu" else "clean"
+
+        def one(u):
+            u2, raw = p3k.fused_jacobi3_padded(u, lf, n, h, 1,
+                                               omega=cfg.omega,
+                                               interpret=interp,
+                                               err_mode=mode)
+            return u2, (raw / (n ** 3)).astype(cfg.dtype)
+
+        u1, err0 = one(lu)
+
+        def cond(state):
+            _, _, slope, k = state
+            return jnp.logical_and(slope > cfg.trigger,
+                                   k < cfg.max_trigger_sweeps)
+
+        def body(state):
+            u, prev, _, k = state
+            u2, err = one(u)
+            return u2, err, jnp.abs(err - prev), k + 1
+
+        init = (u1, err0, jnp.asarray(cfg.trigger + 1.0, err0.dtype),
+                jnp.asarray(1, jnp.int32))
+        u, err, _, _ = jax.lax.while_loop(cond, body, init)
+        return u, err
 
     def zeros_level(n):
         if use_pallas:

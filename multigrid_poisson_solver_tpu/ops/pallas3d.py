@@ -145,14 +145,13 @@ def _brick_geometry(nz: int, rp: int, cp: int, itemsize: int, z_halo: int,
     return zs, rs, oz, orow
 
 
-def _fused_jacobi3_kernel(offs_smem, u_hbm, f_hbm, out_hbm,
-                          u_slots, fc_slots, work, a_buf,
-                          load_sems, out_sems, *,
+def _fused_jacobi3_kernel(offs_smem, u_hbm, f_hbm, *rest,
                           n: int, nz: int, rp: int, cp: int, steps: int,
-                          ext_z: int, out_z: int,
+                          z_halo: int, ext_z: int, out_z: int,
                           zs: int, rs: int, oz: int, orow: int,
                           num_zb: int, num_rb: int,
-                          h2: float, omega: float, from_zero: bool):
+                          h2: float, omega: float, from_zero: bool,
+                          err_mode=None):
     """k fused sweeps of the 7-point stencil over (z, row) bricks.
 
     Single-device: nz == out_z == the padded volume depth, ext_z = 0 and
@@ -162,7 +161,25 @@ def _fused_jacobi3_kernel(offs_smem, u_hbm, f_hbm, out_hbm,
     holds the GLOBAL z index of extended plane 0 so the z-Dirichlet gates
     stay exact under partitioning. Trapezoid staleness at the extension
     edges is bounded by the same ≤steps-sweep argument as interior brick
-    z-cuts."""
+    z-cuts.
+
+    ``err_mode`` fuses the smoothing-error reduction into the same HBM pass
+    (the 3-D member of the 2-D _fused_jacobi_kernel's err fusion; reference
+    analog ker_Smoothing_GPU, MG_solver_GPU.cu:584-661):
+      * "clean" — Σ|residual(u_final)| over owned∩interior cells, via one
+        EXTRA in-VMEM sweep (Δ = (ω/6)h²·r), zero extra HBM traffic —
+        requires the effective sweep count ≤ 7 (the extra sweep consumes
+        one halo ring);
+      * "gpu"   — Σ|Δu|·6/h² of the final sweep (the GPU reference metric).
+    The raw f32 partial (already metric-scaled, divide by n³ outside) lands
+    in a (1, 1) SMEM output."""
+    if err_mode is None:
+        out_hbm, = rest[:1]
+        rest = rest[1:]
+    else:
+        out_hbm, err_smem = rest[:2]
+        rest = rest[2:]
+    u_slots, fc_slots, work, a_buf, load_sems, out_sems = rest
     num_iter = num_zb * num_rb
     w = jnp.asarray(omega / 6.0, u_hbm.dtype)
     zoff = offs_smem[0]
@@ -173,7 +190,7 @@ def _fused_jacobi3_kernel(offs_smem, u_hbm, f_hbm, out_hbm,
         return _i32(idx) // _i32(num_rb), jax.lax.rem(_i32(idx), _i32(num_rb))
 
     def load_z(i):
-        return jnp.clip(_i32(i) * _i32(oz) + _i32(ext_z - steps), _i32(0),
+        return jnp.clip(_i32(i) * _i32(oz) + _i32(ext_z - z_halo), _i32(0),
                         _i32(nz - zs))
 
     def write_z(i):
@@ -295,6 +312,49 @@ def _fused_jacobi3_kernel(offs_smem, u_hbm, f_hbm, out_hbm,
 
         for s in range(n_sweeps):
             sweep(accessors[s % 2][0], accessors[(s + 1) % 2][1])
+
+        part = carry
+        if err_mode is not None:
+            # exact (non-overlapping) ownership for the reduction, unlike
+            # the harmlessly-overlapping clamped write windows
+            own_r = ((g >= _i32(j) * _i32(orow))
+                     & (g < jnp.minimum((_i32(j) + 1) * _i32(orow),
+                                        _i32(rp)))
+                     & (g >= 1) & (g <= n - 2)
+                     & (cols >= 1) & (cols <= n - 2))
+            rd_fin = accessors[n_sweeps % 2][0]
+            rd_prev = accessors[(n_sweeps - 1) % 2][0]
+
+            def err_plane(t, a2):
+                gz = zoff + z0 + t
+                o = z0 + t - _i32(ext_z)
+                own = (own_r & (gz >= 1) & (gz <= n - 2)
+                       & (o >= _i32(i) * _i32(oz))
+                       & (o < jnp.minimum((_i32(i) + 1) * _i32(oz),
+                                          _i32(out_z))))
+                if err_mode == "clean":
+                    # extra in-VMEM sweep: Δ = a·(Σnb − 6u) − C is exactly 0
+                    # on frozen cells; |r| = |Δ|·6/(ω·h²)
+                    u = rd_fin(t)
+                    nb = (_nb_sum(u, rs, cp) + rd_fin(t - 1)
+                          + rd_fin(t + 1) - 6.0 * u)
+                    val = jnp.abs(a_buf[t] * nb - fc_slots[slot, t])
+                else:  # "gpu": |Δu| of the final sweep
+                    if from_zero and n_sweeps == 0:
+                        prev = jnp.zeros((rs, cp), u_hbm.dtype)
+                    else:
+                        prev = rd_prev(t)
+                    val = jnp.abs(rd_fin(t) - prev)
+                val = val.astype(jnp.float32)
+                return a2 + jnp.sum(jnp.where(own, val,
+                                              jnp.zeros_like(val)))
+
+            p = jax.lax.fori_loop(_i32(1), _i32(zs - 1), err_plane,
+                                  jnp.zeros((), jnp.float32), unroll=False)
+            scale = (abs(6.0 / (omega * h2)) if err_mode == "clean"
+                     else abs(6.0 / h2))
+            part = carry + p * scale
+
         if n_sweeps % 2 == 1:
             def copy_back(t, c):
                 u_slots[slot, t] = work[t]
@@ -303,9 +363,12 @@ def _fused_jacobi3_kernel(offs_smem, u_hbm, f_hbm, out_hbm,
                               unroll=False)
 
         out_copy(idx, slot).start()
-        return carry
+        return part
 
-    jax.lax.fori_loop(_i32(0), _i32(num_iter), body, _i32(0), unroll=False)
+    total = jax.lax.fori_loop(_i32(0), _i32(num_iter), body,
+                              jnp.zeros((), jnp.float32), unroll=False)
+    if err_mode is not None:
+        err_smem[0, 0] = total
 
     last = num_iter - 1
     if num_iter >= 2:
@@ -315,41 +378,56 @@ def _fused_jacobi3_kernel(offs_smem, u_hbm, f_hbm, out_hbm,
 
 def _fused_jacobi3_shard_call(zoff, u, f, n: int, h: float, steps: int,
                               omega: float, ext_z: int, from_zero: bool,
-                              interpret: bool):
+                              interpret: bool, err_mode=None):
     """One ≤8-sweep fused 3-D pass on a (possibly z-halo-extended) volume.
 
     ``zoff`` = int32 (1,) GLOBAL z index of u's plane 0; ``ext_z`` halo
     planes on each side are consumed but not written — the output is
     (nz − 2·ext_z, rp, cp). Single-device callers pass zoff = (0,) and
-    ext_z = 0 (then nz must be the full padded depth)."""
+    ext_z = 0 (then nz must be the full padded depth). With ``err_mode``
+    ("clean"/"gpu") also returns the raw metric-scaled error partial
+    (divide by n³ for the mean); "clean"'s extra in-VMEM residual sweep
+    consumes one halo ring, so it needs effective sweeps ≤ 7."""
     nz, rp, cp = u.shape
     assert f.shape == u.shape and f.dtype == u.dtype
     assert 1 <= steps <= MAX_FUSED_SWEEPS_3D
-    assert ext_z == 0 or steps <= ext_z, (steps, ext_z)
+    k_eff = steps - 1 if from_zero else steps
+    z_halo = steps
+    if err_mode == "clean":
+        assert k_eff <= 7, (
+            f"fused clean error needs ≤7 sweeps per pass, got {k_eff}")
+        z_halo = steps + 1
+    assert ext_z == 0 or z_halo <= ext_z, (steps, err_mode, ext_z)
     out_z = nz - 2 * ext_z
     assert out_z >= 1, (nz, ext_z)
 
     itemsize = jnp.dtype(u.dtype).itemsize
     # resident: 2 u slots + 2 f slots + work + A brick = 6 bricks
-    zs, rs, oz, orow = _brick_geometry(nz, rp, cp, itemsize, z_halo=steps,
+    zs, rs, oz, orow = _brick_geometry(nz, rp, cp, itemsize, z_halo=z_halo,
                                        num_bufs=6.0)
     oz = out_z if zs >= nz else min(oz, out_z)
     num_zb = math.ceil(out_z / oz) if zs < nz else 1
     num_rb = math.ceil(rp / orow) if rs < rp else 1
 
     kernel = partial(_fused_jacobi3_kernel, n=n, nz=nz, rp=rp, cp=cp,
-                     steps=steps, ext_z=ext_z, out_z=out_z,
+                     steps=steps, z_halo=z_halo, ext_z=ext_z, out_z=out_z,
                      zs=zs, rs=rs, oz=oz, orow=orow,
                      num_zb=num_zb, num_rb=num_rb, h2=h * h, omega=omega,
-                     from_zero=from_zero)
+                     from_zero=from_zero, err_mode=err_mode)
 
-    return pl.pallas_call(
+    out_shape = jax.ShapeDtypeStruct((out_z, rp, cp), u.dtype)
+    out_spec = pl.BlockSpec(memory_space=pl.ANY)
+    if err_mode is not None:
+        out_shape = (out_shape, jax.ShapeDtypeStruct((1, 1), jnp.float32))
+        out_spec = (out_spec, pl.BlockSpec(memory_space=pltpu.SMEM))
+
+    result = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((out_z, rp, cp), u.dtype),
+        out_shape=out_shape,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_specs=out_spec,
         scratch_shapes=[
             pltpu.VMEM((2, zs, rs, cp), u.dtype),     # u slots
             pltpu.VMEM((2, zs, rs, cp), u.dtype),     # f slots -> C
@@ -362,18 +440,24 @@ def _fused_jacobi3_shard_call(zoff, u, f, n: int, h: float, steps: int,
             vmem_limit_bytes=_vmem_limit(6 * zs * rs * cp * itemsize)),
         interpret=interpret,
     )(zoff, u, f)
+    if err_mode is not None:
+        return result[0], result[1][0, 0]
+    return result
 
 
 def fused_jacobi3_padded(u, f, n: int, h: float, steps: int,
                          omega: float = 6.0 / 7.0, from_zero: bool = False,
-                         interpret: bool = False):
+                         interpret: bool = False, err_mode=None):
     """``steps`` fused 3-D Jacobi sweeps in one HBM pass over the padded
     volume (see module docstring). ``from_zero`` skips the u stream and
-    folds the closed-form first sweep (correction levels)."""
+    folds the closed-form first sweep (correction levels). With
+    ``err_mode`` ("clean"/"gpu") returns (u, raw_err) with the smoothing
+    error fused into the same pass (see _fused_jacobi3_shard_call)."""
     assert u.shape == padded_shape3(n), (u.shape, padded_shape3(n))
     return _fused_jacobi3_shard_call(
         jnp.zeros((1,), jnp.int32), u, f, n, h, steps, omega,
-        ext_z=0, from_zero=from_zero, interpret=interpret)
+        ext_z=0, from_zero=from_zero, interpret=interpret,
+        err_mode=err_mode)
 
 
 # Descend sweep caps: the 8-row halo must absorb k neighbor-reading sweeps

@@ -131,3 +131,25 @@ def test_pallas_warm_chaining():
           + p3.REFERENCE_PROBLEM_3D.boundary_grid(9, jnp.float64))
     ue = p3.dense_solve3(fe, 1.0 / 8)
     assert float(jnp.abs(u3 - ue).max()) < float(jnp.abs(u1 - ue).max()) * 1e-2
+
+
+def test_pallas_trigger_fast_path_consistency():
+    """n=65 trigger levels run the fused sweep+metric kernel (one HBM pass
+    per trigger sweep) and must take the same sweeps as the interpreted
+    XLA engine."""
+    program = mg.v_cycle(65, n_min=5, steps=-1, coarse_target=1e-8,
+                         coarsen=3)
+    _agree(program, _cfg_pallas(trigger=1e-4))
+
+
+def test_pallas_gpu_metric_fused_consistency():
+    """compat='gpu' now rides the fused kernel (err_mode='gpu') instead of
+    falling back to XLA; engines must still agree."""
+    program = mg.v_cycle(65, n_min=5, steps=2, coarse_target=1e-8, coarsen=3)
+    _agree(program, _cfg_pallas(compat_error="gpu"))
+
+
+def test_pallas_gpu_trigger_fused_consistency():
+    program = mg.v_cycle(65, n_min=5, steps=-1, coarse_target=1e-8,
+                         coarsen=3)
+    _agree(program, _cfg_pallas(trigger=1e-3, compat_error="gpu"))
