@@ -70,19 +70,66 @@ def cycle_time(n: int, devices, iters: int = 8, reps: int = 3) -> float:
     return per_call / (iters + 1)
 
 
+def cycle_time3(n: int, devices, iters: int = 4, reps: int = 3) -> float:
+    """3-D: the fully z-sharded padded-resident cycle (SCALING_DIM=3).
+    Every device count runs v_cycle3_sharded — on 1 device it degenerates
+    to the replicated single-device fast path, same kernels throughout."""
+    import jax.numpy as jnp
+
+    from multigrid_poisson_solver_tpu.models import poisson3d as p3
+    from multigrid_poisson_solver_tpu.parallel.pallas_shard3 import (
+        make_mesh_z, v_cycle3_sharded,
+    )
+
+    mesh = make_mesh_z(devices)
+    h = 1.0 / (n - 1)
+    prob = p3.REFERENCE_PROBLEM_3D
+    interp = jax.default_backend() != "tpu"
+
+    @jax.jit
+    def build():
+        f = (prob.source_grid(n) + prob.boundary_grid(n)).astype(jnp.float32)
+        return prob.boundary_grid(n).astype(jnp.float32), f
+
+    u, f = build()
+    with mesh:
+        run = jax.jit(lambda u, f: jax.lax.fori_loop(
+            0, iters, lambda i, v: v_cycle3_sharded(
+                v, f, n, h, mesh, threshold_planes=8, interpret=interp), u))
+        per_call = DeviceTimer().measure_differential(run, u, f, reps=reps)
+    return per_call / iters
+
+
+# odd 2:1-alignable sides whose volumes grow ~2x per step (the z-sharded
+# 3-D weak-scaling ladder: cubic grids cannot hold planes/device constant
+# exactly, so efficiency is throughput-normalized like the 2-D column)
+_LADDER_3D = [65, 81, 101, 129, 161, 201, 257]
+
+
 def main():
     mode = os.environ.get("SCALING_MODE", "weak")
-    base_n = int(os.environ.get("SCALING_BASE_N",
-                                1025 if jax.default_backend() != "cpu" else 257))
+    dim = int(os.environ.get("SCALING_DIM", "2"))
+    default_base = (1025 if jax.default_backend() != "cpu" else 257) \
+        if dim == 2 else (257 if jax.default_backend() != "cpu" else 65)
+    base_n = int(os.environ.get("SCALING_BASE_N", default_base))
     all_devices = jax.devices()
     counts = [c for c in (1, 2, 4, 8, 16, 32) if c <= len(all_devices)]
 
     results = []
     t1 = w1 = None
-    for c in counts:
-        n = (base_n - 1) * c + 1 if mode == "weak" else base_n
-        n_work = (n - 1) ** 2
-        dt = cycle_time(n, all_devices[:c])
+    for ci, c in enumerate(counts):
+        if dim == 3:
+            if mode == "weak":
+                ladder = [x for x in _LADDER_3D if x >= base_n]
+                n = ladder[min(ci, len(ladder) - 1)]
+            else:
+                n = base_n
+            n_work = (n - 1) ** 3
+            dt = cycle_time3(n, all_devices[:c])
+        else:
+            n = (base_n - 1) * c + 1 if mode == "weak" else base_n
+            n_work = (n - 1) ** 2
+            dt = cycle_time(n, all_devices[:c])
         if t1 is None:
             t1, w1 = dt, n_work
         eff = (n_work / dt) / (c * (w1 / t1))
@@ -91,7 +138,8 @@ def main():
         print(f"[scaling/{mode}] {c} devices, N={n}: {dt*1e3:.2f} ms/cycle, "
               f"throughput efficiency {eff:.1%}", file=sys.stderr)
 
-    print(json.dumps({"mode": mode, "backend": jax.default_backend(),
+    print(json.dumps({"mode": mode, "dim": dim,
+                      "backend": jax.default_backend(),
                       "results": results}))
 
 
