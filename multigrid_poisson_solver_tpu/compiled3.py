@@ -118,8 +118,46 @@ def _trace_program3(u, f, *, program: CycleProgram, problem: Problem3D,
         """Error-triggered smoothing on the padded fast path: ONE fused
         kernel pass (sweep + metric partial) per trigger sweep — vs the XLA
         fallback's separate sweep and residual passes. Same slope-stop rule
-        as models.poisson3d.trigger_smooth3."""
+        as models.poisson3d.trigger_smooth3.
+
+        With cfg.trigger_batch > 1, ``batch`` sweeps run per HBM pass with
+        per-iterate error partials (pallas3d.fused_jacobi3_errs_padded) and
+        the slope rule replays against the batch's error vector — the
+        iterate overshoots the exact stop point by up to batch − 1 sweeps
+        (extra smoothing, never less; flag-gated, as in the 2-D engine)."""
         mode = "gpu" if compat == "gpu" else "clean"
+
+        if cfg.trigger_batch > 1:
+            B = min(cfg.trigger_batch, p3k.errs3_sweep_cap(compat))
+
+            def batch_step(v, prev):
+                v, errs = p3k.fused_jacobi3_errs_padded(
+                    v, lf, n, h, B, omega=cfg.omega, compat=compat,
+                    interpret=interp)
+                prevs = jnp.concatenate([prev[None], errs[:-1]])
+                stop = jnp.abs(errs - prevs) <= cfg.trigger
+                found = jnp.any(stop)
+                err = jnp.where(found, errs[jnp.argmax(stop)], errs[-1])
+                return v, errs[-1], found, err
+
+            # prev = +inf masks the (never-tested) slope of sweep 1
+            u, last, found, err = batch_step(
+                lu, jnp.asarray(jnp.inf, cfg.dtype))
+
+            def bcond(state):
+                _, _, found, _, k = state
+                return jnp.logical_and(jnp.logical_not(found),
+                                       k < cfg.max_trigger_sweeps)
+
+            def bbody(state):
+                v, last, _, _, k = state
+                v, last, found, err = batch_step(v, last)
+                return v, last, found, err, k + B
+
+            u, _, _, err, _ = jax.lax.while_loop(
+                bcond, bbody, (u, last, found, err,
+                               jnp.asarray(B, jnp.int32)))
+            return u, err
 
         def one(u):
             u2, raw = p3k.fused_jacobi3_padded(u, lf, n, h, 1,

@@ -151,7 +151,7 @@ def _fused_jacobi3_kernel(offs_smem, u_hbm, f_hbm, *rest,
                           zs: int, rs: int, oz: int, orow: int,
                           num_zb: int, num_rb: int,
                           h2: float, omega: float, from_zero: bool,
-                          err_mode=None):
+                          err_mode=None, per_sweep: bool = False):
     """k fused sweeps of the 7-point stencil over (z, row) bricks.
 
     Single-device: nz == out_z == the padded volume depth, ext_z = 0 and
@@ -310,10 +310,6 @@ def _fused_jacobi3_kernel(offs_smem, u_hbm, f_hbm, *rest,
             jax.lax.fori_loop(_i32(1), _i32(zs - 1), plane, _i32(0),
                               unroll=False)
 
-        for s in range(n_sweeps):
-            sweep(accessors[s % 2][0], accessors[(s + 1) % 2][1])
-
-        part = carry
         if err_mode is not None:
             # exact (non-overlapping) ownership for the reduction, unlike
             # the harmlessly-overlapping clamped write windows
@@ -322,38 +318,76 @@ def _fused_jacobi3_kernel(offs_smem, u_hbm, f_hbm, *rest,
                                         _i32(rp)))
                      & (g >= 1) & (g <= n - 2)
                      & (cols >= 1) & (cols <= n - 2))
-            rd_fin = accessors[n_sweeps % 2][0]
-            rd_prev = accessors[(n_sweeps - 1) % 2][0]
 
-            def err_plane(t, a2):
-                gz = zoff + z0 + t
-                o = z0 + t - _i32(ext_z)
-                own = (own_r & (gz >= 1) & (gz <= n - 2)
-                       & (o >= _i32(i) * _i32(oz))
-                       & (o < jnp.minimum((_i32(i) + 1) * _i32(oz),
-                                          _i32(out_z))))
+            def own_sum(val_fn):
+                def plane_(t, a2):
+                    gz = zoff + z0 + t
+                    o = z0 + t - _i32(ext_z)
+                    own = (own_r & (gz >= 1) & (gz <= n - 2)
+                           & (o >= _i32(i) * _i32(oz))
+                           & (o < jnp.minimum((_i32(i) + 1) * _i32(oz),
+                                              _i32(out_z))))
+                    val = val_fn(t).astype(jnp.float32)
+                    return a2 + jnp.sum(jnp.where(own, val,
+                                                  jnp.zeros_like(val)))
+
+                return jax.lax.fori_loop(_i32(1), _i32(zs - 1), plane_,
+                                         jnp.zeros((), jnp.float32),
+                                         unroll=False)
+
+            def resid_of(rd):
+                # extra in-VMEM sweep: Δ = a·(Σnb − 6u) − C is exactly 0 on
+                # frozen cells; |r| = |Δ|·6/(ω·h²)
+                def val(t):
+                    u = rd(t)
+                    nb = (_nb_sum(u, rs, cp) + rd(t - 1) + rd(t + 1)
+                          - 6.0 * u)
+                    return jnp.abs(a_buf[t] * nb - fc_slots[slot, t])
+                return val
+
+            s_clean = abs(6.0 / (omega * h2))
+            s_gpu = abs(6.0 / h2)
+
+        if per_sweep:
+            # trigger batching: metric-scaled per-iterate partials — the
+            # gpu metric of u_s is |Δ_s| (captured during sweep s), the
+            # clean metric of u_s is |Δ_{s+1}|·6/(ωh²) (during sweep s+1),
+            # plus one extra in-VMEM residual sweep for the final iterate
+            parts = list(carry)
+            for s in range(1, n_sweeps + 1):
+                sweep(accessors[(s - 1) % 2][0], accessors[s % 2][1])
+                rd_new = accessors[s % 2][0]
+                rd_old = accessors[(s - 1) % 2][0]
+                d_sum = own_sum(lambda t, a=rd_new, b=rd_old:
+                                jnp.abs(a(t) - b(t)))
+                if err_mode == "gpu":
+                    parts[s - 1] = parts[s - 1] + d_sum * s_gpu
+                elif s >= 2:
+                    parts[s - 2] = parts[s - 2] + d_sum * s_clean
+            if err_mode != "gpu":
+                rd_fin = accessors[n_sweeps % 2][0]
+                parts[n_sweeps - 1] = (parts[n_sweeps - 1]
+                                       + own_sum(resid_of(rd_fin)) * s_clean)
+            part = tuple(parts)
+        else:
+            for s in range(n_sweeps):
+                sweep(accessors[s % 2][0], accessors[(s + 1) % 2][1])
+
+            part = carry
+            if err_mode is not None:
+                rd_fin = accessors[n_sweeps % 2][0]
+                rd_prev = accessors[(n_sweeps - 1) % 2][0]
                 if err_mode == "clean":
-                    # extra in-VMEM sweep: Δ = a·(Σnb − 6u) − C is exactly 0
-                    # on frozen cells; |r| = |Δ|·6/(ω·h²)
-                    u = rd_fin(t)
-                    nb = (_nb_sum(u, rs, cp) + rd_fin(t - 1)
-                          + rd_fin(t + 1) - 6.0 * u)
-                    val = jnp.abs(a_buf[t] * nb - fc_slots[slot, t])
-                else:  # "gpu": |Δu| of the final sweep
+                    p = own_sum(resid_of(rd_fin))
+                    part = carry + p * s_clean
+                else:   # "gpu": |Δu| of the final sweep
                     if from_zero and n_sweeps == 0:
-                        prev = jnp.zeros((rs, cp), u_hbm.dtype)
+                        def dval(t):
+                            return jnp.abs(rd_fin(t))
                     else:
-                        prev = rd_prev(t)
-                    val = jnp.abs(rd_fin(t) - prev)
-                val = val.astype(jnp.float32)
-                return a2 + jnp.sum(jnp.where(own, val,
-                                              jnp.zeros_like(val)))
-
-            p = jax.lax.fori_loop(_i32(1), _i32(zs - 1), err_plane,
-                                  jnp.zeros((), jnp.float32), unroll=False)
-            scale = (abs(6.0 / (omega * h2)) if err_mode == "clean"
-                     else abs(6.0 / h2))
-            part = carry + p * scale
+                        def dval(t):
+                            return jnp.abs(rd_fin(t) - rd_prev(t))
+                    part = carry + own_sum(dval) * s_gpu
 
         if n_sweeps % 2 == 1:
             def copy_back(t, c):
@@ -365,9 +399,14 @@ def _fused_jacobi3_kernel(offs_smem, u_hbm, f_hbm, *rest,
         out_copy(idx, slot).start()
         return part
 
-    total = jax.lax.fori_loop(_i32(0), _i32(num_iter), body,
-                              jnp.zeros((), jnp.float32), unroll=False)
-    if err_mode is not None:
+    acc0 = (tuple(jnp.zeros((), jnp.float32) for _ in range(steps))
+            if per_sweep else jnp.zeros((), jnp.float32))
+    total = jax.lax.fori_loop(_i32(0), _i32(num_iter), body, acc0,
+                              unroll=False)
+    if per_sweep:
+        for s in range(steps):
+            err_smem[0, s] = total[s]
+    elif err_mode is not None:
         err_smem[0, 0] = total
 
     last = num_iter - 1
@@ -378,7 +417,8 @@ def _fused_jacobi3_kernel(offs_smem, u_hbm, f_hbm, *rest,
 
 def _fused_jacobi3_shard_call(zoff, u, f, n: int, h: float, steps: int,
                               omega: float, ext_z: int, from_zero: bool,
-                              interpret: bool, err_mode=None):
+                              interpret: bool, err_mode=None,
+                              per_sweep: bool = False):
     """One ≤8-sweep fused 3-D pass on a (possibly z-halo-extended) volume.
 
     ``zoff`` = int32 (1,) GLOBAL z index of u's plane 0; ``ext_z`` halo
@@ -391,6 +431,8 @@ def _fused_jacobi3_shard_call(zoff, u, f, n: int, h: float, steps: int,
     nz, rp, cp = u.shape
     assert f.shape == u.shape and f.dtype == u.dtype
     assert 1 <= steps <= MAX_FUSED_SWEEPS_3D
+    if per_sweep:
+        assert err_mode is not None and not from_zero
     k_eff = steps - 1 if from_zero else steps
     z_halo = steps
     if err_mode == "clean":
@@ -413,12 +455,15 @@ def _fused_jacobi3_shard_call(zoff, u, f, n: int, h: float, steps: int,
                      steps=steps, z_halo=z_halo, ext_z=ext_z, out_z=out_z,
                      zs=zs, rs=rs, oz=oz, orow=orow,
                      num_zb=num_zb, num_rb=num_rb, h2=h * h, omega=omega,
-                     from_zero=from_zero, err_mode=err_mode)
+                     from_zero=from_zero, err_mode=err_mode,
+                     per_sweep=per_sweep)
 
+    err_cols = steps if per_sweep else 1
     out_shape = jax.ShapeDtypeStruct((out_z, rp, cp), u.dtype)
     out_spec = pl.BlockSpec(memory_space=pl.ANY)
     if err_mode is not None:
-        out_shape = (out_shape, jax.ShapeDtypeStruct((1, 1), jnp.float32))
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((1, err_cols), jnp.float32))
         out_spec = (out_spec, pl.BlockSpec(memory_space=pltpu.SMEM))
 
     result = pl.pallas_call(
@@ -440,9 +485,36 @@ def _fused_jacobi3_shard_call(zoff, u, f, n: int, h: float, steps: int,
             vmem_limit_bytes=_vmem_limit(6 * zs * rs * cp * itemsize)),
         interpret=interpret,
     )(zoff, u, f)
+    if per_sweep:
+        return result[0], result[1][0, :]
     if err_mode is not None:
         return result[0], result[1][0, 0]
     return result
+
+
+def errs3_sweep_cap(compat) -> int:
+    """Max sweeps per fused_jacobi3_errs_padded pass (trapezoid budget:
+    the clean metric's extra in-VMEM residual sweep consumes one ring)."""
+    return MAX_FUSED_SWEEPS_3D if compat == "gpu" else MAX_FUSED_SWEEPS_3D - 1
+
+
+def fused_jacobi3_errs_padded(u, f, n: int, h: float, steps: int,
+                              omega: float = 6.0 / 7.0, compat="clean",
+                              interpret: bool = False):
+    """``steps`` 3-D sweeps emitting the smoothing-error metric of EVERY
+    iterate u_1..u_steps in one HBM pass — the 3-D trigger-batching kernel
+    (2-D analog: pallas_kernels.fused_jacobi_errs_padded). Returns
+    (u_new, errs) with errs[s−1] exactly the metric a single-sweep
+    err_mode pass would report after s sweeps."""
+    assert u.shape == padded_shape3(n), (u.shape, padded_shape3(n))
+    mode = "gpu" if compat == "gpu" else "clean"
+    assert 1 <= steps <= errs3_sweep_cap(compat)
+    u, raw = _fused_jacobi3_shard_call(
+        jnp.zeros((1,), jnp.int32), u, f, n, h, steps, omega, ext_z=0,
+        from_zero=False, interpret=interpret, err_mode=mode, per_sweep=True)
+    # the kernel already applies the metric scaling; normalize to the mean
+    errs = (raw / jnp.float32(n) ** 3).astype(u.dtype)
+    return u, errs
 
 
 def fused_jacobi3_padded(u, f, n: int, h: float, steps: int,
