@@ -129,14 +129,22 @@ def sharded_fused_jacobi3(u, f, n: int, h: float, steps: int,
         # a pass fuses at most that many sweeps (only binds for extremely
         # shallow shards)
         kmax = min(MAX_FUSED_SWEEPS_3D, nz_loc)
+        ext = min(steps, kmax)
+        zoff = (zi * nz_loc - ext).astype(jnp.int32).reshape(1)
+        # f never changes between passes: ONE halo exchange for the whole
+        # smooth; a from_zero first pass skips the u exchange entirely (the
+        # kernel never reads the u stream — zeros stand in as the formal
+        # operand)
+        f_e = _extend_planes(f_loc, axis_name, ext)
         out, remaining, first = u_loc, steps, True
         while remaining > 0:
             k = min(remaining, kmax)
-            zoff = (zi * nz_loc - k).astype(jnp.int32).reshape(1)
-            u_e = _extend_planes(out, axis_name, k)
-            f_e = _extend_planes(f_loc, axis_name, k)
+            if from_zero and first:
+                u_e = jnp.zeros_like(f_e)
+            else:
+                u_e = _extend_planes(out, axis_name, ext)
             out = _fused_jacobi3_shard_call(
-                zoff, u_e, f_e, n, h, k, omega, ext_z=k,
+                zoff, u_e, f_e, n, h, k, omega, ext_z=ext,
                 from_zero=from_zero and first, interpret=interpret)
             remaining -= k
             first = False
@@ -197,9 +205,6 @@ def v_cycle3_sharded(u, f, n: int, h: float, mesh: Mesh,
 
     ``u``/``f`` are cubic (n, n, n) global arrays; returns the cycled u.
     """
-    import numpy as np
-    from jax.sharding import NamedSharding
-
     from ..models.poisson3d import _sizes, v_cycle3_p
     from ..ops import padded3 as pd3
     from ..ops.pallas3d import pad_grid3, unpad_grid3
@@ -216,11 +221,20 @@ def v_cycle3_sharded(u, f, n: int, h: float, mesh: Mesh,
 
     def run(up, fp, nn, hh, depth, from_zero):
         if not is_sharded(nn):
-            # replicated remainder: the whole sub-cycle from this level down
+            # replicated remainder: the whole sub-cycle from this level down.
+            # An unsharded TOP level arrives z-padded to the device-divisible
+            # depth — drop the pad planes (zero, frozen) to the exact
+            # padded_shape3 depth v_cycle3_p expects; re-padding on return.
+            zp = up.shape[0]
             up, fp = wsc(up, rep), wsc(fp, rep)
-            return v_cycle3_p(up, fp, nn, hh, n_min=n_min, pre=pre,
-                              post=post, coarse_sweeps=coarse_sweeps,
-                              omega=omega)
+            out = v_cycle3_p(up[:nn], fp[:nn], nn, hh, n_min=n_min, pre=pre,
+                             post=post, coarse_sweeps=coarse_sweeps,
+                             omega=omega)
+            if zp > nn:
+                out = jnp.concatenate(
+                    [out, jnp.zeros((zp - nn,) + out.shape[1:], out.dtype)],
+                    axis=0)
+            return out
         up, fp = wsc(up, zsh), wsc(fp, zsh)
         if depth == len(sizes) - 1:     # sharded coarsest (huge n_min only)
             return sharded_fused_jacobi3(up, fp, nn, hh, coarse_sweeps,

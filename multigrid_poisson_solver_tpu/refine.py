@@ -299,8 +299,8 @@ class IterativeRefinementSolver:
                 _, _, rel, k = state_
                 return jnp.logical_and(rel > tol, k < budget)
 
-            init = (u, r, jnp.asarray(jnp.inf, jnp.float64),
-                    jnp.asarray(0, jnp.int32))
+            rel0 = jnp.linalg.norm(jnp.ravel(r)) / den
+            init = (u, r, rel0, jnp.asarray(0, jnp.int32))
             u, _, rel, k = lax.while_loop(cond, step, init)
             return u, rel, k
 
@@ -324,8 +324,8 @@ class IterativeRefinementSolver:
                 _, _, _, _, rel, k = state
                 return jnp.logical_and(rel > tol, k < budget)
 
-            init = (u0, u1, u2, r, jnp.asarray(jnp.inf, config.dtype),
-                    jnp.asarray(0, jnp.int32))
+            rel0 = (jnp.linalg.norm(jnp.ravel(r)) / den).astype(config.dtype)
+            init = (u0, u1, u2, r, rel0, jnp.asarray(0, jnp.int32))
             u0, u1, u2, _, rel, k = lax.while_loop(cond, step, init)
             return u0, u1, u2, rel, k
 
@@ -352,8 +352,8 @@ class IterativeRefinementSolver:
                 _, _, _, rel, k = state
                 return jnp.logical_and(rel > tol, k < budget)
 
-            init = (u_hi, u_lo, r, jnp.asarray(jnp.inf, config.dtype),
-                    jnp.asarray(0, jnp.int32))
+            rel0 = (jnp.linalg.norm(jnp.ravel(r)) / den).astype(config.dtype)
+            init = (u_hi, u_lo, r, rel0, jnp.asarray(0, jnp.int32))
             u_hi, u_lo, _, rel, k = lax.while_loop(cond, step, init)
             return u_hi, u_lo, rel, k
 
@@ -455,7 +455,7 @@ class IterativeRefinementSolver:
             u_hi, u_lo = self.initial_state()
             u_lo2 = jnp.zeros_like(u_hi)
 
-        rel = jnp.asarray(jnp.inf, self.config.dtype)
+        rel = None
         while done < self.max_cycles:
             budget = min(chunk, self.max_cycles - done)
             if self._is_f64:
@@ -476,6 +476,15 @@ class IterativeRefinementSolver:
             manager.maybe_save(state)
             if float(jax.device_get(rel)) <= tol:
                 break
+        if rel is None:
+            # resumed checkpoint already at the cycle budget: a zero-budget
+            # run reports the TRUE residual of the restored state
+            if self._is_f64:
+                _, rel, _ = self._run(u64, f, tol, 0)
+            elif is_tw:
+                *_, rel, _ = self._run(u_hi, u_lo, u_lo2, f, tol, 0)
+            else:
+                *_, rel, _ = self._run(u_hi, u_lo, f, tol, 0)
         if self._is_f64:
             u_hi = u64.astype(self.config.dtype)
             u_lo = (u64 - u_hi.astype(jnp.float64)).astype(self.config.dtype)

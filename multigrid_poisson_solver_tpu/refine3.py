@@ -179,9 +179,11 @@ class IterativeRefinement3:
                          omega=omega, kernels="xla")
             return pad_grid3(e)
 
-        mask = _interior_mask3(n, self._shape)
-
         def fnorm(f):
+            # mask built INSIDE the trace (iota comparisons): a concrete
+            # bool volume closed over here would serialize as a jaxpr
+            # constant into the remote-compile request (CLAUDE.md trap)
+            mask = _interior_mask3(n, self._shape)
             return jnp.linalg.norm(jnp.ravel(jnp.where(mask, f, 0.0)))
 
         def make_den(f, r0):
@@ -208,8 +210,8 @@ class IterativeRefinement3:
             def cond(state_):
                 return jnp.logical_and(state_[3] > tol, state_[4] < budget)
 
-            init = (u0, u1, r, jnp.asarray(jnp.inf, self.dtype),
-                    jnp.asarray(0, jnp.int32))
+            rel0 = (jnp.linalg.norm(jnp.ravel(r)) / den).astype(self.dtype)
+            init = (u0, u1, r, rel0, jnp.asarray(0, jnp.int32))
             u0, u1, _, rel, k = lax.while_loop(cond, step, init)
             return u0, u1, rel, k
 
@@ -230,8 +232,8 @@ class IterativeRefinement3:
             def cond(state_):
                 return jnp.logical_and(state_[4] > tol, state_[5] < budget)
 
-            init = (u0, u1, u2, r, jnp.asarray(jnp.inf, self.dtype),
-                    jnp.asarray(0, jnp.int32))
+            rel0 = (jnp.linalg.norm(jnp.ravel(r)) / den).astype(self.dtype)
+            init = (u0, u1, u2, r, rel0, jnp.asarray(0, jnp.int32))
             u0, u1, u2, _, rel, k = lax.while_loop(cond, step, init)
             return u0, u1, u2, rel, k
 
@@ -305,7 +307,7 @@ class IterativeRefinement3:
             u0, u1 = self.initial_state()
             u2 = jnp.zeros_like(u0)
 
-        rel = jnp.asarray(jnp.inf, self.dtype)
+        rel = None
         while done < self.max_cycles:
             budget = min(chunk, self.max_cycles - done)
             if is_tw:
@@ -321,6 +323,13 @@ class IterativeRefinement3:
             manager.maybe_save(state)
             if float(jax.device_get(rel)) <= tol:
                 break
+        if rel is None:
+            # resumed checkpoint already at the cycle budget: a zero-budget
+            # run reports the TRUE residual of the restored state
+            if is_tw:
+                *_, rel, _ = self._run(u0, u1, u2, f, tol, 0)
+            else:
+                *_, rel, _ = self._run(u0, u1, f, tol, 0)
         return u0, u1, rel, jnp.asarray(done, jnp.int32)
 
 

@@ -152,3 +152,21 @@ def test_v_cycle3_sharded_converges(mesh):
         got = iterate(u, f)
     err = float(jnp.mean(jnp.abs(got - prob.analytic_grid(n))))
     assert err < 2e-3          # C·h² at n=65
+
+
+def test_v_cycle3_sharded_unsharded_top(mesh):
+    """A grid too small to shard still runs (regression: the replicated
+    fallback used to receive the device-padded depth and trip
+    v_cycle3_p's exact-shape assert)."""
+    n = 33
+    h = 1.0 / (n - 1)
+    prob = p3.REFERENCE_PROBLEM_3D
+    f = (prob.source_grid(n) + prob.boundary_grid(n)).astype(jnp.float32)
+    u = prob.boundary_grid(n).astype(jnp.float32)
+    want = p3.v_cycle3(u, f, h, pre=3, post=3, kernels="pallas")
+    with mesh:
+        got = ps3.v_cycle3_sharded(u, f, n, h, mesh, interpret=True)
+    # replicated-under-GSPMD compilation reassociates like the sharded one
+    # (see test_v_cycle3_sharded_matches_single_device's tolerance note)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=0,
+                               atol=1e-4 * float(jnp.abs(want).max()))

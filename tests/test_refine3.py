@@ -8,6 +8,7 @@ compensated 7-point residuals validated against an f64 oracle.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import multigrid_poisson_solver_tpu as mg
 from multigrid_poisson_solver_tpu.models import poisson3d as p3
@@ -172,3 +173,20 @@ def test_refine3_checkpoint_resume(tmp_path):
     rep_ref = IterativeRefinement3(PROBLEM, n, max_cycles=40,
                                    state="tw32").solve(tol)
     assert abs(rep2.cycles - rep_ref.cycles) <= 1
+
+
+def test_refine3_resume_exhausted_budget_reports_true_residual(tmp_path):
+    """Regression: resuming a checkpoint whose cycle count already hit
+    max_cycles used to report rel_residual = inf (the loop never ran)."""
+    from multigrid_poisson_solver_tpu.utils.checkpoint import CheckpointManager
+
+    n = 33
+    mgr = CheckpointManager(tmp_path / "ck")
+    s1 = IterativeRefinement3(PROBLEM, n, max_cycles=3, state="df32")
+    rep1 = s1.solve(1e-13, checkpoints=mgr, checkpoint_chunk=3)
+    assert rep1.cycles == 3
+    # resume with the SAME exhausted budget: no further cycles possible
+    s2 = IterativeRefinement3(PROBLEM, n, max_cycles=3, state="df32")
+    rep2 = s2.solve(1e-13, checkpoints=mgr, checkpoint_chunk=3)
+    assert np.isfinite(rep2.rel_residual)
+    assert rep2.rel_residual == pytest.approx(rep1.rel_residual, rel=1e-3)
