@@ -45,10 +45,12 @@ def _trace_program3(u, f, *, program: CycleProgram, problem: Problem3D,
 
     Under ``config.kernels`` = "pallas" (or "auto" on TPU) every level's
     state lives in the padded (nz, rp, cp) brick layout for the whole
-    program: smoothing and residual+restriction run the fused brick kernels
-    (ops.pallas3d) and the 2:1 transfers the padded take-gather operators
-    (ops.padded3) on levels with n ≥ 65; small levels, trigger nodes,
-    compat="gpu" metrics, non-2:1 transfers and coarse solves hop through
+    program: smoothing (with the clean OR gpu error metric fused into the
+    final kernel pass), trigger loops (one fused sweep+metric pass per
+    sweep; batched under cfg.trigger_batch), and residual+restriction run
+    the fused brick kernels (ops.pallas3d), and the 2:1 transfers the
+    padded operators (ops.padded3), on levels with n ≥ 65; small levels,
+    non-jacobi smoothers, non-2:1 transfers and coarse solves hop through
     the plain-jnp ops (cheap at those sizes). This mirrors the 2-D compiled
     engine's kernel routing (compiled.py) one dimension up."""
     cfg = config
@@ -85,8 +87,7 @@ def _trace_program3(u, f, *, program: CycleProgram, problem: Problem3D,
         ker_Smoothing_GPU-style fusion, one dimension up)."""
         if not use_pallas:
             return smooth_xla(lu, lf, h, steps)
-        fast = (n >= _PALLAS3_MIN_N and cfg.smoother == "jacobi"
-                and compat in ("clean", "gpu"))
+        fast = n >= _PALLAS3_MIN_N and cfg.smoother == "jacobi"
         if steps == -1 and fast:
             return trigger_p(lu, lf, n, h)
         fast = fast and steps >= 1
@@ -125,7 +126,7 @@ def _trace_program3(u, f, *, program: CycleProgram, problem: Problem3D,
         the slope rule replays against the batch's error vector — the
         iterate overshoots the exact stop point by up to batch − 1 sweeps
         (extra smoothing, never less; flag-gated, as in the 2-D engine)."""
-        mode = "gpu" if compat == "gpu" else "clean"
+        mode = compat              # already normalized to "clean" | "gpu"
 
         if cfg.trigger_batch > 1:
             B = min(cfg.trigger_batch, p3k.errs3_sweep_cap(compat))

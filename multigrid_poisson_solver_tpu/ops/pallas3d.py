@@ -172,7 +172,10 @@ def _fused_jacobi3_kernel(offs_smem, u_hbm, f_hbm, *rest,
         one halo ring);
       * "gpu"   — Σ|Δu|·6/h² of the final sweep (the GPU reference metric).
     The raw f32 partial (already metric-scaled, divide by n³ outside) lands
-    in a (1, 1) SMEM output."""
+    in a (1, 1) SMEM output — or (1, steps) under ``per_sweep`` (trigger
+    batching): one metric value per iterate u_1..u_steps, the gpu value of
+    u_s captured during sweep s, the clean value of u_s during sweep s+1
+    plus one extra in-VMEM residual sweep for the final iterate."""
     if err_mode is None:
         out_hbm, = rest[:1]
         rest = rest[1:]

@@ -172,3 +172,22 @@ def test_trigger_batch3_converges_like_unbatched():
     e4, q4 = results[4]
     assert q4 == pytest.approx(q1, rel=0.05)      # same solution quality
     assert e4 <= e1 * 1.05                        # never less smoothing
+
+
+def test_trigger_batch3_gpu_metric():
+    """trigger_batch under compat='gpu' (the per_sweep gpu kernel branch)."""
+    program = mg.v_cycle(65, n_min=5, steps=-1, coarse_target=1e-8,
+                         coarsen=3)
+    results = {}
+    for batch in (1, 4):
+        cfg = _cfg_pallas(trigger=1e-3, trigger_batch=batch,
+                          compat_error="gpu")
+        cc = compile_program3(program, p3.REFERENCE_PROBLEM_3D, cfg)
+        u, f = cc.init()
+        u1, err = cc(u, f)
+        ana = p3.REFERENCE_PROBLEM_3D.analytic_grid(65, jnp.float32)
+        results[batch] = (float(err), float(jnp.mean(jnp.abs(u1 - ana))))
+    e1, q1 = results[1]
+    e4, q4 = results[4]
+    assert q4 == pytest.approx(q1, rel=0.05)
+    assert e4 <= e1 * 1.05

@@ -242,3 +242,49 @@ def test_fused_ascend3_multi_brick(monkeypatch):
                                  n, h, 2, omega=OMEGA3, interpret=True), n)
     want = _ascend_oracle(u, f, c, h, 2)
     assert float(jnp.abs(got - want).max()) < 1e-5
+
+
+@pytest.mark.parametrize("mode", ["clean", "gpu"])
+def test_fused_err_multi_brick_ownership(monkeypatch, mode):
+    """The err reduction's exact-ownership masks across MULTIPLE (z, row)
+    bricks: at CI sizes the default budget yields one brick, so force a
+    tiny budget and check the partials still match the oracle (an
+    off-by-one in the owned windows would drop/double-count cells only in
+    the multi-brick regime — silent on CI, wrong at 513³ on hardware)."""
+    monkeypatch.setattr(p3k, "_VMEM_BUDGET_3D_BYTES", 1536 * 1024)
+    n, steps = 65, 3
+    h = 1.0 / (n - 1)
+    nz, rp, cp = p3k.padded_shape3(n)
+    zs, rs, oz, orow = p3k._brick_geometry(nz, rp, cp, 4,
+                                           z_halo=steps + 1, num_bufs=6.0)
+    assert zs < nz and rs < rp, "budget did not force multi-brick"
+
+    prob = p3.REFERENCE_PROBLEM_3D
+    f = (prob.source_grid(n) + prob.boundary_grid(n)).astype(jnp.float32)
+    u = (prob.boundary_grid(n) + 0.01 * f).astype(jnp.float32)
+    up, fp = p3k.pad_grid3(u), p3k.pad_grid3(f)
+
+    got_u, raw = p3k.fused_jacobi3_padded(up, fp, n, h, steps, omega=6 / 7,
+                                          interpret=True, err_mode=mode)
+    want_u, want_err = p3.smooth3(u, f, h, steps=steps, omega=6 / 7,
+                                  compat=mode if mode == "gpu" else "clean")
+    np.testing.assert_allclose(np.asarray(p3k.unpad_grid3(got_u, n)),
+                               np.asarray(want_u), rtol=0, atol=5e-6)
+    # tolerance: f32 partials accumulate in a different order across bricks
+    # (~sqrt(N)·eps reassociation); a dropped/doubled plane or row would be
+    # a ~1e-2-relative error, decades above this bound
+    assert float(raw) / n ** 3 == pytest.approx(float(want_err), rel=5e-5)
+
+    # per-sweep variant across the same multi-brick geometry
+    got_u2, errs = p3k.fused_jacobi3_errs_padded(up, fp, n, h, steps,
+                                                 omega=6 / 7, compat=mode,
+                                                 interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_u2), np.asarray(
+        p3k.fused_jacobi3_padded(up, fp, n, h, steps, omega=6 / 7,
+                                 interpret=True)))
+    v = up
+    for s in range(steps):
+        v, rw = p3k.fused_jacobi3_padded(v, fp, n, h, 1, omega=6 / 7,
+                                         interpret=True, err_mode=mode)
+        assert float(errs[s]) == pytest.approx(float(rw) / n ** 3,
+                                               rel=5e-5), s
