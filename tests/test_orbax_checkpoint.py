@@ -59,3 +59,24 @@ def test_refinement_resume_through_orbax(tmp_path):
         s2 = IterativeRefinementSolver(PROBLEM, n, state="tw32")
         rep2 = s2.solve(tol, checkpoints=mgr, checkpoint_chunk=6)
     assert rep2.rel_residual <= tol
+
+
+def test_refine3_resume_through_orbax(tmp_path):
+    """The 3-D refinement loop accepts the Orbax backend too (same
+    duck-typed latest/maybe_save contract, cubic padded arrays)."""
+    from multigrid_poisson_solver_tpu.models import poisson3d as p3
+    from multigrid_poisson_solver_tpu.refine3 import IterativeRefinement3
+
+    n, tol = 33, 1e-11
+    with OrbaxCheckpointManager(tmp_path / "ck3", async_save=False) as mgr:
+        s1 = IterativeRefinement3(p3.REFERENCE_PROBLEM_3D, n, max_cycles=4,
+                                  state="tw32")
+        rep1 = s1.solve(tol, checkpoints=mgr, checkpoint_chunk=4)
+        assert rep1.rel_residual > tol
+        saved = mgr.latest()
+        assert saved is not None and saved.u_lo2 is not None
+
+        s2 = IterativeRefinement3(p3.REFERENCE_PROBLEM_3D, n, max_cycles=40,
+                                  state="tw32")
+        rep2 = s2.solve(tol, checkpoints=mgr, checkpoint_chunk=8)
+    assert rep2.rel_residual <= tol
