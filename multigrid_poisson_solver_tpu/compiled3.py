@@ -310,13 +310,26 @@ def _trace_program3(u, f, *, program: CycleProgram, problem: Problem3D,
                        and compat == "clean" and cfg.smoother == "jacobi")
             if fuse_up:
                 cw = pd3.prolong3_lanes_p(cu, n, m)
-                lu = p3k.fused_ascend3_padded(lu, lf, cw, n, h, ins.steps,
-                                              omega=cfg.omega,
-                                              interpret=interp)
-                if ins is program.instructions[-1]:
-                    r = p3k.residual3_pallas(lu, lf, n, h, interpret=interp)
-                    last_err = (jnp.sum(jnp.abs(r)) / (n ** 3)).astype(
-                        cfg.dtype)
+                # the error metric is only materialized when this node's err
+                # is the program's return value — then it fuses into the
+                # ascend kernel itself (steps ≤ 7; the 8-sweep edge case
+                # keeps the separate residual pass)
+                want_err = (ins is program.instructions[-1]
+                            and ins.steps <= 7)
+                if want_err:
+                    lu, raw = p3k.fused_ascend3_padded(
+                        lu, lf, cw, n, h, ins.steps, omega=cfg.omega,
+                        interpret=interp, err_mode="clean")
+                    last_err = (raw / (n ** 3)).astype(cfg.dtype)
+                else:
+                    lu = p3k.fused_ascend3_padded(lu, lf, cw, n, h,
+                                                  ins.steps, omega=cfg.omega,
+                                                  interpret=interp)
+                    if ins is program.instructions[-1]:
+                        r = p3k.residual3_pallas(lu, lf, n, h,
+                                                 interpret=interp)
+                        last_err = (jnp.sum(jnp.abs(r)) / (n ** 3)).astype(
+                            cfg.dtype)
             else:
                 if use_pallas and aligned and n >= _PALLAS3_MIN_N:
                     lu = pd3.prolong3_add_p(lu, cu, n, m, interior_only=True)

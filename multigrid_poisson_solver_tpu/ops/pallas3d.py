@@ -851,14 +851,12 @@ def fused_descend3_padded(u, f, n: int, h: float, steps: int,
     )(u, f)
 
 
-def _fused_ascend3_kernel(u_hbm, f_hbm, cw_hbm, out_hbm,
-                          u_slots, fc_slots, cw_slots, work, a_buf,
-                          load_sems, out_sems, *,
+def _fused_ascend3_kernel(u_hbm, f_hbm, cw_hbm, *rest,
                           n: int, nz: int, rp: int, cp: int, steps: int,
-                          zs: int, rs: int, oz: int, orow: int,
+                          z_halo: int, zs: int, rs: int, oz: int, orow: int,
                           czs: int, crs: int,
                           num_zb: int, num_rb: int,
-                          h2: float, omega: float):
+                          h2: float, omega: float, err_mode=None):
     """The WHOLE 3-D ascend leg in one HBM pass: trilinear prolongation of
     the coarse correction + the correction add + k post-sweeps.
 
@@ -875,6 +873,13 @@ def _fused_ascend3_kernel(u_hbm, f_hbm, cw_hbm, out_hbm,
     Alignment: row halo 16 (not 8) keeps fine LOAD offsets r0 ×16 so the
     coarse row window r0//2 is provably ×8; zs is even so czs = zs//2 + 1
     covers both z taps of every loaded plane at either z0 parity."""
+    if err_mode is None:
+        out_hbm, = rest[:1]
+        rest = rest[1:]
+    else:
+        out_hbm, err_smem = rest[:2]
+        rest = rest[2:]
+    u_slots, fc_slots, cw_slots, work, a_buf, load_sems, out_sems = rest
     num_iter = num_zb * num_rb
     w = jnp.asarray(omega / 6.0, u_hbm.dtype)
     half = jnp.asarray(0.5, u_hbm.dtype)
@@ -885,7 +890,7 @@ def _fused_ascend3_kernel(u_hbm, f_hbm, cw_hbm, out_hbm,
         return _i32(idx) // _i32(num_rb), jax.lax.rem(_i32(idx), _i32(num_rb))
 
     def load_z(i):
-        return jnp.clip(_i32(i) * _i32(oz) - _i32(steps), _i32(0),
+        return jnp.clip(_i32(i) * _i32(oz) - _i32(z_halo), _i32(0),
                         _i32(nz - zs))
 
     def write_z(i):
@@ -1009,6 +1014,33 @@ def _fused_ascend3_kernel(u_hbm, f_hbm, cw_hbm, out_hbm,
 
         for s in range(steps):
             sweep(accessors[s % 2][0], accessors[(s + 1) % 2][1])
+
+        part = carry
+        if err_mode is not None:     # "clean": fused Σ|r(u_final)| partial
+            rd_fin = accessors[steps % 2][0]
+            own_r = ((g >= _i32(j) * _i32(orow))
+                     & (g < jnp.minimum((_i32(j) + 1) * _i32(orow),
+                                        _i32(rp)))
+                     & (g >= 1) & (g <= n - 2)
+                     & (cols >= 1) & (cols <= n - 2))
+
+            def err_plane(t, a2):
+                gz = z0 + t
+                own = (own_r & (gz >= 1) & (gz <= n - 2)
+                       & (gz >= _i32(i) * _i32(oz))
+                       & (gz < jnp.minimum((_i32(i) + 1) * _i32(oz),
+                                           _i32(nz))))
+                u = rd_fin(t)
+                nb = (_nb_sum(u, rs, cp) + rd_fin(t - 1) + rd_fin(t + 1)
+                      - 6.0 * u)
+                val = jnp.abs(a_buf[t] * nb
+                              - fc_slots[slot, t]).astype(jnp.float32)
+                return a2 + jnp.sum(jnp.where(own, val, jnp.zeros_like(val)))
+
+            p = jax.lax.fori_loop(_i32(1), _i32(zs - 1), err_plane,
+                                  jnp.zeros((), jnp.float32), unroll=False)
+            part = carry + p * abs(6.0 / (omega * h2))
+
         if steps % 2 == 1:
             def copy_back(t, c):
                 u_slots[slot, t] = work[t]
@@ -1017,9 +1049,12 @@ def _fused_ascend3_kernel(u_hbm, f_hbm, cw_hbm, out_hbm,
                               unroll=False)
 
         out_copy(idx, slot).start()
-        return carry
+        return part
 
-    jax.lax.fori_loop(_i32(0), _i32(num_iter), body, _i32(0), unroll=False)
+    total = jax.lax.fori_loop(_i32(0), _i32(num_iter), body,
+                              jnp.zeros((), jnp.float32), unroll=False)
+    if err_mode is not None:
+        err_smem[0, 0] = total
 
     last = num_iter - 1
     if num_iter >= 2:
@@ -1028,14 +1063,19 @@ def _fused_ascend3_kernel(u_hbm, f_hbm, cw_hbm, out_hbm,
 
 
 def fused_ascend3_padded(u, f, cwide, n: int, h: float, steps: int,
-                         omega: float = 6.0 / 7.0, interpret: bool = False):
+                         omega: float = 6.0 / 7.0, interpret: bool = False,
+                         err_mode=None):
     """The 3-D ascend leg — trilinear prolongation + correction add +
     ``steps`` post-sweeps — in ONE brick-streamed HBM pass.
 
     ``cwide`` is ops.padded3.prolong3_lanes_p(coarse_correction): the
     coarse volume at coarse z × coarse rows (rp//2 + 8) × FINE lanes.
     The added correction is masked to the fine interior (the engines'
-    interior_only semantics). Requires n = 2m − 1 and steps ≥ 1."""
+    interior_only semantics). Requires n = 2m − 1 and steps ≥ 1.
+
+    ``err_mode="clean"`` also returns the raw Σ|r(u_final)| partial (one
+    extra in-VMEM residual sweep, callers divide by n³) — it consumes one
+    halo ring, so steps ≤ 7."""
     nz, rp, cp = u.shape
     assert (nz, rp, cp) == padded_shape3(n), (u.shape, padded_shape3(n))
     assert f.shape == u.shape and f.dtype == u.dtype
@@ -1044,10 +1084,14 @@ def fused_ascend3_padded(u, f, cwide, n: int, h: float, steps: int,
     assert cwide.shape == (m, rp // 2 + 8, cp), (cwide.shape, m, rp, cp)
     assert cwide.dtype == u.dtype
     assert 1 <= steps <= MAX_FUSED_SWEEPS_3D
+    z_halo = steps
+    if err_mode is not None:
+        assert err_mode == "clean" and steps <= 7, (err_mode, steps)
+        z_halo = steps + 1
 
     itemsize = jnp.dtype(u.dtype).itemsize
     # resident: 2 u + 2 f + work + A bricks + 2 quarter cw bricks ≈ 6.6
-    zs, rs, oz, orow = _brick_geometry(nz, rp, cp, itemsize, z_halo=steps,
+    zs, rs, oz, orow = _brick_geometry(nz, rp, cp, itemsize, z_halo=z_halo,
                                        num_bufs=6.6, orow_mult=16,
                                        r_halo=16, zs_even=True,
                                        budget=_VMEM_BUDGET_3D_LEGS_BYTES)
@@ -1057,16 +1101,22 @@ def fused_ascend3_padded(u, f, cwide, n: int, h: float, steps: int,
     crs = min(rs // 2 + 8, rp // 2 + 8)
 
     kernel = partial(_fused_ascend3_kernel, n=n, nz=nz, rp=rp, cp=cp,
-                     steps=steps, zs=zs, rs=rs, oz=oz, orow=orow,
-                     czs=czs, crs=crs, num_zb=num_zb, num_rb=num_rb,
-                     h2=h * h, omega=omega)
+                     steps=steps, z_halo=z_halo, zs=zs, rs=rs, oz=oz,
+                     orow=orow, czs=czs, crs=crs, num_zb=num_zb,
+                     num_rb=num_rb, h2=h * h, omega=omega, err_mode=err_mode)
+
+    out_shape = jax.ShapeDtypeStruct((nz, rp, cp), u.dtype)
+    out_spec = pl.BlockSpec(memory_space=pl.ANY)
+    if err_mode is not None:
+        out_shape = (out_shape, jax.ShapeDtypeStruct((1, 1), jnp.float32))
+        out_spec = (out_spec, pl.BlockSpec(memory_space=pltpu.SMEM))
 
     scratch_bytes = (6 * zs * rs + 2 * czs * crs) * cp * itemsize
-    return pl.pallas_call(
+    result = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((nz, rp, cp), u.dtype),
+        out_shape=out_shape,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_specs=out_spec,
         scratch_shapes=[
             pltpu.VMEM((2, zs, rs, cp), u.dtype),     # u slots
             pltpu.VMEM((2, zs, rs, cp), u.dtype),     # f slots -> C
@@ -1080,6 +1130,9 @@ def fused_ascend3_padded(u, f, cwide, n: int, h: float, steps: int,
             vmem_limit_bytes=_vmem_limit(scratch_bytes)),
         interpret=interpret,
     )(u, f, cwide)
+    if err_mode is not None:
+        return result[0], result[1][0, 0]
+    return result
 
 
 def _residual3_kernel(offs_smem, u_hbm, f_hbm, out_hbm,
