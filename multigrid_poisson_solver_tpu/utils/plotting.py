@@ -59,14 +59,52 @@ def surface_figure(u: np.ndarray, length: float = 1.0, min_x: float = 0.0,
     return fig
 
 
+def slice_figure3(u: np.ndarray, axis: int = 0, index: int | None = None,
+                  length: float = 1.0, min_x: float = 0.0,
+                  min_y: float = 0.0, problem=None):
+    """Orthogonal slice view of a 3-D solution volume: numerical, analytic
+    (when a Problem3D with an analytic solution is given), and |difference|
+    panels through the mid-plane (or ``index``) of ``axis``. The 3-D analog
+    of comparison_figure for the CLI's ``--dim 3`` npz dumps."""
+    import matplotlib.pyplot as plt
+
+    assert u.ndim == 3, f"expected an (n, n, n) volume, got {u.shape}"
+    n = u.shape[0]
+    idx = n // 2 if index is None else index
+    sl = np.take(u, idx, axis=axis)
+
+    panels = [(sl, f"numerical (axis {axis}, slice {idx})")]
+    if problem is not None and getattr(problem, "analytic", None) is not None:
+        ua = np.asarray(problem.analytic_grid(n, np.float64))
+        sa = np.take(ua, idx, axis=axis)
+        diff = np.abs(sl - sa)
+        panels += [(sa, "analytic"),
+                   (diff, f"|diff| (mean {diff.mean():.3e})")]
+
+    fig, axes = plt.subplots(1, len(panels), figsize=(4.7 * len(panels), 4),
+                             squeeze=False)
+    extent = [min_x, min_x + length, min_y, min_y + length]
+    for ax, (data, title) in zip(axes[0], panels):
+        im = ax.imshow(data, origin="lower", extent=extent, cmap="viridis")
+        ax.set_title(title)
+        fig.colorbar(im, ax=ax)
+    return fig
+
+
 def main(argv=None) -> int:
     argv = argv if argv is not None else sys.argv[1:]
     if not argv:
-        print("usage: python -m multigrid_poisson_solver_tpu.utils.plotting Sol_file.csv "
-              "[out.png]", file=sys.stderr)
+        print("usage: python -m multigrid_poisson_solver_tpu.utils.plotting "
+              "Sol_file.csv|Sol_file.npz [out.png]", file=sys.stderr)
         return 1
-    u = read_solution_csv(argv[0])
-    fig = comparison_figure(u)
+    if argv[0].endswith(".npz"):
+        from ..models.poisson3d import REFERENCE_PROBLEM_3D
+
+        u = np.load(argv[0])["u"]
+        fig = slice_figure3(u, problem=REFERENCE_PROBLEM_3D)
+    else:
+        u = read_solution_csv(argv[0])
+        fig = comparison_figure(u)
     out = argv[1] if len(argv) > 1 else argv[0] + ".png"
     fig.savefig(out, dpi=120, bbox_inches="tight")
     print(f"wrote {out}")
