@@ -230,6 +230,28 @@ def main():
         print(f"[bench] 3-D bench skipped: {e}", file=sys.stderr)
 
     try:
+        n3d = int(os.environ.get("BENCH_3D_DEEP_N", 513 if on_tpu else 0))
+        if n3d:
+            from multigrid_poisson_solver_tpu.refine3 import (
+                IterativeRefinement3)
+            from multigrid_poisson_solver_tpu.models import poisson3d as p3
+
+            s3 = IterativeRefinement3(p3.REFERENCE_PROBLEM_3D, n3d,
+                                      max_cycles=25, state="tw32")
+            f3d = s3.init_rhs()
+            w0, w1 = s3.initial_state()
+            t3 = _timer().measure(lambda *a: s3._run(*a)[3], w0, w1,
+                                  jnp.zeros_like(w0), f3d, 1e-10, 25)
+            _, _, _, rel3, k3 = s3._run(w0, w1, jnp.zeros_like(w0), f3d,
+                                        1e-10, 25)
+            print(f"[bench] 3-D to 1e-10 {n3d}^3 (tw32 refinement, Pallas "
+                  f"mw-residual): {t3*1e3:.0f} ms device wall, "
+                  f"{int(jax.device_get(k3))} cycles, rel "
+                  f"{float(jax.device_get(rel3)):.2e}", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        print(f"[bench] 3-D deep bench skipped: {e}", file=sys.stderr)
+
+    try:
         dn = int(os.environ.get("BENCH_DEEP_N", 8193 if on_tpu else 257))
         dt10, rel, k, ceff = bench_to_1e10(dn)
         print(f"[bench] to 1e-10 N={dn} (tw32 refinement): "
