@@ -151,7 +151,8 @@ def _fused_jacobi3_kernel(offs_smem, u_hbm, f_hbm, *rest,
                           zs: int, rs: int, oz: int, orow: int,
                           num_zb: int, num_rb: int,
                           h2: float, omega: float, from_zero: bool,
-                          err_mode=None, per_sweep: bool = False):
+                          err_mode=None, per_sweep: bool = False,
+                          emit_residual: bool = False, negate: bool = False):
     """k fused sweeps of the 7-point stencil over (z, row) bricks.
 
     Single-device: nz == out_z == the padded volume depth, ext_z = 0 and
@@ -176,13 +177,21 @@ def _fused_jacobi3_kernel(offs_smem, u_hbm, f_hbm, *rest,
     batching): one metric value per iterate u_1..u_steps, the gpu value of
     u_s captured during sweep s, the clean value of u_s during sweep s+1
     plus one extra in-VMEM residual sweep for the final iterate."""
-    if err_mode is None:
-        out_hbm, = rest[:1]
-        rest = rest[1:]
+    n_out = 1 + (1 if emit_residual else 0) + (1 if err_mode else 0)
+    if emit_residual:
+        out_hbm, r_hbm = rest[:2]
+        if err_mode is not None:
+            err_smem = rest[2]
     else:
-        out_hbm, err_smem = rest[:2]
-        rest = rest[2:]
-    u_slots, fc_slots, work, a_buf, load_sems, out_sems = rest
+        out_hbm = rest[0]
+        if err_mode is not None:
+            err_smem = rest[1]
+    rest = rest[n_out:]
+    if emit_residual:
+        (u_slots, fc_slots, work, a_buf, load_sems, out_sems,
+         r_sems) = rest
+    else:
+        u_slots, fc_slots, work, a_buf, load_sems, out_sems = rest
     num_iter = num_zb * num_rb
     w = jnp.asarray(omega / 6.0, u_hbm.dtype)
     zoff = offs_smem[0]
@@ -229,6 +238,19 @@ def _fused_jacobi3_kernel(offs_smem, u_hbm, f_hbm, *rest,
             out_hbm.at[pl.ds(wz, oz), pl.ds(wr, orow), :],
             out_sems.at[slot])
 
+    def r_copy(idx):
+        # the residual brick lives in the single ``work`` buffer: at most
+        # one r DMA is in flight (the next brick WAITS before its first
+        # work write), so one sem slot per parity is enough bookkeeping
+        i, j = zi(idx)
+        wz, wr = write_z(i), write_r(j)
+        zlo = wz + _i32(ext_z) - load_z(i)
+        rlo = _mul8(wr - load_r(j))
+        return pltpu.make_async_copy(
+            work.at[pl.ds(zlo, oz), pl.ds(rlo, orow), :],
+            r_hbm.at[pl.ds(wz, oz), pl.ds(wr, orow), :],
+            r_sems.at[jax.lax.rem(_i32(idx), _i32(2))])
+
     for cp_ in load_copies(0, _i32(0)):
         cp_.start()
 
@@ -246,6 +268,13 @@ def _fused_jacobi3_kernel(offs_smem, u_hbm, f_hbm, *rest,
 
         for cp_ in load_copies(idx, slot):
             cp_.wait()
+
+        if emit_residual:
+            # the previous brick's residual DMA must drain before this
+            # brick's sweeps overwrite the shared work buffer
+            @pl.when(idx >= 1)
+            def _():
+                r_copy(idx - 1).wait()
 
         i, j = zi(idx)
         z0, r0 = load_z(i), load_r(j)
@@ -271,12 +300,20 @@ def _fused_jacobi3_kernel(offs_smem, u_hbm, f_hbm, *rest,
             gate = (gz >= 1) & (gz <= n - 2) & (t > 0) & (t < zs - 1)
             ap = jnp.where(gate, a_plane, jnp.zeros_like(a_plane))
             a_buf[t] = ap
-            cpl = ap * (h2c * fc_slots[slot, t])
-            fc_slots[slot, t] = cpl
+            raw_f = fc_slots[slot, t]
+            fc_slots[slot, t] = ap * (h2c * raw_f)
             if from_zero:
-                # closed-form first sweep from u≡0: u₁ = −C (C is already
-                # zero on every frozen cell, so no extra mask)
-                u_slots[slot, t] = -cpl
+                # closed-form first sweep from u≡0: u₁ = −(ω/6)h²f on the
+                # GLOBAL interior — including brick/extension cut planes and
+                # rows (no neighbor dependence, so u₁ is exact there too;
+                # freezing cuts at u₀ = 0 instead would cost one halo ring,
+                # exactly the 2-D kernel's ok_global treatment)
+                okg = ((g >= 1) & (g <= n - 2)
+                       & (cols >= 1) & (cols <= n - 2)
+                       & (gz >= 1) & (gz <= n - 2))
+                u_slots[slot, t] = jnp.where(
+                    okg, -(w * (h2c * raw_f)),
+                    jnp.zeros((rs, cp), u_hbm.dtype))
             return c
 
         jax.lax.fori_loop(_i32(0), _i32(zs), build_plane, _i32(0),
@@ -372,6 +409,49 @@ def _fused_jacobi3_kernel(offs_smem, u_hbm, f_hbm, *rest,
                 parts[n_sweeps - 1] = (parts[n_sweeps - 1]
                                        + own_sum(resid_of(rd_fin)) * s_clean)
             part = tuple(parts)
+        elif emit_residual:
+            for s in range(n_sweeps):
+                sweep(accessors[s % 2][0], accessors[(s + 1) % 2][1])
+            if n_sweeps % 2 == 1:
+                def copy_back_r(t, c):
+                    u_slots[slot, t] = work[t]
+                    return c
+                jax.lax.fori_loop(_i32(0), _i32(zs), copy_back_r, _i32(0),
+                                  unroll=False)
+            # final iterate is now in u_slots; the extra in-VMEM sweep
+            # writes the (optionally negated) residual volume into work —
+            # r = Δ·6/(ωh²), exactly 0 on frozen cells — accumulating the
+            # clean error partial in the same pass when requested
+            scale_r = jnp.asarray((-1.0 if negate else 1.0)
+                                  * 6.0 / (omega * h2), u_hbm.dtype)
+            zero_plane = jnp.zeros((rs, cp), u_hbm.dtype)
+            work[0] = zero_plane
+            work[zs - 1] = zero_plane
+
+            def r_plane(t, a2):
+                u = u_slots[slot, t]
+                nb = (_nb_sum(u, rs, cp) + u_slots[slot, t - 1]
+                      + u_slots[slot, t + 1] - 6.0 * u)
+                d = a_buf[t] * nb - fc_slots[slot, t]
+                work[t] = scale_r * d
+                if err_mode is None:
+                    return a2
+                gz = zoff + z0 + t
+                o = z0 + t - _i32(ext_z)
+                own = (own_r & (gz >= 1) & (gz <= n - 2)
+                       & (o >= _i32(i) * _i32(oz))
+                       & (o < jnp.minimum((_i32(i) + 1) * _i32(oz),
+                                          _i32(out_z))))
+                val = jnp.abs(d).astype(jnp.float32)
+                return a2 + jnp.sum(jnp.where(own, val, jnp.zeros_like(val)))
+
+            p = jax.lax.fori_loop(_i32(1), _i32(zs - 1), r_plane,
+                                  jnp.zeros((), jnp.float32), unroll=False)
+            part = (carry + p * s_clean) if err_mode is not None else carry
+            r_copy(idx).start()
+            out_copy(idx, slot).start()
+            return part
+
         else:
             for s in range(n_sweeps):
                 sweep(accessors[s % 2][0], accessors[(s + 1) % 2][1])
@@ -416,12 +496,16 @@ def _fused_jacobi3_kernel(offs_smem, u_hbm, f_hbm, *rest,
     if num_iter >= 2:
         out_copy(_i32(last - 1), _i32((last - 1) % 2)).wait()
     out_copy(_i32(last), _i32(last % 2)).wait()
+    if emit_residual:
+        r_copy(_i32(last)).wait()
 
 
 def _fused_jacobi3_shard_call(zoff, u, f, n: int, h: float, steps: int,
                               omega: float, ext_z: int, from_zero: bool,
                               interpret: bool, err_mode=None,
-                              per_sweep: bool = False):
+                              per_sweep: bool = False,
+                              emit_residual: bool = False,
+                              negate: bool = False):
     """One ≤8-sweep fused 3-D pass on a (possibly z-halo-extended) volume.
 
     ``zoff`` = int32 (1,) GLOBAL z index of u's plane 0; ``ext_z`` halo
@@ -435,13 +519,18 @@ def _fused_jacobi3_shard_call(zoff, u, f, n: int, h: float, steps: int,
     assert f.shape == u.shape and f.dtype == u.dtype
     assert 1 <= steps <= MAX_FUSED_SWEEPS_3D
     if per_sweep:
-        assert err_mode is not None and not from_zero
+        assert err_mode is not None and not from_zero and not emit_residual
     k_eff = steps - 1 if from_zero else steps
     z_halo = steps
-    if err_mode == "clean":
+    if err_mode == "clean" or emit_residual:
+        assert err_mode in (None, "clean")
         assert k_eff <= 7, (
-            f"fused clean error needs ≤7 sweeps per pass, got {k_eff}")
-        z_halo = steps + 1
+            f"fused clean error / residual emission needs ≤7 sweeps per "
+            f"pass, got {k_eff}")
+        # the extra in-VMEM sweep needs one ring past the EFFECTIVE
+        # neighbor-reading sweeps (from_zero's closed-form first sweep has
+        # no neighbor dependence)
+        z_halo = k_eff + 1
     assert ext_z == 0 or z_halo <= ext_z, (steps, err_mode, ext_z)
     out_z = nz - 2 * ext_z
     assert out_z >= 1, (nz, ext_z)
@@ -459,40 +548,70 @@ def _fused_jacobi3_shard_call(zoff, u, f, n: int, h: float, steps: int,
                      zs=zs, rs=rs, oz=oz, orow=orow,
                      num_zb=num_zb, num_rb=num_rb, h2=h * h, omega=omega,
                      from_zero=from_zero, err_mode=err_mode,
-                     per_sweep=per_sweep)
+                     per_sweep=per_sweep, emit_residual=emit_residual,
+                     negate=negate)
 
     err_cols = steps if per_sweep else 1
-    out_shape = jax.ShapeDtypeStruct((out_z, rp, cp), u.dtype)
-    out_spec = pl.BlockSpec(memory_space=pl.ANY)
+    out_shape = [jax.ShapeDtypeStruct((out_z, rp, cp), u.dtype)]
+    out_spec = [pl.BlockSpec(memory_space=pl.ANY)]
+    if emit_residual:
+        out_shape.append(jax.ShapeDtypeStruct((out_z, rp, cp), u.dtype))
+        out_spec.append(pl.BlockSpec(memory_space=pl.ANY))
     if err_mode is not None:
-        out_shape = (out_shape,
-                     jax.ShapeDtypeStruct((1, err_cols), jnp.float32))
-        out_spec = (out_spec, pl.BlockSpec(memory_space=pltpu.SMEM))
+        out_shape.append(jax.ShapeDtypeStruct((1, err_cols), jnp.float32))
+        out_spec.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+    single = len(out_shape) == 1
+
+    scratch = [
+        pltpu.VMEM((2, zs, rs, cp), u.dtype),     # u slots
+        pltpu.VMEM((2, zs, rs, cp), u.dtype),     # f slots -> C
+        pltpu.VMEM((zs, rs, cp), u.dtype),        # ping-pong work
+        pltpu.VMEM((zs, rs, cp), u.dtype),        # A coefficient brick
+        pltpu.SemaphoreType.DMA((2, 2)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if emit_residual:
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))   # r DMA sems
 
     result = pl.pallas_call(
         kernel,
-        out_shape=out_shape,
+        out_shape=out_shape[0] if single else tuple(out_shape),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=out_spec,
-        scratch_shapes=[
-            pltpu.VMEM((2, zs, rs, cp), u.dtype),     # u slots
-            pltpu.VMEM((2, zs, rs, cp), u.dtype),     # f slots -> C
-            pltpu.VMEM((zs, rs, cp), u.dtype),        # ping-pong work
-            pltpu.VMEM((zs, rs, cp), u.dtype),        # A coefficient brick
-            pltpu.SemaphoreType.DMA((2, 2)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        out_specs=out_spec[0] if single else tuple(out_spec),
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_vmem_limit(6 * zs * rs * cp * itemsize)),
         interpret=interpret,
     )(zoff, u, f)
     if per_sweep:
         return result[0], result[1][0, :]
+    if emit_residual and err_mode is not None:
+        return result[0], result[1], result[2][0, 0]
+    if emit_residual:
+        return result[0], result[1]
     if err_mode is not None:
         return result[0], result[1][0, 0]
     return result
+
+
+def fused_jacobi3_residual_padded(u, f, n: int, h: float, steps: int,
+                                  omega: float = 6.0 / 7.0,
+                                  from_zero: bool = False,
+                                  negate: bool = False,
+                                  interpret: bool = False, err_mode=None):
+    """``steps`` fused sweeps AND the residual volume of the final iterate
+    in ONE HBM pass: r = Δ·6/(ωh²) from the extra in-VMEM sweep (exactly 0
+    on Dirichlet/padding cells), optionally negated — "descend minus the
+    restriction", for non-2:1 transfers and the z-sharded cycle where the
+    separate residual pass would re-read u and f. Returns (u, r) or, with
+    ``err_mode="clean"``, (u, r, raw_err). Needs effective sweeps ≤ 7."""
+    assert u.shape == padded_shape3(n), (u.shape, padded_shape3(n))
+    return _fused_jacobi3_shard_call(
+        jnp.zeros((1,), jnp.int32), u, f, n, h, steps, omega, ext_z=0,
+        from_zero=from_zero, interpret=interpret, err_mode=err_mode,
+        emit_residual=True, negate=negate)
 
 
 def errs3_sweep_cap(compat) -> int:

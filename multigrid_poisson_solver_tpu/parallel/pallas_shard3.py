@@ -155,6 +155,52 @@ def sharded_fused_jacobi3(u, f, n: int, h: float, steps: int,
                      out_specs=spec, check_vma=False)(u, f)
 
 
+@partial(jax.jit, static_argnames=("n", "h", "steps", "omega", "mesh",
+                                   "axis_name", "from_zero", "negate",
+                                   "interpret"))
+def sharded_smooth_residual3(u, f, n: int, h: float, steps: int,
+                             omega: float, mesh: Mesh,
+                             axis_name: str = Z_AXIS,
+                             from_zero: bool = False, negate: bool = False,
+                             interpret: bool = False):
+    """``steps`` fused sweeps AND the final iterate's residual volume in ONE
+    per-shard kernel pass (ops.pallas3d emit_residual) — the z-sharded
+    descend's smoother+residual without the separate pass's u/f re-read.
+    Falls back to the two-kernel pair when the fused form's ≤7-sweep ring
+    or the shard depth can't host the halo."""
+    _check_shape(u, n, mesh, axis_name)
+    ndev = mesh.shape[axis_name]
+    nl = u.shape[0] // ndev
+    k_eff = steps - 1 if from_zero else steps
+    if not (1 <= steps and k_eff <= 7 and k_eff + 1 <= nl):
+        out = sharded_fused_jacobi3(u, f, n, h, steps, omega, mesh,
+                                    axis_name, from_zero=from_zero,
+                                    interpret=interpret)
+        return out, sharded_residual3_pallas(out, f, n, h, mesh, axis_name,
+                                             negate=negate,
+                                             interpret=interpret)
+
+    ext = k_eff + 1          # the residual's extra in-VMEM sweep ring
+
+    def body(u_loc, f_loc):
+        nz_loc = u_loc.shape[0]
+        zi = lax.axis_index(axis_name)
+        zoff = (zi * nz_loc - ext).astype(jnp.int32).reshape(1)
+        f_e = _extend_planes(f_loc, axis_name, ext)
+        if from_zero:
+            u_e = jnp.zeros_like(f_e)
+        else:
+            u_e = _extend_planes(u_loc, axis_name, ext)
+        return _fused_jacobi3_shard_call(
+            zoff, u_e, f_e, n, h, steps, omega, ext_z=ext,
+            from_zero=from_zero, interpret=interpret,
+            emit_residual=True, negate=negate)
+
+    spec = P(axis_name, None, None)
+    return shard_map(body, mesh=mesh, in_specs=(spec, spec),
+                     out_specs=(spec, spec), check_vma=False)(u, f)
+
+
 @partial(jax.jit, static_argnames=("n", "h", "mesh", "axis_name", "negate",
                                    "interpret"))
 def sharded_residual3_pallas(u, f, n: int, h: float, mesh: Mesh,
@@ -242,11 +288,10 @@ def v_cycle3_sharded(u, f, n: int, h: float, mesh: Mesh,
                                          from_zero=from_zero,
                                          interpret=interpret)
         m = sizes[depth + 1]
-        up = sharded_fused_jacobi3(up, fp, nn, hh, pre, omega, mesh,
-                                   axis_name, from_zero=from_zero,
-                                   interpret=interpret)
-        rneg = sharded_residual3_pallas(up, fp, nn, hh, mesh, axis_name,
-                                        negate=True, interpret=interpret)
+        up, rneg = sharded_smooth_residual3(up, fp, nn, hh, pre, omega,
+                                            mesh, axis_name,
+                                            from_zero=from_zero, negate=True,
+                                            interpret=interpret)
         child_sharded = is_sharded(m)
         zp_out = padded_depth3(m, ndev) if child_sharded else m
         fc = wsc(pd3.restrict3_p(rneg, nn, m, zp_out=zp_out),
@@ -263,4 +308,5 @@ def v_cycle3_sharded(u, f, n: int, h: float, mesh: Mesh,
 
 __all__ = ["make_mesh_z", "z_sharding", "padded_depth3", "sharded_shape3",
            "pad_planes3", "sharded_fused_jacobi3",
-           "sharded_residual3_pallas", "v_cycle3_sharded", "Z_AXIS"]
+           "sharded_residual3_pallas", "sharded_smooth_residual3",
+           "v_cycle3_sharded", "Z_AXIS"]

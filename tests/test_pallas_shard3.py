@@ -170,3 +170,24 @@ def test_v_cycle3_sharded_unsharded_top(mesh):
     # (see test_v_cycle3_sharded_matches_single_device's tolerance note)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=0,
                                atol=1e-4 * float(jnp.abs(want).max()))
+
+
+def test_sharded_smooth_residual3_matches_pair(mesh):
+    """The fused per-shard smooth+residual equals the two-kernel pair on
+    owned planes (u bit-exact; r to the Δ-identity's fp32 reassociation)."""
+    n, steps = 33, 3
+    h = 1.0 / (n - 1)
+    up, fp = _volumes(n)
+    us, fs = _to_sharded(up, mesh), _to_sharded(fp, mesh)
+    with mesh:
+        want_u = ps3.sharded_fused_jacobi3(us, fs, n, h, steps, 6.0 / 7.0,
+                                           mesh, interpret=True)
+        want_r = ps3.sharded_residual3_pallas(want_u, fs, n, h, mesh,
+                                              negate=True, interpret=True)
+        got_u, got_r = ps3.sharded_smooth_residual3(
+            us, fs, n, h, steps, 6.0 / 7.0, mesh, negate=True,
+            interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_u), np.asarray(want_u))
+    scale = float(jnp.abs(want_r).max())
+    np.testing.assert_allclose(np.asarray(got_r), np.asarray(want_r),
+                               rtol=0, atol=3e-7 * scale)
