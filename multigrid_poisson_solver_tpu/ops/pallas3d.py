@@ -359,16 +359,18 @@ def _fused_jacobi3_kernel(offs_smem, u_hbm, f_hbm, *rest,
                      & (g >= 1) & (g <= n - 2)
                      & (cols >= 1) & (cols <= n - 2))
 
+            def own_mask(t):
+                gz = zoff + z0 + t
+                o = z0 + t - _i32(ext_z)
+                return (own_r & (gz >= 1) & (gz <= n - 2)
+                        & (o >= _i32(i) * _i32(oz))
+                        & (o < jnp.minimum((_i32(i) + 1) * _i32(oz),
+                                           _i32(out_z))))
+
             def own_sum(val_fn):
                 def plane_(t, a2):
-                    gz = zoff + z0 + t
-                    o = z0 + t - _i32(ext_z)
-                    own = (own_r & (gz >= 1) & (gz <= n - 2)
-                           & (o >= _i32(i) * _i32(oz))
-                           & (o < jnp.minimum((_i32(i) + 1) * _i32(oz),
-                                              _i32(out_z))))
                     val = val_fn(t).astype(jnp.float32)
-                    return a2 + jnp.sum(jnp.where(own, val,
+                    return a2 + jnp.sum(jnp.where(own_mask(t), val,
                                                   jnp.zeros_like(val)))
 
                 return jax.lax.fori_loop(_i32(1), _i32(zs - 1), plane_,
@@ -418,7 +420,11 @@ def _fused_jacobi3_kernel(offs_smem, u_hbm, f_hbm, *rest,
                     return c
                 jax.lax.fori_loop(_i32(0), _i32(zs), copy_back_r, _i32(0),
                                   unroll=False)
-            # final iterate is now in u_slots; the extra in-VMEM sweep
+            # u is final in u_slots: start its write-back NOW so the DMA
+            # overlaps the extra residual sweep below (r_plane never writes
+            # u_slots; the descend kernel does the same)
+            out_copy(idx, slot).start()
+            # the extra in-VMEM sweep
             # writes the (optionally negated) residual volume into work —
             # r = Δ·6/(ωh²), exactly 0 on frozen cells — accumulating the
             # clean error partial in the same pass when requested
@@ -436,20 +442,14 @@ def _fused_jacobi3_kernel(offs_smem, u_hbm, f_hbm, *rest,
                 work[t] = scale_r * d
                 if err_mode is None:
                     return a2
-                gz = zoff + z0 + t
-                o = z0 + t - _i32(ext_z)
-                own = (own_r & (gz >= 1) & (gz <= n - 2)
-                       & (o >= _i32(i) * _i32(oz))
-                       & (o < jnp.minimum((_i32(i) + 1) * _i32(oz),
-                                          _i32(out_z))))
                 val = jnp.abs(d).astype(jnp.float32)
-                return a2 + jnp.sum(jnp.where(own, val, jnp.zeros_like(val)))
+                return a2 + jnp.sum(jnp.where(own_mask(t), val,
+                                              jnp.zeros_like(val)))
 
             p = jax.lax.fori_loop(_i32(1), _i32(zs - 1), r_plane,
                                   jnp.zeros((), jnp.float32), unroll=False)
             part = (carry + p * s_clean) if err_mode is not None else carry
             r_copy(idx).start()
-            out_copy(idx, slot).start()
             return part
 
         else:
@@ -778,10 +778,21 @@ def _fused_descend3_kernel(u_hbm, f_hbm, out_hbm, dw_hbm, err_smem,
             gate = (gz >= 1) & (gz <= n - 2) & (t > 0) & (t < zs - 1)
             ap = jnp.where(gate, a_plane, jnp.zeros_like(a_plane))
             a_buf[t] = ap
-            cpl = ap * (h2c * fc_slots[slot, t])
-            fc_slots[slot, t] = cpl
+            raw_f = fc_slots[slot, t]
+            fc_slots[slot, t] = ap * (h2c * raw_f)
             if from_zero:
-                u_slots[slot, t] = -cpl
+                # closed-form u₁ on the GLOBAL interior, including brick
+                # cut planes/rows (neighbor-free, exact there too): freezing
+                # cuts at u₀ = 0 is one ring staler, and the extra residual
+                # sweep then reads a stale ring — restricted coarse RHS off
+                # by ~1e-2 rel at multi-z-brick geometries (regression
+                # test_fused_descend3_from_zero_multi_brick)
+                okg = ((g >= 1) & (g <= n - 2)
+                       & (cols >= 1) & (cols <= n - 2)
+                       & (gz >= 1) & (gz <= n - 2))
+                u_slots[slot, t] = jnp.where(
+                    okg, -(w * (h2c * raw_f)),
+                    jnp.zeros((rs, cp), u_hbm.dtype))
             return c
 
         jax.lax.fori_loop(_i32(0), _i32(zs), build_plane, _i32(0),

@@ -288,3 +288,74 @@ def test_fused_err_multi_brick_ownership(monkeypatch, mode):
                                          interpret=True, err_mode=mode)
         assert float(errs[s]) == pytest.approx(float(rw) / n ** 3,
                                                rel=5e-5), s
+
+
+@pytest.mark.parametrize("mode", ["full_weighting", "sampling"])
+def test_fused_descend3_from_zero_multi_brick(monkeypatch, mode):
+    """Regression: the from_zero closed-form sweep must write u₁ at brick
+    CUT planes/rows too (it is neighbor-free, exact there); freezing cuts
+    at u₀ = 0 is one ring staler and put the restricted coarse RHS off by
+    ~1e-2 rel at multi-z-brick geometries (single-brick CI never saw it)."""
+    monkeypatch.setattr(p3k, "_VMEM_BUDGET_3D_LEGS_BYTES", 1_600_000)
+    n, h = 33, 1.0 / 32
+    m = (n + 1) // 2
+    nz, rp, cp = p3k.padded_shape3(n)
+    zs, _, _, _ = p3k._brick_geometry(nz, rp, cp, 4, z_halo=4,
+                                      num_bufs=6.6, orow_mult=16,
+                                      oz_even=True,
+                                      budget=p3k._VMEM_BUDGET_3D_LEGS_BYTES)
+    assert zs < nz, "budget did not force multiple z bricks"
+
+    _, f = _mk(n, seed=33)
+    uo, dw, err = p3k.fused_descend3_padded(
+        jnp.zeros(p3k.padded_shape3(n), f.dtype), p3k.pad_grid3(f), n, h, 3,
+        omega=OMEGA3, from_zero=True, restriction=mode, interpret=True)
+    fc = pd3.restrict3_lanes_p(dw, n, m)
+    want_u, want_fc, want_err = _descend_oracle(
+        jnp.zeros((n,) * 3, f.dtype), f, h, 3, mode, from_zero=True)
+    assert float(jnp.abs(p3k.unpad_grid3(uo, n) - want_u).max()) < 1e-5
+    scale = float(jnp.abs(want_fc).max()) + 1e-30
+    assert float(jnp.abs(fc - want_fc).max()) < 2e-6 * scale
+    assert abs(float(err[0, 0]) - float(want_err)) < 1e-5 * float(want_err)
+
+
+@pytest.mark.parametrize("err_mode", [None, "clean"])
+def test_fused_jacobi3_residual_multi_brick(monkeypatch, err_mode):
+    """Single-device multi-brick coverage for fused_jacobi3_residual_padded
+    (the sharded tests only exercise ext_z > 0, err_mode=None)."""
+    monkeypatch.setattr(p3k, "_VMEM_BUDGET_3D_BYTES", 1536 * 1024)
+    n, steps = 65, 3
+    h = 1.0 / (n - 1)
+    u, f = _mk(n, seed=40)
+    up, fp = p3k.pad_grid3(u), p3k.pad_grid3(f)
+    want_u = p3k.fused_jacobi3_padded(up, fp, n, h, steps, omega=OMEGA3,
+                                      interpret=True)
+    want_r = p3k.residual3_pallas(want_u, fp, n, h, negate=True,
+                                  interpret=True)
+    out = p3k.fused_jacobi3_residual_padded(up, fp, n, h, steps,
+                                            omega=OMEGA3, negate=True,
+                                            interpret=True,
+                                            err_mode=err_mode)
+    got_u, got_r = out[0], out[1]
+    np.testing.assert_array_equal(np.asarray(got_u), np.asarray(want_u))
+    scale = float(jnp.abs(want_r).max())
+    np.testing.assert_allclose(np.asarray(got_r), np.asarray(want_r),
+                               rtol=0, atol=5e-7 * scale)
+    if err_mode == "clean":
+        from multigrid_poisson_solver_tpu.models.poisson3d import (
+            smoothing_error3)
+        want_e = float(smoothing_error3(p3k.unpad_grid3(want_u, n), f, h))
+        assert float(out[2]) / n ** 3 == pytest.approx(want_e, rel=5e-5)
+
+    # from_zero variant through the same multi-brick geometry
+    z = jnp.zeros_like(up)
+    wz_u = p3k.fused_jacobi3_padded(z, fp, n, h, steps, from_zero=True,
+                                    omega=OMEGA3, interpret=True)
+    wz_r = p3k.residual3_pallas(wz_u, fp, n, h, negate=True, interpret=True)
+    gz = p3k.fused_jacobi3_residual_padded(z, fp, n, h, steps, omega=OMEGA3,
+                                           from_zero=True, negate=True,
+                                           interpret=True)
+    np.testing.assert_array_equal(np.asarray(gz[0]), np.asarray(wz_u))
+    scale = float(jnp.abs(wz_r).max())
+    np.testing.assert_allclose(np.asarray(gz[1]), np.asarray(wz_r),
+                               rtol=0, atol=5e-7 * scale)
