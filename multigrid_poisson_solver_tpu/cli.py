@@ -50,6 +50,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Jacobi damping factor (reference: 1.0; 0.8 converges deeper)")
     p.add_argument("--repeat", type=int, default=1,
                    help="run the schedule this many times (warm restart chaining)")
+    p.add_argument("--trigger-batch", type=int, default=1,
+                   help="trigger sweeps fused per HBM pass (>1 overshoots "
+                        "the stop point by up to batch-1 sweeps; see "
+                        "SolverConfig.trigger_batch)")
+    p.add_argument("--kernels", default="auto",
+                   choices=["auto", "pallas", "xla"],
+                   help="hot-path kernel routing: Pallas fused kernels "
+                        "(auto = on TPU), or plain-XLA stencils")
     p.add_argument("--trigger", type=float, default=0.01,
                    help="error-trigger slope threshold (reference hardcodes 0.01)")
     p.add_argument("--error-metric", default="cpu",
@@ -268,6 +276,8 @@ def main(argv=None) -> int:
         trigger=args.trigger,
         compat_error={"cpu": True, "clean": False,
                       "gpu": "gpu"}[args.error_metric],
+        kernels=args.kernels,
+        trigger_batch=args.trigger_batch,
         collect_node_stats=args.stats or not args.quiet,
     )
     if args.dim == 3:
