@@ -147,7 +147,9 @@ def restrict3_lanes_p(dwide, n: int, m: int):
     (m, rp_m, cp_m). One 1-tap take on a quarter volume — the only lane
     work Mosaic can't do in-kernel (no lane de-interleave)."""
     mz, rph, cpf = dwide.shape
-    assert mz == m and n == 2 * m - 1, (dwide.shape, n, m)
+    # mz > m: z-sharded dwide with frozen zero padding planes (the kernel's
+    # coarse gates already zeroed planes >= m) — depth passes through
+    assert mz >= m and n == 2 * m - 1, (dwide.shape, n, m)
     rp_m, cp_m = pad_rows_to(m), pad_cols_to(m)
     idx_c = jnp.clip(2 * jnp.arange(cp_m), 0, cpf - 1)
     out = jnp.take(dwide.reshape(mz * rph, cpf), idx_c,

@@ -660,11 +660,13 @@ MAX_DESCEND3_SWEEPS_FW = 6
 MAX_DESCEND3_SWEEPS_SAMPLING = 7
 
 
-def _fused_descend3_kernel(u_hbm, f_hbm, out_hbm, dw_hbm, err_smem,
+def _fused_descend3_kernel(offs_smem, u_hbm, f_hbm, out_hbm, dw_hbm,
+                           err_smem,
                            u_slots, fc_slots, work, a_buf, dec_scr, dec_out,
                            load_sems, out_sems, dw_sems, *,
                            n: int, nz: int, rp: int, cp: int, steps: int,
-                           z_halo: int, zs: int, rs: int, oz: int, orow: int,
+                           z_halo: int, ext_z: int, out_z: int,
+                           zs: int, rs: int, oz: int, orow: int,
                            num_zb: int, num_rb: int, ozc: int,
                            h2: float, omega: float, from_zero: bool,
                            fw: bool):
@@ -686,11 +688,20 @@ def _fused_descend3_kernel(u_hbm, f_hbm, out_hbm, dw_hbm, err_smem,
     even global row (coarse windows ×8 for the dwide DMA); oz is even, and
     the one clipped (odd-start) final z window is absorbed by the coarse
     window rule zc0 = (wz+1)//2 — coarse windows then tile [0, m) exactly,
-    with one plane of benign duplicate-value overlap."""
+    with one plane of benign duplicate-value overlap.
+
+    Sharded (parallel.pallas_shard3): like _fused_jacobi3_kernel, the input
+    is a z-shard extended by ext_z halo planes (offs_smem[0] = GLOBAL z of
+    plane 0); the shard's plane count out_z and the shard's GLOBAL start
+    Z = offs_smem[0] + ext_z must both be EVEN, so every local coarse-window
+    formula keeps global parity unchanged and dw_hbm is the shard's local
+    (out_z//2, rp//2, cp) block."""
     num_iter = num_zb * num_rb
     m = (n + 1) // 2
     orc = orow // 2
     w = jnp.asarray(omega / 6.0, u_hbm.dtype)
+    zoff = offs_smem[0]
+    zc_off = (zoff + _i32(ext_z)) // _i32(2)   # global coarse of dw plane 0
 
     def zi(idx):
         if num_rb == 1:
@@ -698,11 +709,11 @@ def _fused_descend3_kernel(u_hbm, f_hbm, out_hbm, dw_hbm, err_smem,
         return _i32(idx) // _i32(num_rb), jax.lax.rem(_i32(idx), _i32(num_rb))
 
     def load_z(i):
-        return jnp.clip(_i32(i) * _i32(oz) - _i32(z_halo), _i32(0),
+        return jnp.clip(_i32(i) * _i32(oz) + _i32(ext_z - z_halo), _i32(0),
                         _i32(nz - zs))
 
     def write_z(i):
-        return jnp.clip(_i32(i) * _i32(oz), _i32(0), _i32(nz - oz))
+        return jnp.clip(_i32(i) * _i32(oz), _i32(0), _i32(out_z - oz))
 
     def load_r(j):
         return _mul8(jnp.clip(_i32(j) * _i32(orow) - _i32(8), _i32(0),
@@ -727,7 +738,7 @@ def _fused_descend3_kernel(u_hbm, f_hbm, out_hbm, dw_hbm, err_smem,
     def out_copy(idx, slot):
         i, j = zi(idx)
         wz, wr = write_z(i), write_r(j)
-        zlo = wz - load_z(i)
+        zlo = wz + _i32(ext_z) - load_z(i)
         rlo = _mul8(wr - load_r(j))
         return pltpu.make_async_copy(
             u_slots.at[slot, pl.ds(zlo, oz), pl.ds(rlo, orow), :],
@@ -774,7 +785,7 @@ def _fused_descend3_kernel(u_hbm, f_hbm, out_hbm, dw_hbm, err_smem,
         h2c = jnp.asarray(h2, u_hbm.dtype)
 
         def build_plane(t, c):
-            gz = z0 + t
+            gz = zoff + z0 + t
             gate = (gz >= 1) & (gz <= n - 2) & (t > 0) & (t < zs - 1)
             ap = jnp.where(gate, a_plane, jnp.zeros_like(a_plane))
             a_buf[t] = ap
@@ -854,9 +865,12 @@ def _fused_descend3_kernel(u_hbm, f_hbm, out_hbm, dw_hbm, err_smem,
                   + u_slots[slot, t + 1] - 6.0 * u)
             d = a_buf[t] * nb - fc_slots[slot, t]
             work[t] = scale * d
-            gz = z0 + t
-            own = (own_r & (gz >= _i32(i) * _i32(oz))
-                   & (gz < jnp.minimum((_i32(i) + 1) * _i32(oz), _i32(nz))))
+            gz = zoff + z0 + t
+            o = z0 + t - _i32(ext_z)
+            own = (own_r & (gz >= 1) & (gz <= n - 2)
+                   & (o >= _i32(i) * _i32(oz))
+                   & (o < jnp.minimum((_i32(i) + 1) * _i32(oz),
+                                      _i32(out_z))))
             av = jnp.abs(d).astype(jnp.float32)
             return a2 + jnp.sum(jnp.where(own, av, jnp.zeros_like(av)))
 
@@ -876,7 +890,7 @@ def _fused_descend3_kernel(u_hbm, f_hbm, out_hbm, dw_hbm, err_smem,
 
         def cplane(tc, c):
             zc = zc0 + tc
-            lz = jnp.clip(2 * zc - z0, _i32(0), _i32(zs - 1))
+            lz = jnp.clip(2 * zc + _i32(ext_z) - z0, _i32(0), _i32(zs - 1))
             if fw:
                 lo = jnp.clip(lz - 1, _i32(0), _i32(zs - 1))
                 hi = jnp.clip(lz + 1, _i32(0), _i32(zs - 1))
@@ -890,7 +904,8 @@ def _fused_descend3_kernel(u_hbm, f_hbm, out_hbm, dw_hbm, err_smem,
             dec_scr[:] = p
             win = dec_scr[pl.ds(wlo, orow), :]
             dec = win.reshape(orc, 2, cp)[:, 0, :]
-            keep = keep_rc & (zc >= 1) & (zc <= m - 2)
+            gzc = zc_off + zc
+            keep = keep_rc & (gzc >= 1) & (gzc <= m - 2)
             dec_out[slot, tc] = jnp.where(keep, dec, jnp.zeros_like(dec))
             return c
 
@@ -910,22 +925,16 @@ def _fused_descend3_kernel(u_hbm, f_hbm, out_hbm, dw_hbm, err_smem,
     dw_copy(_i32(last), _i32(last % 2)).wait()
 
 
-def fused_descend3_padded(u, f, n: int, h: float, steps: int,
-                          omega: float = 6.0 / 7.0, from_zero: bool = False,
-                          restriction: str = "full_weighting",
-                          interpret: bool = False):
-    """The 3-D descend leg — ``steps`` fused Jacobi sweeps, the residual of
-    the final iterate, z/row(/lane-smooth) restriction and the clean-metric
-    error partial — in ONE brick-streamed HBM pass.
-
-    Returns ``(u_out, dwide, err_raw)``: the smoothed padded iterate, the
-    NEGATED restriction-combined residual at coarse z × coarse rows (rp//2)
-    × FINE lanes, and the raw Σ|r| partial (callers divide by n³ for the
-    clean metric). Finish with ops.padded3.restrict3_lanes_p (even-lane
-    take + coarse repad) — a quarter-volume XLA pass. Requires the 2:1
-    odd-halve alignment n = 2m − 1."""
+def _fused_descend3_shard_call(zoff, u, f, n: int, h: float, steps: int,
+                               omega: float, ext_z: int, from_zero: bool,
+                               restriction: str, interpret: bool):
+    """Descend leg on a (possibly z-halo-extended) volume. ``zoff`` =
+    int32 (1,) GLOBAL z of plane 0; both out_z = nz − 2·ext_z and the
+    global start zoff + ext_z must be EVEN under sharding (the local
+    coarse-window parity argument; single-device callers pass 0/0 and an
+    odd full depth, whose clipped last window the zc0 rule absorbs).
+    Returns (u_out, dwide_local (out_z//2 or m planes), err (1,1))."""
     nz, rp, cp = u.shape
-    assert (nz, rp, cp) == padded_shape3(n), (u.shape, padded_shape3(n))
     assert f.shape == u.shape and f.dtype == u.dtype
     assert n % 2 == 1, "descend leg needs the odd-halve 2:1 alignment"
     fw = restriction == "full_weighting"
@@ -936,7 +945,11 @@ def fused_descend3_padded(u, f, n: int, h: float, steps: int,
     assert 0 <= k_nb <= cap and steps >= 1, (steps, from_zero, cap)
 
     m = (n + 1) // 2
+    out_z = nz - 2 * ext_z
     z_halo = k_nb + (2 if fw else 1)
+    assert ext_z == 0 or (z_halo <= ext_z and out_z % 2 == 0), (
+        steps, ext_z, out_z)
+    mz = m if ext_z == 0 else out_z // 2
     itemsize = jnp.dtype(u.dtype).itemsize
     # resident: 2 u + 2 f + work + A bricks + dec_scr plane + 2 quarter
     # dec_out bricks ≈ 6.6 bricks
@@ -944,23 +957,30 @@ def fused_descend3_padded(u, f, n: int, h: float, steps: int,
                                        num_bufs=6.6, orow_mult=16,
                                        oz_even=True,
                                        budget=_VMEM_BUDGET_3D_LEGS_BYTES)
-    num_zb = math.ceil(nz / oz) if zs < nz else 1
+    if zs < nz:
+        oz = min(oz, out_z - (out_z % 2))
+    else:
+        oz = out_z
+    num_zb = math.ceil(out_z / oz) if zs < nz else 1
     num_rb = math.ceil(rp / orow) if rs < rp else 1
-    ozc = m if zs >= nz else oz // 2
+    ozc = mz if zs >= nz else oz // 2
     orc = orow // 2
 
     kernel = partial(_fused_descend3_kernel, n=n, nz=nz, rp=rp, cp=cp,
-                     steps=steps, z_halo=z_halo, zs=zs, rs=rs, oz=oz,
+                     steps=steps, z_halo=z_halo, ext_z=ext_z, out_z=out_z,
+                     zs=zs, rs=rs, oz=oz,
                      orow=orow, num_zb=num_zb, num_rb=num_rb, ozc=ozc,
                      h2=h * h, omega=omega, from_zero=from_zero, fw=fw)
 
     scratch_bytes = (6 * zs * rs + rs + 2 * ozc * orc) * cp * itemsize
     return pl.pallas_call(
         kernel,
-        out_shape=(jax.ShapeDtypeStruct((nz, rp, cp), u.dtype),
-                   jax.ShapeDtypeStruct((m, rp // 2, cp), u.dtype),
+        out_shape=(jax.ShapeDtypeStruct((out_z, rp, cp), u.dtype),
+                   jax.ShapeDtypeStruct((mz, rp // 2, cp), u.dtype),
                    jax.ShapeDtypeStruct((1, 1), jnp.float32)),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(pl.BlockSpec(memory_space=pl.ANY),
                    pl.BlockSpec(memory_space=pl.ANY),
                    pl.BlockSpec(memory_space=pltpu.SMEM)),
@@ -978,7 +998,27 @@ def fused_descend3_padded(u, f, n: int, h: float, steps: int,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_vmem_limit(scratch_bytes)),
         interpret=interpret,
-    )(u, f)
+    )(zoff, u, f)
+
+
+def fused_descend3_padded(u, f, n: int, h: float, steps: int,
+                          omega: float = 6.0 / 7.0, from_zero: bool = False,
+                          restriction: str = "full_weighting",
+                          interpret: bool = False):
+    """The 3-D descend leg — ``steps`` fused Jacobi sweeps, the residual of
+    the final iterate, z/row(/lane-smooth) restriction and the clean-metric
+    error partial — in ONE brick-streamed HBM pass.
+
+    Returns ``(u_out, dwide, err_raw)``: the smoothed padded iterate, the
+    NEGATED restriction-combined residual at coarse z × coarse rows (rp//2)
+    × FINE lanes, and the raw Σ|r| partial (callers divide by n³ for the
+    clean metric). Finish with ops.padded3.restrict3_lanes_p (even-lane
+    take + coarse repad) — a quarter-volume XLA pass. Requires the 2:1
+    odd-halve alignment n = 2m − 1."""
+    assert u.shape == padded_shape3(n), (u.shape, padded_shape3(n))
+    return _fused_descend3_shard_call(
+        jnp.zeros((1,), jnp.int32), u, f, n, h, steps, omega, ext_z=0,
+        from_zero=from_zero, restriction=restriction, interpret=interpret)
 
 
 def _fused_ascend3_kernel(u_hbm, f_hbm, cw_hbm, *rest,

@@ -40,7 +40,10 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.pallas3d import (
+    MAX_DESCEND3_SWEEPS_FW,
+    MAX_DESCEND3_SWEEPS_SAMPLING,
     MAX_FUSED_SWEEPS_3D,
+    _fused_descend3_shard_call,
     _fused_jacobi3_shard_call,
     _residual3_shard_call,
     padded_shape3,
@@ -101,10 +104,13 @@ def _extend_planes(x, axis: str, k: int):
 
 def _check_shape(u, n: int, mesh: Mesh, axis_name: str):
     ndev = mesh.shape[axis_name]
-    assert u.shape == sharded_shape3(n, ndev), (
-        f"global volume {u.shape} is not the z-sharded padded layout "
-        f"{sharded_shape3(n, ndev)} for n={n} on {ndev} devices; build "
-        f"arrays with pad_planes3(pad_grid3(a), ndev)")
+    _, rp, cp = padded_shape3(n)
+    assert (u.shape[1:] == (rp, cp) and u.shape[0] % ndev == 0
+            and u.shape[0] >= n), (
+        f"global volume {u.shape} is not a z-sharded padded layout for "
+        f"n={n} on {ndev} devices (rows/lanes {rp}x{cp}, depth a multiple "
+        f"of {ndev} and >= {n}; extra planes are frozen zero padding); "
+        f"build arrays with pad_planes3(pad_grid3(a), ndev)")
 
 
 @partial(jax.jit, static_argnames=("n", "h", "steps", "omega", "mesh",
@@ -224,6 +230,53 @@ def sharded_residual3_pallas(u, f, n: int, h: float, mesh: Mesh,
                      out_specs=spec, check_vma=False)(u, f)
 
 
+@partial(jax.jit, static_argnames=("n", "h", "steps", "omega", "mesh",
+                                   "axis_name", "from_zero", "restriction",
+                                   "interpret"))
+def sharded_fused_descend3(u, f, n: int, h: float, steps: int, omega: float,
+                           mesh: Mesh, axis_name: str = Z_AXIS,
+                           from_zero: bool = False,
+                           restriction: str = "full_weighting",
+                           interpret: bool = False):
+    """The WHOLE descend leg per shard: sweeps + residual + z/row
+    restriction (+ err partial) in one kernel pass per z-shard.
+
+    Requires an EVEN plane count per device (then every shard's global
+    start is even and the kernel's local coarse-window arithmetic is
+    parity-preserved — see the kernel docstring). Returns
+    (u_new z-sharded, dwide z-sharded at HALF depth, err psum-replicated);
+    finish with ops.padded3.restrict3_lanes_p (mz ≥ m aware)."""
+    _check_shape(u, n, mesh, axis_name)
+    ndev = mesh.shape[axis_name]
+    nl = u.shape[0] // ndev
+    fw = restriction == "full_weighting"
+    k_nb = steps - 1 if from_zero else steps
+    z_halo = k_nb + (2 if fw else 1)
+    cap = MAX_DESCEND3_SWEEPS_FW if fw else MAX_DESCEND3_SWEEPS_SAMPLING
+    assert nl % 2 == 0, (
+        f"sharded descend needs an even plane count per device, got {nl}; "
+        f"pad the volume to a multiple of 2x{ndev} planes")
+    assert 1 <= steps and 0 <= k_nb <= cap and z_halo <= nl, (steps, nl)
+
+    def body(u_loc, f_loc):
+        zi = lax.axis_index(axis_name)
+        zoff = (zi * nl - z_halo).astype(jnp.int32).reshape(1)
+        f_e = _extend_planes(f_loc, axis_name, z_halo)
+        if from_zero:
+            u_e = jnp.zeros_like(f_e)
+        else:
+            u_e = _extend_planes(u_loc, axis_name, z_halo)
+        u_new, dw, err = _fused_descend3_shard_call(
+            zoff, u_e, f_e, n, h, steps, omega, ext_z=z_halo,
+            from_zero=from_zero, restriction=restriction,
+            interpret=interpret)
+        return u_new, dw, lax.psum(err[0, 0], axis_name)
+
+    spec = P(axis_name, None, None)
+    return shard_map(body, mesh=mesh, in_specs=(spec, spec),
+                     out_specs=(spec, spec, P()), check_vma=False)(u, f)
+
+
 @partial(jax.jit, static_argnames=("n", "h", "mesh", "axis_name", "n_min",
                                    "pre", "post", "coarse_sweeps", "omega",
                                    "threshold_planes", "interpret"))
@@ -257,6 +310,7 @@ def v_cycle3_sharded(u, f, n: int, h: float, mesh: Mesh,
 
     ndev = mesh.shape[axis_name]
     sizes = _sizes(n, n_min)
+    p3k_caps = (MAX_DESCEND3_SWEEPS_FW,)
     zsh = z_sharding(mesh, axis_name)
     rep = NamedSharding(mesh, jax.sharding.PartitionSpec())
     wsc = jax.lax.with_sharding_constraint
@@ -288,21 +342,39 @@ def v_cycle3_sharded(u, f, n: int, h: float, mesh: Mesh,
                                          from_zero=from_zero,
                                          interpret=interpret)
         m = sizes[depth + 1]
-        up, rneg = sharded_smooth_residual3(up, fp, nn, hh, pre, omega,
-                                            mesh, axis_name,
-                                            from_zero=from_zero, negate=True,
-                                            interpret=interpret)
         child_sharded = is_sharded(m)
-        zp_out = padded_depth3(m, ndev) if child_sharded else m
-        fc = wsc(pd3.restrict3_p(rneg, nn, m, zp_out=zp_out),
-                 zsh if child_sharded else rep)
+        nl = up.shape[0] // ndev
+        k_nb = pre - (1 if from_zero else 0)
+        # FULL per-shard descend leg when the shard depth allows it (even
+        # planes/device + the k_nb+2 halo ring): one kernel + one halo
+        # exchange replaces smoother+residual passes AND the z/row transfer
+        # einsums; only the quarter-volume lane take stays XLA
+        if (nl % 2 == 0 and 1 <= k_nb <= p3k_caps[0]
+                and k_nb + 2 <= nl):
+            up, dw, _ = sharded_fused_descend3(
+                up, fp, nn, hh, pre, omega, mesh, axis_name,
+                from_zero=from_zero, restriction="full_weighting",
+                interpret=interpret)
+            fc = wsc(pd3.restrict3_lanes_p(dw, nn, m),
+                     zsh if child_sharded else rep)
+        else:
+            up, rneg = sharded_smooth_residual3(
+                up, fp, nn, hh, pre, omega, mesh, axis_name,
+                from_zero=from_zero, negate=True, interpret=interpret)
+            zp_out = padded_depth3(m, ndev) if child_sharded else m
+            fc = wsc(pd3.restrict3_p(rneg, nn, m, zp_out=zp_out),
+                     zsh if child_sharded else rep)
         ec = run(jnp.zeros_like(fc), fc, m, 2 * hh, depth + 1, True)
         up = wsc(pd3.prolong3_add_p(up, ec, nn, m), zsh)
         return sharded_fused_jacobi3(up, fp, nn, hh, post, omega, mesh,
                                      axis_name, interpret=interpret)
 
-    up = wsc(pad_planes3(pad_grid3(u), ndev), zsh)
-    fp = wsc(pad_planes3(pad_grid3(f), ndev), zsh)
+    # pad the top depth to a multiple of 2·ndev: EVEN planes/device, the
+    # per-shard descend leg's parity requirement (child levels inherit
+    # half the depth, staying ×ndev; odd-depth children fall back to the
+    # smooth_residual + einsum-transfer path per level)
+    up = wsc(pad_planes3(pad_grid3(u), 2 * ndev), zsh)
+    fp = wsc(pad_planes3(pad_grid3(f), 2 * ndev), zsh)
     return unpad_grid3(run(up, fp, n, h, 0, False), n)
 
 

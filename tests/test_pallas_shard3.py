@@ -191,3 +191,37 @@ def test_sharded_smooth_residual3_matches_pair(mesh):
     scale = float(jnp.abs(want_r).max())
     np.testing.assert_allclose(np.asarray(got_r), np.asarray(want_r),
                                rtol=0, atol=3e-7 * scale)
+
+
+@pytest.mark.parametrize("from_zero", [False, True])
+def test_sharded_fused_descend3_matches_unsharded(mesh, from_zero):
+    """The per-shard descend leg (sweeps + residual + z/row restriction in
+    one kernel) matches the single-device leg: u bit-exact on owned planes,
+    restricted coarse RHS to fp32 tolerance."""
+    from multigrid_poisson_solver_tpu.ops import padded3 as pd3
+
+    n, steps = 65, 3
+    m = (n + 1) // 2
+    h = 1.0 / (n - 1)
+    up, fp = _volumes(n)
+    if from_zero:
+        up = jnp.zeros_like(up)
+    want_u, want_dw, want_err = pk3.fused_descend3_padded(
+        up, fp, n, h, steps, from_zero=from_zero, interpret=True)
+    want_fc = pd3.restrict3_lanes_p(want_dw, n, m)
+
+    # 2*NDEV padding: even planes per device (the leg's parity contract)
+    us = jax.device_put(ps3.pad_planes3(up, 2 * NDEV), ps3.z_sharding(mesh))
+    fs = jax.device_put(ps3.pad_planes3(fp, 2 * NDEV), ps3.z_sharding(mesh))
+    with mesh:
+        got_u, got_dw, got_err = ps3.sharded_fused_descend3(
+            us, fs, n, h, steps, 6.0 / 7.0, mesh, from_zero=from_zero,
+            interpret=True)
+        got_fc = pd3.restrict3_lanes_p(got_dw, n, m)
+    np.testing.assert_array_equal(np.asarray(got_u)[:n], np.asarray(want_u))
+    assert not np.asarray(got_u)[n:].any()
+    scale = float(jnp.abs(want_fc).max()) + 1e-30
+    np.testing.assert_allclose(np.asarray(got_fc)[:m], np.asarray(want_fc),
+                               rtol=0, atol=3e-6 * scale)
+    assert not np.asarray(got_fc)[m:].any()
+    assert float(got_err) == pytest.approx(float(want_err[0, 0]), rel=5e-5)
