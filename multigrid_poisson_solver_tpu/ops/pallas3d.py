@@ -1021,9 +1021,10 @@ def fused_descend3_padded(u, f, n: int, h: float, steps: int,
         from_zero=from_zero, restriction=restriction, interpret=interpret)
 
 
-def _fused_ascend3_kernel(u_hbm, f_hbm, cw_hbm, *rest,
+def _fused_ascend3_kernel(offs_smem, u_hbm, f_hbm, cw_hbm, *rest,
                           n: int, nz: int, rp: int, cp: int, steps: int,
-                          z_halo: int, zs: int, rs: int, oz: int, orow: int,
+                          z_halo: int, ext_z: int, out_z: int,
+                          zs: int, rs: int, oz: int, orow: int,
                           czs: int, crs: int,
                           num_zb: int, num_rb: int,
                           h2: float, omega: float, err_mode=None):
@@ -1042,7 +1043,14 @@ def _fused_ascend3_kernel(u_hbm, f_hbm, cw_hbm, *rest,
 
     Alignment: row halo 16 (not 8) keeps fine LOAD offsets r0 ×16 so the
     coarse row window r0//2 is provably ×8; zs is even so czs = zs//2 + 1
-    covers both z taps of every loaded plane at either z0 parity."""
+    covers both z taps of every loaded plane at either z0 parity.
+
+    Sharded (parallel.pallas_shard3): the fine volume is a z-shard extended
+    by an EVEN ext_z (offs_smem[0] = GLOBAL z of plane 0, even), and
+    ``cw_hbm`` is the matching ext-local coarse array — its plane c holds
+    the coarse value of GLOBAL (offs_smem[0] + 2c)//2, so the kernel's
+    fine-local//2 indexing is unchanged and only the Dirichlet gates go
+    global."""
     if err_mode is None:
         out_hbm, = rest[:1]
         rest = rest[1:]
@@ -1053,6 +1061,7 @@ def _fused_ascend3_kernel(u_hbm, f_hbm, cw_hbm, *rest,
     num_iter = num_zb * num_rb
     w = jnp.asarray(omega / 6.0, u_hbm.dtype)
     half = jnp.asarray(0.5, u_hbm.dtype)
+    zoff = offs_smem[0]
 
     def zi(idx):
         if num_rb == 1:
@@ -1060,11 +1069,11 @@ def _fused_ascend3_kernel(u_hbm, f_hbm, cw_hbm, *rest,
         return _i32(idx) // _i32(num_rb), jax.lax.rem(_i32(idx), _i32(num_rb))
 
     def load_z(i):
-        return jnp.clip(_i32(i) * _i32(oz) - _i32(z_halo), _i32(0),
+        return jnp.clip(_i32(i) * _i32(oz) + _i32(ext_z - z_halo), _i32(0),
                         _i32(nz - zs))
 
     def write_z(i):
-        return jnp.clip(_i32(i) * _i32(oz), _i32(0), _i32(nz - oz))
+        return jnp.clip(_i32(i) * _i32(oz), _i32(0), _i32(out_z - oz))
 
     def load_r(j):
         return _mul8(jnp.clip(_i32(j) * _i32(orow) - _i32(16), _i32(0),
@@ -1092,7 +1101,7 @@ def _fused_ascend3_kernel(u_hbm, f_hbm, cw_hbm, *rest,
     def out_copy(idx, slot):
         i, j = zi(idx)
         wz, wr = write_z(i), write_r(j)
-        zlo = wz - load_z(i)
+        zlo = wz + _i32(ext_z) - load_z(i)
         rlo = _mul8(wr - load_r(j))
         return pltpu.make_async_copy(
             u_slots.at[slot, pl.ds(zlo, oz), pl.ds(rlo, orow), :],
@@ -1131,8 +1140,9 @@ def _fused_ascend3_kernel(u_hbm, f_hbm, cw_hbm, *rest,
         hr = rs // 2
 
         def build_plane(t, c):
-            gz = z0 + t
-            gate = (gz >= 1) & (gz <= n - 2) & (t > 0) & (t < zs - 1)
+            gz = z0 + t               # ext-local: drives the cw indexing
+            gzg = zoff + gz           # global: drives the Dirichlet gates
+            gate = (gzg >= 1) & (gzg <= n - 2) & (t > 0) & (t < zs - 1)
             ap = jnp.where(gate, a_plane, jnp.zeros_like(a_plane))
             a_buf[t] = ap
             fc_slots[slot, t] = ap * (h2c * fc_slots[slot, t])
@@ -1147,7 +1157,7 @@ def _fused_ascend3_kernel(u_hbm, f_hbm, cw_hbm, *rest,
             ev = czp[0:hr, :]
             od = half * (czp[0:hr, :] + czp[1:hr + 1, :])
             e = jnp.stack([ev, od], axis=1).reshape(rs, cp)
-            zgate = (gz >= 1) & (gz <= n - 2)
+            zgate = (gzg >= 1) & (gzg <= n - 2)
             e = jnp.where(ok_rc & zgate, e, jnp.zeros_like(e))
             u_slots[slot, t] = u_slots[slot, t] + e
             return c
@@ -1195,11 +1205,12 @@ def _fused_ascend3_kernel(u_hbm, f_hbm, cw_hbm, *rest,
                      & (cols >= 1) & (cols <= n - 2))
 
             def err_plane(t, a2):
-                gz = z0 + t
+                gz = zoff + z0 + t
+                o = z0 + t - _i32(ext_z)
                 own = (own_r & (gz >= 1) & (gz <= n - 2)
-                       & (gz >= _i32(i) * _i32(oz))
-                       & (gz < jnp.minimum((_i32(i) + 1) * _i32(oz),
-                                           _i32(nz))))
+                       & (o >= _i32(i) * _i32(oz))
+                       & (o < jnp.minimum((_i32(i) + 1) * _i32(oz),
+                                          _i32(out_z))))
                 u = rd_fin(t)
                 nb = (_nb_sum(u, rs, cp) + rd_fin(t - 1) + rd_fin(t + 1)
                       - 6.0 * u)
@@ -1232,9 +1243,9 @@ def _fused_ascend3_kernel(u_hbm, f_hbm, cw_hbm, *rest,
     out_copy(_i32(last), _i32(last % 2)).wait()
 
 
-def fused_ascend3_padded(u, f, cwide, n: int, h: float, steps: int,
-                         omega: float = 6.0 / 7.0, interpret: bool = False,
-                         err_mode=None):
+def _fused_ascend3_shard_call(zoff, u, f, cwide, n: int, h: float,
+                              steps: int, omega: float, ext_z: int,
+                              interpret: bool, err_mode=None):
     """The 3-D ascend leg — trilinear prolongation + correction add +
     ``steps`` post-sweeps — in ONE brick-streamed HBM pass.
 
@@ -1245,19 +1256,29 @@ def fused_ascend3_padded(u, f, cwide, n: int, h: float, steps: int,
 
     ``err_mode="clean"`` also returns the raw Σ|r(u_final)| partial (one
     extra in-VMEM residual sweep, callers divide by n³) — it consumes one
-    halo ring, so steps ≤ 7."""
+    halo ring, so steps ≤ 7.
+
+    Sharded: ``zoff`` = int32 (1,) GLOBAL z of plane 0 (must be even, like
+    ext_z); ``cwide`` is the ext-LOCAL coarse array — plane c ↔ global
+    coarse (zoff + 2c)//2 — with ≥ nz//2 + 1 planes (single-device: zoff 0,
+    ext_z 0, exactly m planes)."""
     nz, rp, cp = u.shape
-    assert (nz, rp, cp) == padded_shape3(n), (u.shape, padded_shape3(n))
     assert f.shape == u.shape and f.dtype == u.dtype
     assert n % 2 == 1, "ascend leg needs the odd-halve 2:1 alignment"
     m = (n + 1) // 2
-    assert cwide.shape == (m, rp // 2 + 8, cp), (cwide.shape, m, rp, cp)
+    out_z = nz - 2 * ext_z
+    assert ext_z % 2 == 0 and (ext_z == 0 or out_z % 2 == 0), (ext_z, out_z)
+    cw_need = nz // 2 + 1
+    assert (cwide.shape[0] >= cw_need
+            and cwide.shape[1:] == (rp // 2 + 8, cp)), (
+        cwide.shape, cw_need, rp, cp)
     assert cwide.dtype == u.dtype
     assert 1 <= steps <= MAX_FUSED_SWEEPS_3D
     z_halo = steps
     if err_mode is not None:
         assert err_mode == "clean" and steps <= 7, (err_mode, steps)
         z_halo = steps + 1
+    assert ext_z == 0 or z_halo <= ext_z, (steps, err_mode, ext_z)
 
     itemsize = jnp.dtype(u.dtype).itemsize
     # resident: 2 u + 2 f + work + A bricks + 2 quarter cw bricks ≈ 6.6
@@ -1265,17 +1286,19 @@ def fused_ascend3_padded(u, f, cwide, n: int, h: float, steps: int,
                                        num_bufs=6.6, orow_mult=16,
                                        r_halo=16, zs_even=True,
                                        budget=_VMEM_BUDGET_3D_LEGS_BYTES)
-    num_zb = math.ceil(nz / oz) if zs < nz else 1
+    oz = out_z if zs >= nz else min(oz, out_z)
+    num_zb = math.ceil(out_z / oz) if zs < nz else 1
     num_rb = math.ceil(rp / orow) if rs < rp else 1
-    czs = m if zs >= nz else zs // 2 + 1
+    czs = (nz // 2 + 1) if zs >= nz else zs // 2 + 1
     crs = min(rs // 2 + 8, rp // 2 + 8)
 
     kernel = partial(_fused_ascend3_kernel, n=n, nz=nz, rp=rp, cp=cp,
-                     steps=steps, z_halo=z_halo, zs=zs, rs=rs, oz=oz,
+                     steps=steps, z_halo=z_halo, ext_z=ext_z, out_z=out_z,
+                     zs=zs, rs=rs, oz=oz,
                      orow=orow, czs=czs, crs=crs, num_zb=num_zb,
                      num_rb=num_rb, h2=h * h, omega=omega, err_mode=err_mode)
 
-    out_shape = jax.ShapeDtypeStruct((nz, rp, cp), u.dtype)
+    out_shape = jax.ShapeDtypeStruct((out_z, rp, cp), u.dtype)
     out_spec = pl.BlockSpec(memory_space=pl.ANY)
     if err_mode is not None:
         out_shape = (out_shape, jax.ShapeDtypeStruct((1, 1), jnp.float32))
@@ -1285,7 +1308,8 @@ def fused_ascend3_padded(u, f, cwide, n: int, h: float, steps: int,
     result = pl.pallas_call(
         kernel,
         out_shape=out_shape,
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * 3,
         out_specs=out_spec,
         scratch_shapes=[
             pltpu.VMEM((2, zs, rs, cp), u.dtype),     # u slots
@@ -1299,10 +1323,23 @@ def fused_ascend3_padded(u, f, cwide, n: int, h: float, steps: int,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_vmem_limit(scratch_bytes)),
         interpret=interpret,
-    )(u, f, cwide)
+    )(zoff, u, f, cwide)
     if err_mode is not None:
         return result[0], result[1][0, 0]
     return result
+
+
+def fused_ascend3_padded(u, f, cwide, n: int, h: float, steps: int,
+                         omega: float = 6.0 / 7.0, interpret: bool = False,
+                         err_mode=None):
+    """The 3-D ascend leg — trilinear prolongation + correction add +
+    ``steps`` post-sweeps — in ONE brick-streamed HBM pass (see
+    _fused_ascend3_shard_call for the full contract; this is the
+    single-device entry)."""
+    assert u.shape == padded_shape3(n), (u.shape, padded_shape3(n))
+    return _fused_ascend3_shard_call(
+        jnp.zeros((1,), jnp.int32), u, f, cwide, n, h, steps, omega,
+        ext_z=0, interpret=interpret, err_mode=err_mode)
 
 
 def _residual3_kernel(offs_smem, u_hbm, f_hbm, out_hbm,

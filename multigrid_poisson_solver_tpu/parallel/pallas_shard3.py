@@ -43,6 +43,7 @@ from ..ops.pallas3d import (
     MAX_DESCEND3_SWEEPS_FW,
     MAX_DESCEND3_SWEEPS_SAMPLING,
     MAX_FUSED_SWEEPS_3D,
+    _fused_ascend3_shard_call,
     _fused_descend3_shard_call,
     _fused_jacobi3_shard_call,
     _residual3_shard_call,
@@ -277,6 +278,51 @@ def sharded_fused_descend3(u, f, n: int, h: float, steps: int, omega: float,
                      out_specs=(spec, spec, P()), check_vma=False)(u, f)
 
 
+@partial(jax.jit, static_argnames=("n", "h", "steps", "omega", "mesh",
+                                   "axis_name", "interpret"))
+def sharded_fused_ascend3(u, f, cwide, n: int, h: float, steps: int,
+                          omega: float, mesh: Mesh,
+                          axis_name: str = Z_AXIS,
+                          interpret: bool = False):
+    """The WHOLE ascend leg per shard: trilinear prolongation + correction
+    add + post-sweeps in one kernel pass per z-shard.
+
+    ``cwide`` is the lane-expanded coarse correction
+    (ops.padded3.prolong3_lanes_p), z-sharded with EXACTLY half the fine
+    depth (so shard-local coarse planes line up with shard-local fine
+    planes — the nl-even parity contract again). One fine + one coarse
+    plane-halo exchange per call."""
+    _check_shape(u, n, mesh, axis_name)
+    ndev = mesh.shape[axis_name]
+    nl = u.shape[0] // ndev
+    assert nl % 2 == 0, (
+        f"sharded ascend needs an even plane count per device, got {nl}")
+    assert cwide.shape[0] * 2 == u.shape[0], (cwide.shape, u.shape)
+    assert 1 <= steps <= MAX_FUSED_SWEEPS_3D
+    ext_z = steps + (steps % 2)          # even halo >= steps
+    ext_c = ext_z // 2
+    assert ext_z <= nl and ext_c + 1 <= nl // 2, (steps, nl)
+
+    def body(u_loc, f_loc, cw_loc):
+        zi = lax.axis_index(axis_name)
+        zoff = (zi * nl - ext_z).astype(jnp.int32).reshape(1)
+        u_e = _extend_planes(u_loc, axis_name, ext_z)
+        f_e = _extend_planes(f_loc, axis_name, ext_z)
+        # ext-local coarse: plane c ↔ global coarse (zoff + 2c)//2, i.e.
+        # ext_c planes from the previous shard, ext_c + 1 from the next
+        fwd, bwd = _ring_perms(lax.axis_size(axis_name))
+        above = lax.ppermute(cw_loc[-ext_c:], axis_name, fwd)
+        below = lax.ppermute(cw_loc[:ext_c + 1], axis_name, bwd)
+        cw_e = jnp.concatenate([above, cw_loc, below], axis=0)
+        return _fused_ascend3_shard_call(
+            zoff, u_e, f_e, cw_e, n, h, steps, omega, ext_z=ext_z,
+            interpret=interpret)
+
+    spec = P(axis_name, None, None)
+    return shard_map(body, mesh=mesh, in_specs=(spec, spec, spec),
+                     out_specs=spec, check_vma=False)(u, f, cwide)
+
+
 @partial(jax.jit, static_argnames=("n", "h", "mesh", "axis_name", "n_min",
                                    "pre", "post", "coarse_sweeps", "omega",
                                    "threshold_planes", "interpret"))
@@ -365,6 +411,18 @@ def v_cycle3_sharded(u, f, n: int, h: float, mesh: Mesh,
             fc = wsc(pd3.restrict3_p(rneg, nn, m, zp_out=zp_out),
                      zsh if child_sharded else rep)
         ec = run(jnp.zeros_like(fc), fc, m, 2 * hh, depth + 1, True)
+        # FULL per-shard ascend leg when depths line up (even planes/device
+        # and a half-depth coarse level): lane-expand stays a local einsum,
+        # everything else — z-combine, row interleave, add, post-sweeps —
+        # is one kernel + two plane-halo exchanges
+        if (nl % 2 == 0 and 1 <= post <= MAX_FUSED_SWEEPS_3D
+                and 2 * ec.shape[0] == up.shape[0]
+                and post + (post % 2) <= nl
+                and (post + (post % 2)) // 2 + 1 <= nl // 2):
+            cw = wsc(pd3.prolong3_lanes_p(ec, nn, m), zsh)
+            return sharded_fused_ascend3(up, fp, cw, nn, hh, post, omega,
+                                         mesh, axis_name,
+                                         interpret=interpret)
         up = wsc(pd3.prolong3_add_p(up, ec, nn, m), zsh)
         return sharded_fused_jacobi3(up, fp, nn, hh, post, omega, mesh,
                                      axis_name, interpret=interpret)
@@ -380,5 +438,6 @@ def v_cycle3_sharded(u, f, n: int, h: float, mesh: Mesh,
 
 __all__ = ["make_mesh_z", "z_sharding", "padded_depth3", "sharded_shape3",
            "pad_planes3", "sharded_fused_jacobi3",
+           "sharded_fused_ascend3", "sharded_fused_descend3",
            "sharded_residual3_pallas", "sharded_smooth_residual3",
            "v_cycle3_sharded", "Z_AXIS"]

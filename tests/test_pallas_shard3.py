@@ -225,3 +225,34 @@ def test_sharded_fused_descend3_matches_unsharded(mesh, from_zero):
                                rtol=0, atol=3e-6 * scale)
     assert not np.asarray(got_fc)[m:].any()
     assert float(got_err) == pytest.approx(float(want_err[0, 0]), rel=5e-5)
+
+
+def test_sharded_fused_ascend3_matches_unsharded(mesh):
+    """The per-shard ascend leg (prolong + add + post-sweeps in one kernel)
+    matches the single-device leg on owned planes."""
+    from multigrid_poisson_solver_tpu.ops import padded3 as pd3
+
+    n, steps = 65, 3
+    m = (n + 1) // 2
+    h = 1.0 / (n - 1)
+    up, fp = _volumes(n)
+    ec = pk3.pad_grid3((0.1 * p3.REFERENCE_PROBLEM_3D.source_grid(m)
+                        ).astype(jnp.float32))
+    cw1 = pd3.prolong3_lanes_p(ec, n, m)
+    want = pk3.fused_ascend3_padded(up, fp, cw1, n, h, steps, interpret=True)
+
+    us = jax.device_put(ps3.pad_planes3(up, 2 * NDEV), ps3.z_sharding(mesh))
+    fs = jax.device_put(ps3.pad_planes3(fp, 2 * NDEV), ps3.z_sharding(mesh))
+    nzp = us.shape[0]
+    # coarse level at exactly half the fine depth (the leg's contract)
+    ecs = jax.device_put(
+        jnp.concatenate([ec, jnp.zeros((nzp // 2 - ec.shape[0],)
+                                       + ec.shape[1:], ec.dtype)], 0),
+        ps3.z_sharding(mesh))
+    with mesh:
+        cws = ps3.z_sharding(mesh)
+        cw = jax.device_put(pd3.prolong3_lanes_p(ecs, n, m), cws)
+        got = ps3.sharded_fused_ascend3(us, fs, cw, n, h, steps, 6.0 / 7.0,
+                                        mesh, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got)[:n], np.asarray(want))
+    assert not np.asarray(got)[n:].any()
