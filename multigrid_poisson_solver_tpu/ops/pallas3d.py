@@ -201,12 +201,17 @@ def _fused_jacobi3_kernel(offs_smem, u_hbm, f_hbm, *rest,
             return _i32(idx), _i32(0)
         return _i32(idx) // _i32(num_rb), jax.lax.rem(_i32(idx), _i32(num_rb))
 
-    def load_z(i):
-        return jnp.clip(_i32(i) * _i32(oz) + _i32(ext_z - z_halo), _i32(0),
-                        _i32(nz - zs))
-
     def write_z(i):
         return jnp.clip(_i32(i) * _i32(oz), _i32(0), _i32(out_z - oz))
+
+    def load_z(i):
+        # load start derives from the CLIPPED write start: with ext_z >
+        # z_halo (odd-steps ascend, short final multi-pass sweeps) the naive
+        # i*oz-based start can sit above the clipped window's halo floor,
+        # leaving the first owned plane one ring stale (caught by review,
+        # reproduced at oz∤nl multi-brick geometries)
+        return jnp.clip(write_z(i) + _i32(ext_z - z_halo), _i32(0),
+                        _i32(nz - zs))
 
     def load_r(j):
         return _mul8(jnp.clip(_i32(j) * _i32(orow) - _i32(8), _i32(0),
@@ -708,12 +713,17 @@ def _fused_descend3_kernel(offs_smem, u_hbm, f_hbm, out_hbm, dw_hbm,
             return _i32(idx), _i32(0)
         return _i32(idx) // _i32(num_rb), jax.lax.rem(_i32(idx), _i32(num_rb))
 
-    def load_z(i):
-        return jnp.clip(_i32(i) * _i32(oz) + _i32(ext_z - z_halo), _i32(0),
-                        _i32(nz - zs))
-
     def write_z(i):
         return jnp.clip(_i32(i) * _i32(oz), _i32(0), _i32(out_z - oz))
+
+    def load_z(i):
+        # load start derives from the CLIPPED write start: with ext_z >
+        # z_halo (odd-steps ascend, short final multi-pass sweeps) the naive
+        # i*oz-based start can sit above the clipped window's halo floor,
+        # leaving the first owned plane one ring stale (caught by review,
+        # reproduced at oz∤nl multi-brick geometries)
+        return jnp.clip(write_z(i) + _i32(ext_z - z_halo), _i32(0),
+                        _i32(nz - zs))
 
     def load_r(j):
         return _mul8(jnp.clip(_i32(j) * _i32(orow) - _i32(8), _i32(0),
@@ -1068,12 +1078,17 @@ def _fused_ascend3_kernel(offs_smem, u_hbm, f_hbm, cw_hbm, *rest,
             return _i32(idx), _i32(0)
         return _i32(idx) // _i32(num_rb), jax.lax.rem(_i32(idx), _i32(num_rb))
 
-    def load_z(i):
-        return jnp.clip(_i32(i) * _i32(oz) + _i32(ext_z - z_halo), _i32(0),
-                        _i32(nz - zs))
-
     def write_z(i):
         return jnp.clip(_i32(i) * _i32(oz), _i32(0), _i32(out_z - oz))
+
+    def load_z(i):
+        # load start derives from the CLIPPED write start: with ext_z >
+        # z_halo (odd-steps ascend, short final multi-pass sweeps) the naive
+        # i*oz-based start can sit above the clipped window's halo floor,
+        # leaving the first owned plane one ring stale (caught by review,
+        # reproduced at oz∤nl multi-brick geometries)
+        return jnp.clip(write_z(i) + _i32(ext_z - z_halo), _i32(0),
+                        _i32(nz - zs))
 
     def load_r(j):
         return _mul8(jnp.clip(_i32(j) * _i32(orow) - _i32(16), _i32(0),

@@ -356,7 +356,6 @@ def v_cycle3_sharded(u, f, n: int, h: float, mesh: Mesh,
 
     ndev = mesh.shape[axis_name]
     sizes = _sizes(n, n_min)
-    p3k_caps = (MAX_DESCEND3_SWEEPS_FW,)
     zsh = z_sharding(mesh, axis_name)
     rep = NamedSharding(mesh, jax.sharding.PartitionSpec())
     wsc = jax.lax.with_sharding_constraint
@@ -395,7 +394,7 @@ def v_cycle3_sharded(u, f, n: int, h: float, mesh: Mesh,
         # planes/device + the k_nb+2 halo ring): one kernel + one halo
         # exchange replaces smoother+residual passes AND the z/row transfer
         # einsums; only the quarter-volume lane take stays XLA
-        if (nl % 2 == 0 and 1 <= k_nb <= p3k_caps[0]
+        if (nl % 2 == 0 and 1 <= k_nb <= MAX_DESCEND3_SWEEPS_FW
                 and k_nb + 2 <= nl):
             up, dw, _ = sharded_fused_descend3(
                 up, fp, nn, hh, pre, omega, mesh, axis_name,

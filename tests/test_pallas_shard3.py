@@ -256,3 +256,47 @@ def test_sharded_fused_ascend3_matches_unsharded(mesh):
                                         mesh, interpret=True)
     np.testing.assert_array_equal(np.asarray(got)[:n], np.asarray(want))
     assert not np.asarray(got)[n:].any()
+
+
+@pytest.mark.parametrize("steps", [2, 3])
+def test_sharded_legs_multi_brick_clipped(monkeypatch, mesh, steps):
+    """Force multiple z-bricks PER SHARD with oz ∤ planes-per-shard: the
+    clipped final brick's load window must still cover the halo below its
+    write start (regression: with ext_z > z_halo — odd-steps ascend — the
+    naive load start left the first owned plane one sweep stale)."""
+    from multigrid_poisson_solver_tpu.ops import padded3 as pd3
+
+    monkeypatch.setattr(pk3, "_VMEM_BUDGET_3D_LEGS_BYTES", 2_000_000)
+    n = 65
+    m = (n + 1) // 2
+    h = 1.0 / (n - 1)
+    up, fp = _volumes(n)
+    ec = pk3.pad_grid3((0.1 * p3.REFERENCE_PROBLEM_3D.source_grid(m)
+                        ).astype(jnp.float32))
+    cw1 = pd3.prolong3_lanes_p(ec, n, m)
+    want_a = pk3.fused_ascend3_padded(up, fp, cw1, n, h, steps,
+                                      interpret=True)
+    want_u, want_dw, _ = pk3.fused_descend3_padded(up, fp, n, h, steps,
+                                                   interpret=True)
+    want_fc = pd3.restrict3_lanes_p(want_dw, n, m)
+
+    us = jax.device_put(ps3.pad_planes3(up, 2 * NDEV), ps3.z_sharding(mesh))
+    fs = jax.device_put(ps3.pad_planes3(fp, 2 * NDEV), ps3.z_sharding(mesh))
+    nzp = us.shape[0]
+    ecs = jax.device_put(
+        jnp.concatenate([ec, jnp.zeros((nzp // 2 - ec.shape[0],)
+                                       + ec.shape[1:], ec.dtype)], 0),
+        ps3.z_sharding(mesh))
+    with mesh:
+        cw = jax.device_put(pd3.prolong3_lanes_p(ecs, n, m),
+                            ps3.z_sharding(mesh))
+        got_a = ps3.sharded_fused_ascend3(us, fs, cw, n, h, steps, 6.0 / 7.0,
+                                          mesh, interpret=True)
+        got_u, got_dw, _ = ps3.sharded_fused_descend3(
+            us, fs, n, h, steps, 6.0 / 7.0, mesh, interpret=True)
+        got_fc = pd3.restrict3_lanes_p(got_dw, n, m)
+    np.testing.assert_array_equal(np.asarray(got_a)[:n], np.asarray(want_a))
+    np.testing.assert_array_equal(np.asarray(got_u)[:n], np.asarray(want_u))
+    scale = float(jnp.abs(want_fc).max()) + 1e-30
+    np.testing.assert_allclose(np.asarray(got_fc)[:m], np.asarray(want_fc),
+                               rtol=0, atol=3e-6 * scale)
