@@ -175,25 +175,25 @@ def _zoom(cfg: SolverConfig):
     return P.zoom_take_p if cfg.zoom == "take" else P.zoom_p
 
 
-def _rows_only_sharded(policy, n: int) -> bool:
-    """policy shards level n by rows ONLY (the 1-D layout the sharded fused
-    descend/ascend wrappers support)."""
+def _leg_sharded_ok(policy, n: int) -> bool:
+    """policy shards level n with a leading row axis — the layouts
+    (1-D rows, 2-D row×col blocks) the sharded fused descend/ascend
+    wrappers support (parallel.pallas_shard)."""
     if policy is None or not policy.is_sharded(n):
         return False
-    spec = policy.spec(n)
-    return spec[0] is not None and (len(spec) < 2 or spec[1] is None)
+    return policy.spec(n)[0] is not None
 
 
 def _fuse_descend_ok(cfg: SolverConfig, policy, n: int, m: int,
                      steps: int) -> bool:
     """Whether the one-kernel fused descend leg applies: Pallas, Jacobi
     smoothing, a 2:1 vertex-aligned coarse level, a sweep count within the
-    kernel's trapezoid budget — single-chip, or sharded by rows only
-    (parallel.pallas_shard.sharded_fused_descend)."""
+    kernel's trapezoid budget — single-chip, or sharded under a rows or 2-D
+    block policy (parallel.pallas_shard.sharded_fused_descend)."""
     if not (_use_pallas(cfg) and cfg.smoother == "jacobi"
             and n == 2 * m - 1):
         return False
-    if policy is not None and not _rows_only_sharded(policy, n):
+    if policy is not None and not _leg_sharded_ok(policy, n):
         return False
     cap = 6 if cfg.restriction == "full_weighting" else 7
     return 1 <= steps <= cap
@@ -207,7 +207,7 @@ def _fuse_ascend_ok(cfg: SolverConfig, policy, n: int, n_child: int,
             and n == 2 * n_child - 1):
         return False
     if policy is not None:
-        if not _rows_only_sharded(policy, n):
+        if not _leg_sharded_ok(policy, n):
             return False
         # the shard wrapper exchanges 16-row fine / 16-row coarse halos:
         # needs ≥ 32 fine rows per device (coarse blocks ≥ 16)

@@ -293,6 +293,10 @@ def _fused_jacobi_kernel(offs_smem, u_hbm, f_hbm, *rest,
             sel = (ok_global & (o >= _i32(i) * _i32(owned))
                    & (o < jnp.minimum((_i32(i) + 1) * _i32(owned),
                                       _i32(out_rows))))
+            if ext_c:
+                # column-sharded shard block: the lane halos belong to the
+                # neighbor shard — exclude them from the psum'd partial
+                sel = sel & (cols >= _i32(ext_c)) & (cols < _i32(cp - ext_c))
             if err_mode == "cpu":
                 # the reference's color bug: even-color cells only
                 # (caller doubles the sum), MG_solver_CPU.cpp:606-622
@@ -664,6 +668,11 @@ def _fused_descend_kernel(offs_smem, u_hbm, f_hbm, out_hbm, dw_hbm, *rest,
                 sel = (sel & (oc_col >= _i32(p) * _i32(powned))
                        & (oc_col < jnp.minimum((_i32(p) + 1) * _i32(powned),
                                                _i32(cp))))
+            elif ext_c:
+                # column-sharded shard block: the 128-lane halos are the
+                # neighbor shard's interior — exclude them or the psum
+                # double-counts
+                sel = sel & (oc_col >= 0) & (oc_col < _i32(cp - 2 * ext_c))
             if err_mode == "gpu":
                 prev = (jnp.zeros((strip, pw), u_hbm.dtype)
                         if (from_zero and n_sweeps == 0)
@@ -910,6 +919,10 @@ def _fused_ascend_kernel(offs_smem, u_hbm, f_hbm, cw_hbm, out_hbm, *rest,
                 sel = (sel & (oc >= _i32(p) * _i32(powned))
                        & (oc < jnp.minimum((_i32(p) + 1) * _i32(powned),
                                            _i32(cp))))
+            elif ext_c:
+                # column-sharded shard block: exclude the 128-lane halos
+                # (the neighbor shard's interior) from the psum'd partial
+                sel = sel & (oc >= 0) & (oc < _i32(cp - 2 * ext_c))
             if err_mode == "gpu":
                 prev = bufs[(steps - 1) % 2][:]
                 val = jnp.abs(fin - prev)

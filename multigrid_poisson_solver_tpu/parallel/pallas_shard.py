@@ -174,12 +174,8 @@ def _extend_rows_k(x, axis: str, k: int):
     return jnp.concatenate([above, x, below], axis=0)
 
 
-def _rows_only_axis(policy, n: int) -> str:
-    row_axis, col_axis = _axes_of(policy, n)
-    assert col_axis is None, (
-        "sharded fused descend/ascend support the 1-D rows policy; "
-        f"got a column-sharded spec for n={n}")
-    return row_axis
+def _psum_axes(err, row_axis, col_axis):
+    return lax.psum(err, (row_axis, col_axis) if col_axis else row_axis)
 
 
 @partial(jax.jit, static_argnames=("n", "h", "steps", "omega", "restriction",
@@ -189,28 +185,38 @@ def sharded_fused_descend(u, f, n: int, h: float, steps: int, omega: float,
                           restriction: str, err_mode, policy,
                           from_zero: bool = False, interpret: bool = False):
     """The fused descend leg (sweeps + residual + row-restriction) per shard
-    under a 1-D rows policy. Returns (u_new, dwide, err) with ``dwide``
-    row-sharded at half height (the caller's lane decimation runs under
-    GSPMD on the half-height array). err (if requested) is psum-reduced.
+    under a rows or 2-D block policy. Returns (u_new, dwide, err) with
+    ``dwide`` policy-sharded at half height and FULL fine width (the caller's
+    lane decimation runs under GSPMD on the half-height array). err (if
+    requested) is psum-reduced over the sharded axes.
+
+    Column-sharded blocks exchange a 128-lane halo per side (like
+    sharded_fused_jacobi); row-restriction stays per shard because block rows
+    are ×16, so every local coarse window keeps its global ×8 alignment.
     """
-    row_axis = _rows_only_axis(policy, n)
-    _check_alignment(u.shape, policy, row_axis, None)
+    row_axis, col_axis = _axes_of(policy, n)
+    _check_alignment(u.shape, policy, row_axis, col_axis)
     ndev = policy.mesh.shape[row_axis]
     assert (u.shape[0] // ndev) % ROW_PAD == 0, (
         "sharded fused descend needs ROW_PAD-aligned shard blocks; build "
         "arrays with policy.padded_shape(n)")
 
     def body(u_loc, f_loc):
-        r_loc = u_loc.shape[0]
+        r_loc, c_loc = u_loc.shape
         ri = lax.axis_index(row_axis)
-        offs = jnp.stack([ri * r_loc - HALO, jnp.int32(0)]).astype(jnp.int32)
-        u_e = _extend_rows_k(u_loc, row_axis, HALO)
-        f_e = _extend_rows_k(f_loc, row_axis, HALO)
+        ci = lax.axis_index(col_axis) if col_axis else jnp.int32(0)
+        ext_c = LANE if col_axis else 0
+        offs = jnp.stack([ri * r_loc - HALO, ci * c_loc - ext_c]
+                         ).astype(jnp.int32)
+        u_e = _extend_cols(u_loc, col_axis) if col_axis else u_loc
+        u_e = _extend_rows_k(u_e, row_axis, HALO)
+        f_e = _extend_cols(f_loc, col_axis) if col_axis else f_loc
+        f_e = _extend_rows_k(f_e, row_axis, HALO)
         u_new, dwide, err = _fused_descend_shard_call(
             offs, u_e, f_e, n, h, steps, omega, restriction, err_mode,
-            ext_r=HALO, ext_c=0, from_zero=from_zero, interpret=interpret)
+            ext_r=HALO, ext_c=ext_c, from_zero=from_zero, interpret=interpret)
         if err is not None:
-            err = lax.psum(err, row_axis)
+            err = _psum_axes(err, row_axis, col_axis)
         else:
             err = jnp.zeros((), u_loc.dtype)
         return u_new, dwide, err
@@ -228,33 +234,39 @@ def sharded_fused_ascend(u, f, cwide, n: int, h: float, steps: int,
                          omega: float, err_mode, policy,
                          interpret: bool = False):
     """The fused ascend leg (row-prolongation + add + post-sweeps) per shard
-    under a 1-D rows policy. ``cwide`` is the lane-expanded coarse solution
-    (ops.padded.prolong_lanes_p) with rp/2 GLOBAL rows, row-sharded like u.
+    under a rows or 2-D block policy. ``cwide`` is the lane-expanded coarse
+    solution (ops.padded.prolong_lanes_p) with rp/2 GLOBAL rows, sharded
+    like u; column-sharded blocks exchange a 128-lane halo on u, f AND cw.
     """
-    row_axis = _rows_only_axis(policy, n)
-    _check_alignment(u.shape, policy, row_axis, None)
+    row_axis, col_axis = _axes_of(policy, n)
+    _check_alignment(u.shape, policy, row_axis, col_axis)
     ndev = policy.mesh.shape[row_axis]
     assert (u.shape[0] // ndev) % ROW_PAD == 0
     assert cwide.shape == (u.shape[0] // 2, u.shape[1])
 
     def body(u_loc, f_loc, cw_loc):
-        r_loc = u_loc.shape[0]
+        r_loc, c_loc = u_loc.shape
         ri = lax.axis_index(row_axis)
-        offs = jnp.stack([ri * r_loc - 2 * HALO, jnp.int32(0)]
+        ci = lax.axis_index(col_axis) if col_axis else jnp.int32(0)
+        ext_c = LANE if col_axis else 0
+        offs = jnp.stack([ri * r_loc - 2 * HALO, ci * c_loc - ext_c]
                          ).astype(jnp.int32)
-        u_e = _extend_rows_k(u_loc, row_axis, 2 * HALO)
-        f_e = _extend_rows_k(f_loc, row_axis, 2 * HALO)
+        u_e = _extend_cols(u_loc, col_axis) if col_axis else u_loc
+        u_e = _extend_rows_k(u_e, row_axis, 2 * HALO)
+        f_e = _extend_cols(f_loc, col_axis) if col_axis else f_loc
+        f_e = _extend_rows_k(f_e, row_axis, 2 * HALO)
         # the kernel's coarse window sits at fine_ext_row/2: cw_ext row 0
         # must be the coarse row of fine ext row 0 = (r0 − 16)/2 = r0/2 − 8,
         # and it needs erows/2 + 8 rows — i.e. local cw ± 8/16:
-        cw_e = _extend_rows_k(cw_loc, row_axis, 2 * HALO)
+        cw_e = _extend_cols(cw_loc, col_axis) if col_axis else cw_loc
+        cw_e = _extend_rows_k(cw_e, row_axis, 2 * HALO)
         cw_e = cw_e[2 * HALO - HALO:]                 # start at r0/2 − 8
         cw_e = cw_e[:u_e.shape[0] // 2 + HALO]        # erows/2 + 8 rows
         u_new, err = _fused_ascend_shard_call(
             offs, u_e, f_e, cw_e, n, h, steps, omega, err_mode,
-            ext_r=2 * HALO, ext_c=0, interpret=interpret)
+            ext_r=2 * HALO, ext_c=ext_c, interpret=interpret)
         if err is not None:
-            err = lax.psum(err, row_axis)
+            err = _psum_axes(err, row_axis, col_axis)
         else:
             err = jnp.zeros((), u_loc.dtype)
         return u_new, err

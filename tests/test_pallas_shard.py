@@ -118,18 +118,21 @@ def test_compiled_pallas_sharded_matches_xla(make_policy, steps):
                                rtol=1e-5, atol=1e-7)
 
 
+@pytest.mark.parametrize("make_policy", _policies())
 @pytest.mark.parametrize("restriction", ["sampling", "full_weighting"])
 @pytest.mark.parametrize("from_zero", [False, True])
-def test_sharded_fused_descend_matches_single_device(restriction, from_zero):
-    """Sharded fused descend (rows policy) vs the single-device fused
-    descend: identical u and coarse RHS, matching fused error."""
+def test_sharded_fused_descend_matches_single_device(make_policy,
+                                                     restriction, from_zero):
+    """Sharded fused descend (rows AND 2-D block policies) vs the
+    single-device fused descend: identical u and coarse RHS, matching
+    fused error."""
     from multigrid_poisson_solver_tpu.ops import layout
     from multigrid_poisson_solver_tpu.ops import padded as P
     from multigrid_poisson_solver_tpu.parallel.pallas_shard import (
         sharded_fused_descend,
     )
 
-    policy = ShardingPolicy(make_mesh(), threshold_rows=8)
+    policy = make_policy()
     n, steps = 129, 3
     m = (n + 1) // 2
     h = 1.0 / (n - 1)
@@ -158,14 +161,15 @@ def test_sharded_fused_descend_matches_single_device(restriction, from_zero):
     assert float(gerr) == pytest.approx(float(werr), rel=1e-5)
 
 
-def test_sharded_fused_ascend_matches_single_device():
+@pytest.mark.parametrize("make_policy", _policies())
+def test_sharded_fused_ascend_matches_single_device(make_policy):
     from multigrid_poisson_solver_tpu.ops import layout
     from multigrid_poisson_solver_tpu.ops import padded as P
     from multigrid_poisson_solver_tpu.parallel.pallas_shard import (
         sharded_fused_ascend,
     )
 
-    policy = ShardingPolicy(make_mesh(), threshold_rows=8)
+    policy = make_policy()
     n, steps = 129, 3
     m = (n + 1) // 2
     h = 1.0 / (n - 1)
@@ -193,11 +197,12 @@ def test_sharded_fused_ascend_matches_single_device():
     assert float(gerr) == pytest.approx(float(werr), rel=1e-5)
 
 
-def test_compiled_pallas_sharded_aligned_uses_fused_legs():
-    """Engine-level: an aligned (coarsen=3) schedule under the rows policy
+@pytest.mark.parametrize("make_policy", _policies())
+def test_compiled_pallas_sharded_aligned_uses_fused_legs(make_policy):
+    """Engine-level: an aligned (coarsen=3) schedule under BOTH policies
     with kernels='pallas' (which routes descend/ascend through the sharded
     fused kernels) matches the XLA sharded engine."""
-    policy = ShardingPolicy(make_mesh(), threshold_rows=8)
+    policy = make_policy()
     program = mg.v_cycle(129, n_min=8, steps=3, coarse_option=0, coarsen=3)
 
     def run(config):
