@@ -98,9 +98,11 @@ def bench_smoothing(n: int, sweeps: int, iters: int, on_tpu: bool,
     run = jax.jit(lambda u, f: jax.lax.fori_loop(
         0, iters, lambda i, v: step(v, f), u))
 
-    per_call = _timer().measure_differential(run, u, f, reps=3)
+    per_call, (lo, hi) = _timer().measure_differential_median(
+        run, u, f, reps=4, k=3)
     per_sweep = per_call / (iters * sweeps)
-    return (n - 2) * (n - 2) / per_sweep / 1e9, per_sweep
+    spread = (hi - lo) / (iters * sweeps)
+    return (n - 2) * (n - 2) / per_sweep / 1e9, per_sweep, spread
 
 
 def _converging_engines(n: int):

@@ -264,12 +264,24 @@ def _sweeps(u, f, h, n: int, steps: int, cfg: SolverConfig, policy=None,
     the interior — and the Pallas kernel skips reading u from HBM entirely.
     """
     if cfg.smoother == "jacobi":
-        if _use_pallas(cfg) and policy is None:
+        if _use_pallas(cfg) and (policy is None or not policy.is_sharded(n)):
+            # single-chip or replicated-under-policy levels: the plain fused
+            # kernel (GSPMD replicates the custom call per device, exactly
+            # like the XLA ops it replaces)
             from .ops.pallas_kernels import fused_jacobi_padded
             return fused_jacobi_padded(u, f, n, h, steps, omega=cfg.omega,
                                        from_zero=from_zero,
                                        interpret=_pallas_interpret())
-        if _use_pallas(cfg) and policy.is_sharded(n) and steps > 0:
+        if _use_pallas(cfg) and steps > 0:
+            spec = policy.spec(n)
+            if (cfg.halo == "rdma" and len(spec) >= 1 and spec[0] is not None
+                    and (len(spec) < 2 or spec[1] is None)):
+                # in-kernel inter-chip halo DMAs overlapped with interior
+                # compute (1-D row partitions); bit-matches the ppermute path
+                from .parallel.pallas_shard import rdma_fused_jacobi
+                return rdma_fused_jacobi(u, f, n, h, steps, cfg.omega, policy,
+                                         from_zero=from_zero,
+                                         interpret=_pallas_interpret())
             from .parallel.pallas_shard import sharded_fused_jacobi
             return sharded_fused_jacobi(u, f, n, h, steps, cfg.omega, policy,
                                         from_zero=from_zero,
@@ -300,18 +312,24 @@ def _trigger_smooth_traced(u, f, h, n: int, cfg: SolverConfig, policy=None):
     reference's slope rule against the batch's error vector after the fact.
     The iterate overshoots the reference's stop point by up to batch − 1
     sweeps — extra smoothing, never less; gated behind the flag."""
-    fuse_err = (cfg.smoother == "jacobi" and _use_pallas(cfg)
-                and policy is None)
+    sharded = policy is not None and policy.is_sharded(n)
+    fuse_err = cfg.smoother == "jacobi" and _use_pallas(cfg)
 
     if fuse_err and cfg.trigger_batch > 1:
         from .ops.pallas_kernels import (errs_sweep_cap,
                                          fused_jacobi_errs_padded)
+        from .parallel.pallas_shard import sharded_fused_jacobi_errs
         B = min(cfg.trigger_batch, errs_sweep_cap(cfg.compat_error))
 
         def batch_step(v, prev):
-            v, errs = fused_jacobi_errs_padded(v, f, n, h, B, omega=cfg.omega,
-                                               compat=cfg.compat_error,
-                                               interpret=_pallas_interpret())
+            if sharded:
+                v, errs = sharded_fused_jacobi_errs(
+                    v, f, n, h, B, cfg.omega, cfg.compat_error, policy,
+                    interpret=_pallas_interpret())
+            else:
+                v, errs = fused_jacobi_errs_padded(
+                    v, f, n, h, B, omega=cfg.omega, compat=cfg.compat_error,
+                    interpret=_pallas_interpret())
             prevs = jnp.concatenate([prev[None], errs[:-1]])
             stop = jnp.abs(errs - prevs) <= cfg.trigger
             found = jnp.any(stop)
@@ -337,7 +355,14 @@ def _trigger_smooth_traced(u, f, h, n: int, cfg: SolverConfig, policy=None):
             cond, body, (u, last, found, err, jnp.asarray(B, jnp.int32)))
         return u, err
 
-    if fuse_err:
+    if fuse_err and sharded:
+        from .parallel.pallas_shard import sharded_fused_jacobi_err
+
+        def step(v):
+            return sharded_fused_jacobi_err(v, f, n, h, 1, cfg.omega,
+                                            cfg.compat_error, policy,
+                                            interpret=_pallas_interpret())
+    elif fuse_err:
         from .ops.pallas_kernels import fused_jacobi_err_padded
 
         def step(v):
@@ -374,9 +399,16 @@ def _smooth_traced(u, f, h, n: int, steps: int, cfg: SolverConfig,
     if steps == -1:
         return _trigger_smooth_traced(u, f, h, n, cfg, policy)
     if (want_err and steps >= 1 and cfg.smoother == "jacobi"
-            and _use_pallas(cfg) and policy is None):
-        # single-chip Pallas: error reduction fused into the smoother's last
-        # HBM pass (zero extra traffic)
+            and _use_pallas(cfg)):
+        # Pallas path: error reduction fused into the smoother's last HBM
+        # pass (zero extra traffic); sharded levels psum the per-shard
+        # partials (parallel.pallas_shard)
+        if policy is not None and policy.is_sharded(n):
+            from .parallel.pallas_shard import sharded_fused_jacobi_err
+            return sharded_fused_jacobi_err(u, f, n, h, steps, cfg.omega,
+                                            cfg.compat_error, policy,
+                                            from_zero=from_zero,
+                                            interpret=_pallas_interpret())
         from .ops.pallas_kernels import fused_jacobi_err_padded
         return fused_jacobi_err_padded(u, f, n, h, steps, omega=cfg.omega,
                                        compat=cfg.compat_error,

@@ -75,18 +75,22 @@ def _rdma_jacobi_kernel(meta_smem, u_hbm, f_hbm, out_hbm,
                         *, n: int, rows: int, cp: int, steps: int,
                         num_strips: int, strip: int, owned: int,
                         h2: float, omega: float, from_zero: bool,
-                        ndev: int):
+                        ndev: int, axis_name: str):
     """One fused ≤8-sweep damped-Jacobi pass on a LOCAL (rows, cp) block,
     exchanging 8-row u/f halos with ring neighbors in-kernel.
 
-    meta_smem = (row0, col0, my) int32: global grid coordinates of the
-    VIRTUAL extended block's [0, 0] (row0 = my·rows − HALO) plus the mesh
-    index. hu/hf hold [0] = top halo (virtual rows [0, HALO)) and
+    meta_smem = (row0, col0) int32: global grid coordinates of the VIRTUAL
+    extended block's [0, 0] (row0 = my·rows − HALO). The mesh position comes
+    from ``lax.axis_index(axis_name)`` INSIDE the kernel — Mosaic detects
+    cross-device communication by scanning the kernel jaxpr for mesh-axis
+    references, so the index must be taken here, not passed via SMEM (or the
+    lowering drops the mesh context and remote DMAs fail with a "0D mesh"
+    error). hu/hf hold [0] = top halo (virtual rows [0, HALO)) and
     [1] = bottom halo; the owned block spans virtual rows [HALO, HALO+rows).
     """
     row0 = meta_smem[0]
     col0 = meta_smem[1]
-    my = meta_smem[2]
+    my = jax.lax.axis_index(axis_name).astype(jnp.int32)
     erows = rows + 2 * HALO
 
     has_up = my > 0
@@ -306,7 +310,7 @@ def _rdma_jacobi_kernel(meta_smem, u_hbm, f_hbm, out_hbm,
 
 def _rdma_jacobi_shard_call(meta, u, f, n: int, h: float, steps: int,
                             omega: float, from_zero: bool, ndev: int,
-                            interpret):
+                            interpret, axis_name: str = "rows"):
     """One fused ≤8-sweep RDMA pass on a LOCAL (rows, cp) shard block."""
     rows, cp = u.shape
     itemsize = jnp.dtype(u.dtype).itemsize
@@ -320,7 +324,8 @@ def _rdma_jacobi_shard_call(meta, u, f, n: int, h: float, steps: int,
 
     kernel = partial(_rdma_jacobi_kernel, n=n, rows=rows, cp=cp, steps=steps,
                      num_strips=num_strips, strip=strip, owned=owned,
-                     h2=h * h, omega=omega, from_zero=from_zero, ndev=ndev)
+                     h2=h * h, omega=omega, from_zero=from_zero, ndev=ndev,
+                     axis_name=axis_name)
 
     if interpret is True:
         # the legacy boolean interpreter has no inter-device simulation;
@@ -350,6 +355,9 @@ def _rdma_jacobi_shard_call(meta, u, f, n: int, h: float, steps: int,
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=2 * _VMEM_BUDGET_BYTES,
-            collective_id=7),
+            # the neighbor barrier's semaphore (only allocated for real
+            # rings; a 1-device "ring" skips the barrier and Mosaic rejects
+            # a collective_id without one)
+            collective_id=7 if ndev > 1 else None),
         interpret=interpret,
     )(meta, u, f)

@@ -278,5 +278,169 @@ def sharded_fused_ascend(u, f, cwide, n: int, h: float, steps: int,
     return u_new, (err if err_mode is not None else None)
 
 
+def _err_scale(err_mode: str, n: int, h: float, omega: float) -> float:
+    """Raw fused error partial → reference metric (same scaling as
+    ops.pallas_kernels.fused_jacobi_err_padded)."""
+    npts = n * n
+    if err_mode == "gpu":
+        return 4.0 / (h * h) / npts
+    return (4.0 / (omega * h * h) / npts
+            * (2.0 if err_mode == "cpu" else 1.0))
+
+
+@partial(jax.jit, static_argnames=("n", "h", "steps", "omega", "compat",
+                                   "policy", "from_zero", "interpret"))
+def sharded_fused_jacobi_err(u, f, n: int, h: float, steps: int, omega: float,
+                             compat, policy, from_zero: bool = False,
+                             interpret: bool = False):
+    """``steps`` sharded fused sweeps WITH the smoothing-error metric fused
+    into the final pass — the policy-sharded twin of
+    ops.pallas_kernels.fused_jacobi_err_padded. Returns (u, err) with the
+    error psum-reduced over the sharded axes (each shard's kernel emits its
+    owned-cells partial; the kernel's ownership masks make the psum exact).
+
+    Closes VERDICT r2 weak item 4: sharded trigger/want_err programs no
+    longer pay a separate per-sweep XLA residual pass.
+    """
+    row_axis, col_axis = _axes_of(policy, n)
+    _check_alignment(u.shape, policy, row_axis, col_axis)
+    err_mode = "gpu" if compat == "gpu" else ("cpu" if compat else "clean")
+    # cpu/clean burn one halo row on the extra in-VMEM residual sweep
+    last_cap = (MAX_FUSED_SWEEPS if err_mode == "gpu"
+                else MAX_FUSED_SWEEPS - 1)
+    assert steps >= 1
+
+    def body(u_loc, f_loc):
+        r_loc, c_loc = u_loc.shape
+        ri = lax.axis_index(row_axis)
+        ci = lax.axis_index(col_axis) if col_axis else jnp.int32(0)
+        ext_c = LANE if col_axis else 0
+        offs = jnp.stack([ri * r_loc - HALO, ci * c_loc - ext_c]
+                         ).astype(jnp.int32)
+        f_e = _extend_cols(f_loc, col_axis) if col_axis else f_loc
+        f_e = _extend_rows(f_e, row_axis)
+
+        def extend(x):
+            x = _extend_cols(x, col_axis) if col_axis else x
+            return _extend_rows(x, row_axis)
+
+        # all but the last ≤last_cap sweeps run as plain fused passes; the
+        # final pass carries the error reduction (fused_jacobi_err_padded's
+        # split, per shard)
+        last = min(steps, last_cap)
+        out, remaining, first = u_loc, steps - last, True
+        while remaining > 0:
+            k = min(remaining, MAX_FUSED_SWEEPS)
+            out = _fused_jacobi_shard_call(
+                offs, extend(out), f_e, n, h, k, omega, ext_r=HALO,
+                from_zero=from_zero and first, interpret=interpret,
+                ext_c=ext_c)
+            remaining -= k
+            first = False
+        out, raw = _fused_jacobi_shard_call(
+            offs, extend(out), f_e, n, h, last, omega, ext_r=HALO,
+            from_zero=from_zero and first, interpret=interpret,
+            ext_c=ext_c, err_mode=err_mode)
+        return out, _psum_axes(raw, row_axis, col_axis)
+
+    spec = policy.spec(n)
+    u_new, raw = shard_map(body, mesh=policy.mesh, in_specs=(spec, spec),
+                           out_specs=(spec, P()), check_vma=False)(u, f)
+    err = (raw * jnp.float32(_err_scale(err_mode, n, h, omega))
+           ).astype(u.dtype)
+    return u_new, err
+
+
+@partial(jax.jit, static_argnames=("n", "h", "steps", "omega", "compat",
+                                   "policy", "interpret"))
+def sharded_fused_jacobi_errs(u, f, n: int, h: float, steps: int,
+                              omega: float, compat, policy,
+                              interpret: bool = False):
+    """Sharded twin of ops.pallas_kernels.fused_jacobi_errs_padded: one
+    fused pass emitting the per-iterate error metric of EVERY sweep
+    u_1..u_steps (trigger batching), errors psum-reduced over the mesh."""
+    from ..ops.pallas_kernels import errs_sweep_cap
+
+    row_axis, col_axis = _axes_of(policy, n)
+    _check_alignment(u.shape, policy, row_axis, col_axis)
+    err_mode = "gpu" if compat == "gpu" else ("cpu" if compat else "clean")
+    assert 1 <= steps <= errs_sweep_cap(compat)
+
+    def body(u_loc, f_loc):
+        r_loc, c_loc = u_loc.shape
+        ri = lax.axis_index(row_axis)
+        ci = lax.axis_index(col_axis) if col_axis else jnp.int32(0)
+        ext_c = LANE if col_axis else 0
+        offs = jnp.stack([ri * r_loc - HALO, ci * c_loc - ext_c]
+                         ).astype(jnp.int32)
+        u_e = _extend_cols(u_loc, col_axis) if col_axis else u_loc
+        u_e = _extend_rows(u_e, row_axis)
+        f_e = _extend_cols(f_loc, col_axis) if col_axis else f_loc
+        f_e = _extend_rows(f_e, row_axis)
+        out, raws = _fused_jacobi_shard_call(
+            offs, u_e, f_e, n, h, steps, omega, ext_r=HALO,
+            from_zero=False, interpret=interpret, ext_c=ext_c,
+            err_mode=err_mode, per_sweep=True)
+        return out, _psum_axes(raws, row_axis, col_axis)
+
+    spec = policy.spec(n)
+    u_new, raws = shard_map(body, mesh=policy.mesh, in_specs=(spec, spec),
+                            out_specs=(spec, P()), check_vma=False)(u, f)
+    errs = (raws * jnp.float32(_err_scale(err_mode, n, h, omega))
+            ).astype(u.dtype)
+    return u_new, errs
+
+
+@partial(jax.jit, static_argnames=("n", "h", "steps", "omega", "policy",
+                                   "from_zero", "interpret"))
+def rdma_fused_jacobi(u, f, n: int, h: float, steps: int, omega: float,
+                      policy, from_zero: bool = False,
+                      interpret: bool = False):
+    """``steps`` fused damped-Jacobi sweeps with the halo exchange done as
+    in-kernel inter-chip DMAs instead of a ``ppermute`` barrier.
+
+    Semantics identical to :func:`sharded_fused_jacobi` (owned cells
+    bit-match the unsharded kernel, hence doSmoothing,
+    /root/reference/src/MG_solver_CPU.cpp:573-604) — but each fused ≤8-sweep
+    pass posts its 8 edge rows of u/f to the ring neighbors' VMEM via
+    ``pltpu.make_async_remote_copy`` and smooths its INTERIOR strips while
+    the wires are busy (ops.pallas_rdma). Only the two boundary strips wait
+    on the receive semaphores, so the ICI round-trip hides under compute
+    instead of serializing in front of it.
+
+    1-D row policies only (the 2-D block layout keeps the ppermute path);
+    select in the compiled engine with ``SolverConfig(halo="rdma")``.
+    """
+    row_axis, col_axis = _axes_of(policy, n)
+    assert col_axis is None, (
+        "rdma_fused_jacobi supports 1-D row partitions; use "
+        "sharded_fused_jacobi for 2-D block policies")
+    _check_alignment(u.shape, policy, row_axis, None)
+    ndev = policy.mesh.shape[row_axis]
+
+    from ..ops.pallas_rdma import _rdma_jacobi_shard_call
+
+    def body(u_loc, f_loc):
+        r_loc, _ = u_loc.shape
+        my = lax.axis_index(row_axis)
+        meta = jnp.stack([my * r_loc - HALO, jnp.int32(0)]).astype(jnp.int32)
+        out, remaining, first = u_loc, steps, True
+        while remaining > 0:
+            k = min(remaining, MAX_FUSED_SWEEPS)
+            out = _rdma_jacobi_shard_call(
+                meta, out, f_loc, n, h, k, omega,
+                from_zero=from_zero and first, ndev=ndev,
+                interpret=interpret, axis_name=row_axis)
+            remaining -= k
+            first = False
+        return out
+
+    spec = policy.spec(n)
+    return shard_map(body, mesh=policy.mesh, in_specs=(spec, spec),
+                     out_specs=spec, check_vma=False)(u, f)
+
+
 __all__ = ["sharded_fused_jacobi", "sharded_residual_pallas",
-           "sharded_fused_descend", "sharded_fused_ascend"]
+           "sharded_fused_descend", "sharded_fused_ascend",
+           "sharded_fused_jacobi_err", "sharded_fused_jacobi_errs",
+           "rdma_fused_jacobi"]

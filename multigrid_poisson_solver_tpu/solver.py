@@ -83,6 +83,13 @@ class SolverConfig:
                                       # (2:1-aligned levels only; REQUIRED for
                                       # the rbgs smoother — sampling aliases
                                       # its one-color residual)
+    halo: str = "ppermute"            # sharded-smoother halo exchange:
+                                      # "ppermute" (lax collective barrier
+                                      # before each fused pass) | "rdma"
+                                      # (in-kernel inter-chip DMAs overlapped
+                                      # with interior compute; 1-D row
+                                      # policies, parallel.pallas_shard.
+                                      # rdma_fused_jacobi)
 
 
 @dataclasses.dataclass

@@ -96,6 +96,27 @@ class DeviceTimer:
         # instead of a nonsensical negative rate
         return max(d, 0.05 * (t2 - t0) / (4 * reps))
 
+    def measure_differential_median(self, fn: Callable, *args, reps: int = 4,
+                                    k: int = 3):
+        """Median of ``k`` independent differential measurements, with the
+        min–max spread — the noise-robust protocol for benchmark capture.
+
+        A single differential can be poisoned by one slow tunnel sync landing
+        inside exactly one of its two timed segments (the failure mode that
+        once produced a 14× outlier in a reps=2 capture); the median of k
+        independent differentials is immune to any single such event, and the
+        spread makes the remaining window noise visible in the report.
+        """
+        ts = sorted(self.measure_differential(fn, *args, reps=reps)
+                    for _ in range(k))
+        return ts[k // 2], (ts[0], ts[-1])
+
+    def measure_median(self, fn: Callable, *args, k: int = 3):
+        """Median of ``k`` latency-compensated single measures (for one-shot
+        calls too big to iterate), plus the min–max spread."""
+        ts = sorted(self.measure(fn, *args) for _ in range(k))
+        return ts[k // 2], (ts[0], ts[-1])
+
 
 # --- static cost model --------------------------------------------------------
 

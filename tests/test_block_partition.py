@@ -43,6 +43,7 @@ def test_compiled_block_sharded_matches_single(mesh2d):
                                rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_refine_block_sharded(mesh2d):
     from multigrid_poisson_solver_tpu.refine import solve_to_tolerance
 

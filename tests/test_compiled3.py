@@ -155,6 +155,7 @@ def test_pallas_gpu_trigger_fused_consistency():
     _agree(program, _cfg_pallas(trigger=1e-3, compat_error="gpu"))
 
 
+@pytest.mark.slow
 def test_trigger_batch3_converges_like_unbatched():
     """3-D trigger_batch > 1 reaches the same solution quality as the
     exact-semantics loop (may only overshoot in sweeps, never undershoot)."""
@@ -174,6 +175,7 @@ def test_trigger_batch3_converges_like_unbatched():
     assert e4 <= e1 * 1.05                        # never less smoothing
 
 
+@pytest.mark.slow
 def test_trigger_batch3_gpu_metric():
     """trigger_batch under compat='gpu' (the per_sweep gpu kernel branch)."""
     program = mg.v_cycle(65, n_min=5, steps=-1, coarse_target=1e-8,

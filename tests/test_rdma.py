@@ -1,0 +1,137 @@
+"""In-kernel RDMA halo exchange (ops.pallas_rdma / parallel.pallas_shard).
+
+VERDICT r2's top item: the RDMA halo-overlap smoother must be wired and its
+validation claims true. These tests run the kernel on the virtual 8-device
+CPU mesh under the FULL TPU interpreter (``pltpu.InterpretParams`` with
+``detect_races=True`` — remote DMAs and semaphores simulated, data races
+detected) and assert BIT-equality against both the ppermute shard path and
+the unsharded fused kernel. Hardware Mosaic lowering is compile-checked
+separately (examples/exp_rdma_tpu.py; a 1-device mesh run on the real chip).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding
+
+import multigrid_poisson_solver_tpu as mg
+from multigrid_poisson_solver_tpu.compiled import compile_program
+from multigrid_poisson_solver_tpu.ops import pallas_kernels as pk
+from multigrid_poisson_solver_tpu.parallel.mesh import (
+    ShardingPolicy,
+    make_mesh,
+)
+from multigrid_poisson_solver_tpu.parallel.pallas_shard import (
+    rdma_fused_jacobi,
+    sharded_fused_jacobi,
+)
+
+PROBLEM = mg.REFERENCE_PROBLEM
+
+
+def _policy():
+    return ShardingPolicy(make_mesh(), threshold_rows=8)
+
+
+def _fields(policy, n, seed=7):
+    rng = np.random.default_rng(seed)
+    rp, cp = policy.padded_shape(n)
+    u = jnp.zeros((rp, cp), jnp.float32).at[:n, :n].set(
+        jnp.asarray(rng.random((n, n)), jnp.float32))
+    f = jnp.zeros((rp, cp), jnp.float32).at[:n, :n].set(
+        jnp.asarray(rng.random((n, n)), jnp.float32))
+    sh = NamedSharding(policy.mesh, policy.spec(n))
+    return u, f, jax.device_put(u, sh), jax.device_put(f, sh)
+
+
+@pytest.mark.parametrize("steps", [1, 8, 11])
+def test_rdma_smoother_bitmatches_unsharded(steps):
+    """Owned cells of the RDMA kernel are BIT-identical to the unsharded
+    fused kernel: the in-kernel remote halo copy delivers exactly the rows
+    the ppermute path concatenates, and the per-strip sweep arithmetic is
+    the same fp32 expression tree."""
+    policy = _policy()
+    n, h = 129, 1.0 / 128
+    u, f, us, fs = _fields(policy, n)
+    got = rdma_fused_jacobi(us, fs, n, h, steps, 0.8, policy, interpret=True)
+    want = pk.fused_jacobi_padded(u, f, n, h, steps, omega=0.8,
+                                  interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("steps", [3, 8])
+def test_rdma_matches_ppermute_path(steps):
+    policy = _policy()
+    n, h = 129, 1.0 / 128
+    _, _, us, fs = _fields(policy, n, seed=13)
+    got = rdma_fused_jacobi(us, fs, n, h, steps, 1.0, policy, interpret=True)
+    want = sharded_fused_jacobi(us, fs, n, h, steps, 1.0, policy,
+                                interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_rdma_from_zero_bitmatches():
+    """from_zero passes skip the u exchange entirely (the closed-form first
+    sweep never reads u); result still bit-matches."""
+    policy = _policy()
+    n, h = 129, 1.0 / 128
+    _, f, _, fs = _fields(policy, n)
+    z = jnp.zeros_like(f)
+    zs = jax.device_put(z, NamedSharding(policy.mesh, policy.spec(n)))
+    got = rdma_fused_jacobi(zs, fs, n, h, 3, 1.0, policy, from_zero=True,
+                            interpret=True)
+    want = pk.fused_jacobi_padded(z, f, n, h, 3, from_zero=True,
+                                  interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_rdma_multi_strip_shards(monkeypatch):
+    """Shard blocks that need several strips per device (so the
+    interior-first strip schedule actually reorders work and both halo
+    splices land in different strips) still bit-match. Exercised by
+    shrinking the VMEM budget — big shard blocks under the default budget
+    deadlock the *interpreter* (not the kernel): io_callback_impl
+    device_puts every callback arg onto cpu:0 and np.array-forces it, while
+    cpu:0 itself sits blocked in a semaphore-wait callback of its own shard
+    program. Real-TPU lowering has no such cross-device host dependency."""
+    monkeypatch.setattr(pk, "_VMEM_BUDGET_BYTES", 96 * 1024)
+    jax.clear_caches()
+    policy = _policy()
+    n, h = 129, 1.0 / 128
+    u, f, us, fs = _fields(policy, n, seed=3)
+    got = rdma_fused_jacobi(us, fs, n, h, 7, 0.9, policy, interpret=True)
+    want = pk.fused_jacobi_padded(u, f, n, h, 7, omega=0.9, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    jax.clear_caches()
+
+
+def test_rdma_larger_blocks_four_devices():
+    """Bigger per-device blocks (48 owned rows, 384 lanes) on a 4-device
+    ring — sized to stay clear of the 8-device interpreter deadlock
+    described in test_rdma_multi_strip_shards."""
+    policy = ShardingPolicy(make_mesh(jax.devices()[:4]), threshold_rows=8)
+    n, h = 257, 1.0 / 256
+    u, f, us, fs = _fields(policy, n, seed=3)
+    got = rdma_fused_jacobi(us, fs, n, h, 8, 0.9, policy, interpret=True)
+    want = pk.fused_jacobi_padded(u, f, n, h, 8, omega=0.9, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_compiled_engine_rdma_halo_matches():
+    """SolverConfig(halo='rdma') routes sharded sweeps through the RDMA
+    kernel; the whole compiled V-cycle matches the ppermute-path engine
+    bit-for-bit (owned smoother cells identical; glue ops shared)."""
+    policy = _policy()
+    program = mg.v_cycle(129, n_min=8, steps=3, coarse_target=1e-7)
+
+    def run(config):
+        cc = compile_program(program, PROBLEM, config, policy=policy,
+                             donate=False)
+        u, f = cc.init()
+        u1, _ = cc(u, f)
+        return np.asarray(cc.unpad(u1))
+
+    u_rdma = run(mg.SolverConfig(kernels="pallas", halo="rdma"))
+    u_ppermute = run(mg.SolverConfig(kernels="pallas"))
+    np.testing.assert_array_equal(u_rdma, u_ppermute)
