@@ -129,8 +129,10 @@ def bench_vcycle(n: int, iters: int = 20):
 
     run = jax.jit(lambda u, f: jax.lax.fori_loop(
         0, iters, lambda i, v: warm.fn(v, f)[0], cold.fn(u, f)[0]))
-    per_call = _timer().measure_differential(run, u, f, reps=2)
+    per_call, (lo, hi) = _timer().measure_differential_median(
+        run, u, f, reps=4, k=3)
     dt = per_call / (iters + 1)
+    dt_spread = (hi - lo) / (iters + 1)
 
     # convergence evidence: compensated relative residual after 1 vs 6
     # cycles, compared against the fp32 REPRESENTABILITY floor — the
@@ -145,7 +147,7 @@ def bench_vcycle(n: int, iters: int = 20):
 
     r1, r6 = run_k(1), run_k(6)
     floor = _fp32_floor(n)
-    return dt, r1, r6, floor
+    return dt, dt_spread, r1, r6, floor
 
 
 def _fp32_floor(n: int) -> float:
@@ -176,12 +178,13 @@ def bench_to_1e10(n: int, tol: float = 1e-10, max_cycles: int = 30):
     f = solver.init_rhs()
     u0, u1 = solver.initial_state()
     u2 = jnp.zeros_like(u0)
-    t = _timer().measure(lambda *a: solver._run(*a)[3],   # rel: one scalar
-                         u0, u1, u2, f, tol, max_cycles)
+    t, (lo, hi) = _timer().measure_median(
+        lambda *a: solver._run(*a)[3],   # rel: one scalar
+        u0, u1, u2, f, tol, max_cycles, k=3)
     _, _, _, rel, k = solver._run(u0, u1, u2, f, tol, max_cycles)
     rel, k = float(jax.device_get(rel)), int(jax.device_get(k))
     contraction = rel ** (1.0 / max(k, 1))
-    return t, rel, k, contraction
+    return t, hi - lo, rel, k, contraction
 
 
 def main():
@@ -191,26 +194,45 @@ def main():
     sweeps = int(os.environ.get("BENCH_SWEEPS", 8))
     iters = int(os.environ.get("BENCH_ITERS", 40 if on_tpu else 3))
 
-    gdofs, per_sweep = bench_smoothing(n, sweeps, iters, on_tpu)
+    gdofs, per_sweep, sw_spread = bench_smoothing(n, sweeps, iters, on_tpu)
     bw = _hbm_bw(dev)
     roofline_gdofs = bw / 12.0 / 1e9      # unfused 12 B/point fp32 Jacobi
     frac = gdofs / roofline_gdofs
 
     print(f"[bench] device={dev.device_kind} platform={dev.platform}", file=sys.stderr)
     print(f"[bench] smoothing N={n} ({sweeps}-sweep fused x{iters}): "
-          f"{gdofs:.2f} GDoF/s ({per_sweep*1e3:.3f} ms/sweep); unfused roofline "
-          f"{roofline_gdofs:.1f} GDoF/s -> {frac:.2f}x", file=sys.stderr)
+          f"{gdofs:.2f} GDoF/s ({per_sweep*1e3:.3f} ms/sweep, spread "
+          f"±{sw_spread*1e3/2:.3f}; median of 3 differentials); unfused "
+          f"roofline {roofline_gdofs:.1f} GDoF/s -> {frac:.2f}x",
+          file=sys.stderr)
 
     try:
         vn = int(os.environ.get("BENCH_VCYCLE_N", 4097 if on_tpu else 257))
-        vdt, r1, r6, floor = bench_vcycle(vn)
-        print(f"[bench] converging V(3,3) w=0.8 N={vn}: {vdt*1e3:.2f} ms/cycle, "
+        vdt, vspread, r1, r6, floor = bench_vcycle(vn)
+        print(f"[bench] converging V(3,3) w=0.8 N={vn}: {vdt*1e3:.2f} ms/cycle "
+              f"(spread ±{vspread*1e3/2:.2f}; median of 3 differentials), "
               f"rel residual {r1:.2e} (1 cycle) -> {r6:.2e} (6 cycles); "
               f"fp32 representability floor {floor:.2e} "
               f"(r6/floor = {r6/floor:.2f} -> converged in fp32)",
               file=sys.stderr)
     except Exception as e:  # noqa: BLE001 — context only, never break the JSON line
         print(f"[bench] V-cycle bench skipped: {e}", file=sys.stderr)
+
+    try:
+        # contraction evidence at a size whose fp32 representability floor
+        # (~1e-4 class) leaves room to SEE the per-cycle factor directly —
+        # at N ≥ 2049 the floor is O(0.1) and the big-N bench above can only
+        # show floor-detection (VERDICT r2 weak 5)
+        cn = int(os.environ.get("BENCH_CONTRACTION_N", 1025 if on_tpu else 0))
+        if cn:
+            _, _, cr1, cr6, cfloor = bench_vcycle(cn)
+            print(f"[bench] contraction N={cn}: unit rel residual -> "
+                  f"{cr1:.2e} after ONE cycle (factor {cr1:.3f}); "
+                  f"{cr6:.2e} after 6 (fp32 floor {cfloor:.2e} — the tail "
+                  f"is floor-limited, see the tw32 contraction below for "
+                  f"the deep-range factor)", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        print(f"[bench] contraction bench skipped: {e}", file=sys.stderr)
 
     try:
         n3 = int(os.environ.get("BENCH_3D_N", 513 if on_tpu else 0))
@@ -225,9 +247,12 @@ def main():
                 0, it3, lambda i, v: p3.v_cycle3(
                     v, f, h3, pre=3, post=3,
                     kernels="pallas" if on_tpu else "xla"), u))
-            dt3 = _timer().measure_differential(run3, u3, f3, reps=3) / it3
+            dt3c, (lo3, hi3) = _timer().measure_differential_median(
+                run3, u3, f3, reps=3, k=3)
+            dt3 = dt3c / it3
             print(f"[bench] 3-D V(3,3) {n3}^3 (fused bricks + fused legs): "
-                  f"{dt3*1e3:.2f} ms/cycle", file=sys.stderr)
+                  f"{dt3*1e3:.2f} ms/cycle (spread "
+                  f"±{(hi3-lo3)*1e3/2/it3:.2f})", file=sys.stderr)
     except Exception as e:  # noqa: BLE001
         print(f"[bench] 3-D bench skipped: {e}", file=sys.stderr)
 
@@ -242,22 +267,24 @@ def main():
                                       max_cycles=25, state="tw32")
             f3d = s3.init_rhs()
             w0, w1 = s3.initial_state()
-            t3 = _timer().measure(lambda *a: s3._run(*a)[3], w0, w1,
-                                  jnp.zeros_like(w0), f3d, 1e-10, 25)
+            t3, (lo, hi) = _timer().measure_median(
+                lambda *a: s3._run(*a)[3], w0, w1,
+                jnp.zeros_like(w0), f3d, 1e-10, 25, k=3)
             _, _, _, rel3, k3 = s3._run(w0, w1, jnp.zeros_like(w0), f3d,
                                         1e-10, 25)
             print(f"[bench] 3-D to 1e-10 {n3d}^3 (tw32 refinement, Pallas "
-                  f"mw-residual): {t3*1e3:.0f} ms device wall, "
-                  f"{int(jax.device_get(k3))} cycles, rel "
-                  f"{float(jax.device_get(rel3)):.2e}", file=sys.stderr)
+                  f"mw-residual): {t3*1e3:.0f} ms device wall (spread "
+                  f"±{(hi-lo)*1e3/2:.0f}), {int(jax.device_get(k3))} cycles, "
+                  f"rel {float(jax.device_get(rel3)):.2e}", file=sys.stderr)
     except Exception as e:  # noqa: BLE001
         print(f"[bench] 3-D deep bench skipped: {e}", file=sys.stderr)
 
     try:
         dn = int(os.environ.get("BENCH_DEEP_N", 8193 if on_tpu else 257))
-        dt10, rel, k, ceff = bench_to_1e10(dn)
+        dt10, spread10, rel, k, ceff = bench_to_1e10(dn)
         print(f"[bench] to 1e-10 N={dn} (tw32 refinement): "
-              f"{dt10*1e3:.1f} ms device wall, {k} cycles, "
+              f"{dt10*1e3:.1f} ms device wall (spread ±{spread10*1e3/2:.1f}; "
+              f"median of 3), {k} cycles, "
               f"final rel residual {rel:.2e}, effective contraction "
               f"{ceff:.3f}/cycle", file=sys.stderr)
     except Exception as e:  # noqa: BLE001

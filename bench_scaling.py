@@ -138,9 +138,29 @@ def main():
         print(f"[scaling/{mode}] {c} devices, N={n}: {dt*1e3:.2f} ms/cycle, "
               f"throughput efficiency {eff:.1%}", file=sys.stderr)
 
+    # predicted ICI-ring efficiency from the communication-volume model
+    # (utils.scaling_model) seeded with the 1-device measured cycle time —
+    # the hardware-free counterpart of the measured table above, for
+    # comparison against first real multi-chip numbers (BASELINE.md)
+    model_rows = []
+    if dim == 2 and t1 is not None:
+        from multigrid_poisson_solver_tpu.utils import scaling_model as smod
+
+        chip = "v5p" if "v5p" in getattr(
+            all_devices[0], "device_kind", "") else "v5e"
+        model_rows = smod.scaling_table(base_n, t1, ndevs=(2, 4, 8, 16),
+                                        chip=chip)
+        for r in model_rows:
+            print(f"[scaling/model] {r['ndev']} chips ({chip} ring), "
+                  f"N={r['n']}: comm {r['t_comm_ms']:.3f} ms/cycle vs "
+                  f"compute {r['t_compute_ms']:.2f} -> predicted eff "
+                  f"{r['efficiency_ppermute']:.1%} (ppermute) / "
+                  f"{r['efficiency_rdma_bound']:.1%} (RDMA overlap bound)",
+                  file=sys.stderr)
+
     print(json.dumps({"mode": mode, "dim": dim,
                       "backend": jax.default_backend(),
-                      "results": results}))
+                      "results": results, "model": model_rows}))
 
 
 if __name__ == "__main__":
