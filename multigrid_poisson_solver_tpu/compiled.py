@@ -314,6 +314,8 @@ def _trigger_smooth_traced(u, f, h, n: int, cfg: SolverConfig, policy=None):
     sweeps — extra smoothing, never less; gated behind the flag."""
     sharded = policy is not None and policy.is_sharded(n)
     fuse_err = cfg.smoother == "jacobi" and _use_pallas(cfg)
+    from .solver import effective_trigger_cap
+    max_sweeps = effective_trigger_cap(cfg.max_trigger_sweeps, n)
 
     if fuse_err and cfg.trigger_batch > 1:
         from .ops.pallas_kernels import (errs_sweep_cap,
@@ -344,7 +346,7 @@ def _trigger_smooth_traced(u, f, h, n: int, cfg: SolverConfig, policy=None):
         def cond(state):
             _, _, found, _, k = state
             return jnp.logical_and(jnp.logical_not(found),
-                                   k < cfg.max_trigger_sweeps)
+                                   k < max_sweeps)
 
         def body(state):
             v, last, _, _, k = state
@@ -381,7 +383,7 @@ def _trigger_smooth_traced(u, f, h, n: int, cfg: SolverConfig, policy=None):
 
     def cond(state):
         _, _, slope, k = state
-        return jnp.logical_and(slope > cfg.trigger, k < cfg.max_trigger_sweeps)
+        return jnp.logical_and(slope > cfg.trigger, k < max_sweeps)
 
     def body(state):
         u, prev, _, k = state

@@ -24,7 +24,7 @@ from .grid import GridSpec
 from .models import poisson3d as p3
 from .models.poisson3d import Problem3D
 from .schedule import Ascend, CoarseSolve, CycleProgram, Descend
-from .solver import SolverConfig
+from .solver import SolverConfig, effective_trigger_cap
 from .solver3 import _prolong_add3, _restrict_residual3
 
 
@@ -73,9 +73,10 @@ def _trace_program3(u, f, *, program: CycleProgram, problem: Problem3D,
 
     def smooth_xla(u, f, h, steps):
         if steps == -1:
-            u, err, _ = p3.trigger_smooth3(u, f, h, cfg.trigger, cfg.omega,
-                                           compat, cfg.smoother,
-                                           cfg.max_trigger_sweeps)
+            u, err, _ = p3.trigger_smooth3(
+                u, f, h, cfg.trigger, cfg.omega, compat, cfg.smoother,
+                effective_trigger_cap(cfg.max_trigger_sweeps,
+                                      round(1.0 / h) + 1, dim=3))
             return u, err
         return p3.smooth3(u, f, h, steps=steps, omega=cfg.omega,
                           compat=compat, smoother=cfg.smoother)
@@ -148,7 +149,7 @@ def _trace_program3(u, f, *, program: CycleProgram, problem: Problem3D,
             def bcond(state):
                 _, _, found, _, k = state
                 return jnp.logical_and(jnp.logical_not(found),
-                                       k < cfg.max_trigger_sweeps)
+                                       k < effective_trigger_cap(cfg.max_trigger_sweeps, n, dim=3))
 
             def bbody(state):
                 v, last, _, _, k = state
@@ -172,7 +173,7 @@ def _trace_program3(u, f, *, program: CycleProgram, problem: Problem3D,
         def cond(state):
             _, _, slope, k = state
             return jnp.logical_and(slope > cfg.trigger,
-                                   k < cfg.max_trigger_sweeps)
+                                   k < effective_trigger_cap(cfg.max_trigger_sweeps, n, dim=3))
 
         def body(state):
             u, prev, _, k = state

@@ -92,6 +92,24 @@ class SolverConfig:
                                       # rdma_fused_jacobi)
 
 
+# A device-side trigger while_loop that runs for minutes gets the TPU worker
+# killed by a watchdog ("TPU worker crashed or restarted" — CLAUDE.md, hit at
+# 513³ with the 100k default sweep cap). Bound the worst-case loop wall.
+TRIGGER_WALL_BUDGET_S = 30.0
+
+
+def effective_trigger_cap(max_trigger_sweeps: int, n: int, dim: int = 2) -> int:
+    """Watchdog guard: cap trigger sweeps so the worst-case device loop stays
+    under TRIGGER_WALL_BUDGET_S, estimating ~12 B/point per trigger sweep at
+    v5e bandwidth (≈2× the measured fused-pass cost — margin on the safe
+    side: 8193² ≈ 1.6 ms/sweep measured vs 3.9 modeled; 513³ ≈ 4.3 vs 7.9).
+    Small levels keep the configured cap; the min is taken, so an explicit
+    small ``max_trigger_sweeps`` always wins."""
+    est_sweep_s = 12.0 * (n ** dim) * 4.0 / 819e9
+    cap = max(64, int(TRIGGER_WALL_BUDGET_S / max(est_sweep_s, 1e-12)))
+    return min(max_trigger_sweeps, cap)
+
+
 @dataclasses.dataclass
 class Level:
     spec: GridSpec
@@ -325,9 +343,10 @@ class MultigridSolver:
         cfg = self.config
         h = lvl.spec.h
         if steps == -1:
-            u, err, k = _trigger_smooth(lvl.u, lvl.f, h, cfg.trigger, cfg.omega,
-                                        cfg.compat_error, cfg.smoother,
-                                        cfg.max_trigger_sweeps)
+            u, err, k = _trigger_smooth(
+                lvl.u, lvl.f, h, cfg.trigger, cfg.omega,
+                cfg.compat_error, cfg.smoother,
+                effective_trigger_cap(cfg.max_trigger_sweeps, lvl.spec.n))
             return u, err, k
         u, err = stencils.smooth(lvl.u, lvl.f, h, steps=steps, omega=cfg.omega,
                                  compat=cfg.compat_error, smoother=cfg.smoother)

@@ -170,9 +170,12 @@ class Solver3D:
         h = lvl.spec.h
         compat = "gpu" if cfg.compat_error == "gpu" else "clean"
         if steps == -1:
-            return p3.trigger_smooth3(lvl.u, lvl.f, h, cfg.trigger, cfg.omega,
-                                      compat, cfg.smoother,
-                                      cfg.max_trigger_sweeps)
+            from .solver import effective_trigger_cap
+            return p3.trigger_smooth3(
+                lvl.u, lvl.f, h, cfg.trigger, cfg.omega, compat,
+                cfg.smoother,
+                effective_trigger_cap(cfg.max_trigger_sweeps,
+                                      lvl.spec.n, dim=3))
         u, err = p3.smooth3(lvl.u, lvl.f, h, steps=steps, omega=cfg.omega,
                             compat=compat, smoother=cfg.smoother)
         return u, err, steps

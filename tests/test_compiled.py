@@ -163,3 +163,20 @@ def test_trigger_batch_converges_like_unbatched():
     e4, q4 = results[4]
     assert q4 == pytest.approx(q1, rel=0.05)      # same solution quality
     assert e4 <= e1 * 1.05                        # never less smoothing
+
+
+def test_trigger_watchdog_cap():
+    """Big-N trigger loops are bounded so a device while_loop cannot outlive
+    the TPU worker watchdog (VERDICT r2 item 8); small levels keep the
+    configured cap, explicit small caps always win."""
+    from multigrid_poisson_solver_tpu.solver import (
+        TRIGGER_WALL_BUDGET_S, effective_trigger_cap)
+
+    assert effective_trigger_cap(100_000, 65) == 100_000
+    big2 = effective_trigger_cap(100_000, 8193)
+    big3 = effective_trigger_cap(100_000, 513, dim=3)
+    # modeled worst-case wall stays within the budget
+    assert big2 * 12 * 8193**2 * 4 / 819e9 <= TRIGGER_WALL_BUDGET_S * 1.01
+    assert big3 * 12 * 513**3 * 4 / 819e9 <= TRIGGER_WALL_BUDGET_S * 1.01
+    assert big2 < 100_000 and big3 < 100_000
+    assert effective_trigger_cap(50, 8193) == 50
