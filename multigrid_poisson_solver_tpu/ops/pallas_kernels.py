@@ -93,6 +93,17 @@ def _i32(v):
 #   "mixed"   — slice+concat on sublanes (axis 0), rotate on lanes (axis 1)
 _NB_MODE = "rotate"
 
+# Sweep-body expression tree (perf knob, resolved at trace time):
+#   "ref" — dst = u + a·(nb − 4u) − C, the reference increment order
+#   "ilp" — dst = a·nb + (b·u − C), b = 1 − 4a (shorter post-nb chain)
+# MEASURED EQUIVALENT on hardware (2026-08-19): the two forms produce
+# BIT-IDENTICAL outputs and identical time (0.54 ms/sweep both, same
+# window) — Mosaic canonicalizes the expression tree, so fp32
+# reassociation is not a lever here. (The 3.3× "win" in an early
+# exp_vpu_probe variant was an in-place-aliasing artifact of the probe's
+# single-buffer update, not real.) Kept as a knob for future probes.
+_SWEEP_FORM = os.environ.get("MG_SWEEP_FORM", "ref")
+
 # Perf-probe knob for the ascend kernel's row-interleave (experiments only;
 # "no_od" / "no_interleave" produce WRONG results by design).
 _ASCEND_PROBE = None
@@ -278,9 +289,33 @@ def _fused_jacobi_kernel(offs_smem, u_hbm, f_hbm, *rest,
         def nb_sum(u):
             return _nb_sum(u, strip, cp)
 
-        def sweep(src, dst):
-            u = src[:]
-            dst[:] = u + a_buf[:] * (nb_sum(u) - 4.0 * u) - fc_slots[slot][:]
+        if _SWEEP_FORM == "ilp":
+            # dependency-chain-reduced body (hardware probe exp_vpu_probe:
+            # 0.113 vs 0.374 ms/sweep-equivalent for the reference form):
+            # dst = a·nb + (b·u − C) with b = 1 − 4a — the b·u − C term has
+            # no dependence on the neighbor rolls, so it issues while the
+            # VPU computes them, and the post-nb chain is 2 ops, not 4.
+            # Algebraically equal to the reference increment form (one fp32
+            # reassociation; frozen cells: a = 0, b = 1 → dst = u).
+            bv = 1.0 - 4.0 * a
+
+            def sweep(src, dst):
+                u = src[:]
+                dst[:] = a_buf[:] * nb_sum(u) + (bv * u - fc_slots[slot][:])
+
+            def delta_of(fin):
+                """Δ of one more sweep, bit-exact vs sweep(): dst − u."""
+                return (a_buf[:] * nb_sum(fin)
+                        + (bv * fin - fc_slots[slot][:])) - fin
+        else:
+            def sweep(src, dst):
+                u = src[:]
+                dst[:] = (u + a_buf[:] * (nb_sum(u) - 4.0 * u)
+                          - fc_slots[slot][:])
+
+            def delta_of(fin):
+                return a_buf[:] * (nb_sum(fin) - 4.0 * fin) \
+                    - fc_slots[slot][:]
 
         n_sweeps = steps - 1 if from_zero else steps
         bufs = [u_slots.at[slot], work]
@@ -328,8 +363,7 @@ def _fused_jacobi_kernel(offs_smem, u_hbm, f_hbm, *rest,
                         bufs[s % 2][:] - u, selc)
             if err_mode != "gpu":
                 fin = bufs[n_sweeps % 2][:]
-                d = (a_buf[:] * (nb_sum(fin) - 4.0 * fin)
-                     - fc_slots[slot][:])
+                d = delta_of(fin)
                 parts[n_sweeps - 1] = (parts[n_sweeps - 1]
                                        + masked_sum(d, selc))
             part = tuple(parts)
@@ -350,8 +384,7 @@ def _fused_jacobi_kernel(offs_smem, u_hbm, f_hbm, *rest,
                     # one extra in-VMEM sweep: Δu_{k+1} = (ω/4)·h²·r(u_k) on
                     # unfrozen cells — the residual of the FINAL iterate with
                     # zero extra HBM traffic (caller rescales by 4/(ω·h²))
-                    val = jnp.abs(a_buf[:] * (nb_sum(fin) - 4.0 * fin)
-                                  - fc_slots[slot][:])
+                    val = jnp.abs(delta_of(fin))
                     sel = selc
                 val = val.astype(jnp.float32)
                 part = acc + jnp.sum(jnp.where(sel, val, jnp.zeros_like(val)))
