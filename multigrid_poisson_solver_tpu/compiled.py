@@ -458,6 +458,55 @@ def _coarse_solve_traced(f_pad, h, n: int, ins: CoarseSolve, cfg: SolverConfig,
     return pad_grid_to(u, _pshape(n, policy))
 
 
+def _match_chain(instructions, i: int, n0: int, cfg: SolverConfig,
+                 policy, finest: bool):
+    """Match a pure V-shaped sub-pattern starting at instruction ``i``:
+    Descend×c (fixed steps, 2:1-aligned all the way), CoarseSolve, Ascend×c
+    — the shape ops.pallas_chain runs as TWO VMEM-resident kernels. Returns
+    (sizes, pre_steps, post_steps, solve_ins, next_i) or None.
+
+    Guards: Pallas+jacobi only; trigger (−1) and FMG (0) descents never
+    chain; every level must be replicated (un-sharded) under the policy;
+    the whole ladder must fit the chain VMEM budget; the finest-entry case
+    needs a recomputable error metric (cpu/clean — the gpu ping-pong metric
+    can't be recovered post-hoc)."""
+    if cfg.smoother != "jacobi" or not _use_pallas(cfg):
+        return None
+    if finest and cfg.compat_error == "gpu":
+        return None
+    sizes, pre = [n0], []
+    j = i
+    while j < len(instructions) and isinstance(instructions[j], Descend):
+        d = instructions[j]
+        if d.steps <= 0 or d.next_n != (sizes[-1] + 1) // 2:
+            return None
+        pre.append(d.steps)
+        sizes.append(d.next_n)
+        j += 1
+    if not pre or j >= len(instructions) \
+            or not isinstance(instructions[j], CoarseSolve):
+        return None
+    solve_ins = instructions[j]
+    j += 1
+    post = []
+    while (j < len(instructions) and len(post) < len(pre)
+           and isinstance(instructions[j], Ascend)):
+        if instructions[j].steps == -1:
+            return None
+        post.append(instructions[j].steps)
+        j += 1
+    if len(post) != len(pre):
+        return None
+    sizes = tuple(sizes)
+    if policy is not None and any(policy.is_sharded(m) for m in sizes):
+        return None
+    from .ops.pallas_chain import chain_fits
+    if not chain_fits(sizes):
+        return None
+    # instruction order ascends coarse→fine; chain wants per-LEVEL steps
+    return sizes, tuple(pre), tuple(reversed(post)), solve_ins, j
+
+
 def _run_traced(u0, f0, *, program: CycleProgram, problem: Problem,
                 config: SolverConfig, policy: Optional[ShardingPolicy],
                 warm: bool):
@@ -479,7 +528,11 @@ def _run_traced(u0, f0, *, program: CycleProgram, problem: Problem,
     def zeros_pad(spec):
         return jnp.zeros(_pshape(spec.n, policy), cfg.dtype)
 
-    for ins in program.instructions:
+    instructions = program.instructions
+    i = 0
+    while i < len(instructions):
+        ins = instructions[i]
+        i += 1
         lvl = levels[-1]
         n, h = lvl.spec.n, lvl.spec.h
 
@@ -492,6 +545,38 @@ def _run_traced(u0, f0, *, program: CycleProgram, problem: Problem,
                     boundary_pad(lvl.spec) if finest else zeros_pad(lvl.spec),
                     policy, n)
                 was_zeroed = not finest   # correction levels reset to u ≡ 0
+
+            chain = _match_chain(instructions, i - 1, n, cfg, policy, finest)
+            if chain is not None:
+                # the whole V-shaped remainder below this level fits in
+                # VMEM: run it as TWO kernels (descend chain + ascend chain)
+                # around the XLA coarse solve — bit-identical to the
+                # per-level fused path (ops.pallas_chain, tested)
+                from .ops.pallas_chain import (fused_chain_ascend,
+                                               fused_chain_descend)
+                sizes, pre, post, solve_ins, i = chain
+                u_list, f_list = fused_chain_descend(
+                    lvl.u, lvl.f, sizes, h, pre, cfg.omega,
+                    restriction=cfg.restriction,
+                    entry_from_zero=was_zeroed,
+                    interpret=_pallas_interpret())
+                depth = len(sizes) - 1
+                uc = _coarse_solve_traced(
+                    f_list[-1], h * (2 ** depth), sizes[-1], solve_ins, cfg,
+                    policy=None)
+                lvl.u = _constrain(fused_chain_ascend(
+                    u_list, [lvl.f] + f_list[:-1], uc, sizes, h, post,
+                    cfg.omega, interpret=_pallas_interpret()), policy, n)
+                if finest:
+                    # the engine's last_err semantics: the error after the
+                    # finest post-smoothing (or, with 0 post-sweeps, after
+                    # the finest pre-smoothing) — recomputed in one metric
+                    # pass (gpu compat excluded by the matcher)
+                    src = lvl.u if post[0] != 0 else u_list[0]
+                    last_err = P.smoothing_error_p(src, lvl.f, h, n,
+                                                   compat=cfg.compat_error)
+                    warm_now = True
+                continue
 
             next_spec = lvl.spec.coarsened(ins.next_n)
             m = ins.next_n

@@ -1,0 +1,353 @@
+"""VMEM-resident multigrid sub-cycles: a whole V-chain in TWO kernels.
+
+The compiled engine's per-level fused legs (ops.pallas_kernels) already
+collapse each level to ~2 kernels + 2 XLA lane passes, but a deep hierarchy
+still pays per-level kernel launches and HBM round-trips on levels that fit
+ENTIRELY in VMEM (a 1025² padded level is 4.8 MB; the whole 1025→9
+hierarchy incl. work buffers is ~17 MB of the chip's 128 MB VMEM). This
+module runs the full descend chain (per level: pre-sweeps → residual →
+restriction) and the full ascend chain (per level: prolongation → add →
+post-sweeps) as ONE Pallas kernel each, with only the tiny coarse exact
+solve in XLA between them:
+
+  * level arrays never touch HBM between levels (they stream out once, for
+    the ascend kernel / engine state);
+  * sweeps run on the full level in VMEM — no strips, no trapezoid halos,
+    no cut-edge freezing: full-grid sweeps, bit-exact with the strip
+    kernels' interiors and with the oracle's op order;
+  * row-direction transfer halves via the sublane-split reshape (the fused
+    descend's trick, bit-exact sampling); lane-direction transfers run as
+    in-kernel MXU matmuls with iota-built selection/2-tap matrices (Mosaic
+    cannot lane-deinterleave on the VPU, but the MXU contracts lanes for
+    free — probed bit-exact vs jnp.dot HIGHEST on hardware);
+  * restriction supports the reference's sampling AND full weighting
+    (in-VMEM separable [¼,½,¼] pre-smooth).
+
+Reference analog: the inner recursion of MG_solver_CPU.cpp's scheduler
+(doSmoothing → getResidual → doRestriction → … → doProlongation →
+doGridAddition → doSmoothing, MG_solver_CPU.cpp:158-426) for every level
+below the VMEM threshold, with all its per-op host dispatches and DRAM
+round-trips deleted.
+
+Alignment contract: every transition must be 2:1 vertex-aligned
+(n_{k+1} = (n_k + 1)/2, the coarsen=3 rule); sweep counts are uncapped
+(full-level sweeps need no halo budget).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .layout import padded_shape
+from .pallas_kernels import _nb_sum, _wrap_shift
+
+# VMEM ceiling for the whole chain (level buffers + work + matmul temps).
+# The v5e has 128 MiB/core; leave headroom for Mosaic temporaries.
+CHAIN_VMEM_BUDGET = 96 * 1024 * 1024
+
+
+def chain_sizes(n0: int, n_min: int = 3) -> tuple[int, ...]:
+    """The aligned ladder n0 → … while sizes stay odd-halvable."""
+    sizes = [n0]
+    while sizes[-1] > n_min and (sizes[-1] + 1) % 2 == 0:
+        m = (sizes[-1] + 1) // 2
+        if m < n_min:
+            break
+        sizes.append(m)
+    return tuple(sizes)
+
+
+def chain_vmem_bytes(sizes, itemsize: int = 4) -> int:
+    """VMEM bytes the chain kernels hold resident: u+f per level + one
+    work buffer at the top shape + the largest lane-matrix product."""
+    per_level = sum(rp * cp for rp, cp in map(padded_shape, sizes))
+    rp0, cp0 = padded_shape(sizes[0])
+    mat = max((padded_shape(a)[1] * padded_shape(b)[1]
+               for a, b in zip(sizes, sizes[1:])), default=0)
+    return (2 * per_level + rp0 * cp0 + mat) * itemsize
+
+
+def chain_fits(sizes, budget: int = CHAIN_VMEM_BUDGET) -> bool:
+    if len(sizes) < 2:
+        return False
+    if any(a != 2 * b - 1 for a, b in zip(sizes, sizes[1:])):
+        return False
+    return chain_vmem_bytes(sizes) <= budget
+
+
+# --- in-kernel building blocks -------------------------------------------------
+
+def _masks(n: int, shape):
+    rows = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    ok = (rows >= 1) & (rows <= n - 2) & (cols >= 1) & (cols <= n - 2)
+    return ok
+
+
+def _coeffs(n: int, shape, h2: float, omega: float, f_val, dtype):
+    """(a, fc): the masked ω/4 coefficient and the folded source term —
+    identical expressions to the strip kernels' per-strip coefficients."""
+    ok = _masks(n, shape)
+    a = jnp.where(ok, jnp.float32(0.25 * omega), jnp.float32(0.0)
+                  ).astype(dtype)
+    fc = a * (jnp.asarray(h2, dtype) * f_val)
+    return ok, a, fc
+
+
+def _select_mat(cp_src: int, cp_dst: int, dtype):
+    """(cp_src, cp_dst) even-lane selection: S[i, j] = (i == 2j)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (cp_src, cp_dst), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (cp_src, cp_dst), 1)
+    return (r == 2 * c).astype(dtype)
+
+
+def _expand_mat(cp_src: int, cp_dst: int, dtype):
+    """(cp_src, cp_dst) 2:1 lane expansion: fine 2i ← coarse i,
+    fine 2i+1 ← ½(coarse i + i+1) — prolong_lanes_p's aligned taps."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (cp_src, cp_dst), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (cp_src, cp_dst), 1)
+    even = (c == 2 * r).astype(dtype)
+    odd = ((c == 2 * r + 1) | (c == 2 * r - 1)).astype(dtype)
+    return even + jnp.asarray(0.5, dtype) * odd
+
+
+def _dot(a, b):
+    return jax.lax.dot(a, b, precision=jax.lax.Precision.HIGHEST)
+
+
+def _sweeps_inplace(ubuf, work, fc, a, ok, n_sweeps: int, from_zero: bool,
+                    rp: int, cp: int):
+    """Run sweeps on the full (rp, cp) level between ``ubuf`` and ``work``
+    (ping-pong), leaving the final iterate IN ``ubuf``. Returns nothing."""
+    if from_zero:
+        ubuf[:] = jnp.where(ok, -fc, jnp.zeros((rp, cp), fc.dtype))
+
+    def sweep(src_val):
+        return src_val + a * (_nb_sum(src_val, rp, cp) - 4.0 * src_val) - fc
+
+    bufs = [ubuf, work]
+    for s in range(n_sweeps):
+        bufs[(s + 1) % 2][:] = sweep(bufs[s % 2][:])
+    if n_sweeps % 2 == 1:
+        ubuf[:] = work[:]
+
+
+def _descend_chain_kernel(u0_hbm, f0_hbm, *rest, sizes, pshapes,
+                          h2s, pre_steps, omega: float, restriction: str,
+                          entry_from_zero: bool):
+    """Descend from sizes[0] to sizes[-1]: per level k < c — pre-sweeps,
+    residual (extra-sweep Δ identity), restriction into level k+1's RHS.
+    Outputs: u_k (post-pre-smooth) for k < c, f_k for 1 ≤ k ≤ c."""
+    c = len(sizes) - 1
+    u_outs = rest[:c]
+    f_outs = rest[c:2 * c]
+    u_bufs = rest[2 * c:3 * c]
+    f_bufs = rest[3 * c:4 * c + 1]
+    work0 = rest[4 * c + 1]
+    sem = rest[4 * c + 2]
+    dtype = f0_hbm.dtype
+
+    def dma(src, dst):
+        cpy = pltpu.make_async_copy(src, dst, sem)
+        cpy.start()
+        cpy.wait()
+
+    dma(f0_hbm, f_bufs[0])
+    if not entry_from_zero:
+        dma(u0_hbm, u_bufs[0])
+
+    for k in range(c):
+        n = sizes[k]
+        rp, cp = pshapes[k]
+        fz = entry_from_zero if k == 0 else True
+        f_val = f_bufs[k][:]
+        ok, a, fc = _coeffs(n, (rp, cp), h2s[k], omega, f_val, dtype)
+        work = work0.at[0:rp, 0:cp]
+        n_sweeps = pre_steps[k] - 1 if fz else pre_steps[k]
+        _sweeps_inplace(u_bufs[k], work, fc, a, ok, n_sweeps, fz, rp, cp)
+        dma(u_bufs[k], u_outs[k])
+
+        # residual of the final iterate from one extra in-VMEM sweep:
+        # Δ = a·(Σnb − 4u) − fc;  −r = Δ · (−4/(ω·h²))
+        fin = u_bufs[k][:]
+        delta = a * (_nb_sum(fin, rp, cp) - 4.0 * fin) - fc
+        rneg = delta * jnp.asarray(-4.0 / (omega * h2s[k]), dtype)
+        if restriction == "full_weighting":
+            rneg = (0.25 * _wrap_shift(rneg, 1, axis=1)
+                    + 0.5 * rneg
+                    + 0.25 * _wrap_shift(rneg, cp - 1, axis=1))
+            rneg = (0.25 * _wrap_shift(rneg, 1, axis=0)
+                    + 0.5 * rneg
+                    + 0.25 * _wrap_shift(rneg, rp - 1, axis=0))
+
+        # rows: even-sample via the sublane-split reshape (bit-exact);
+        # lanes: MXU selection matmul (bit-exact vs the take gather)
+        m = sizes[k + 1]
+        rpc, cpc = pshapes[k + 1]
+        dec_rows = rneg.reshape(rp // 2, 2, cp)[:, 0, :]
+        if rp // 2 >= rpc:
+            dec_rows = dec_rows[0:rpc, :]
+        else:
+            pad = jnp.zeros((rpc - rp // 2, cp), dtype)
+            dec_rows = jnp.concatenate([dec_rows, pad], axis=0)
+        dec = _dot(dec_rows, _select_mat(cp, cpc, dtype))
+        okc = _masks(m, (rpc, cpc))
+        f_bufs[k + 1][:] = jnp.where(okc, dec, jnp.zeros((rpc, cpc), dtype))
+        dma(f_bufs[k + 1], f_outs[k])
+
+
+def _ascend_chain_kernel(uc_hbm, *rest, sizes, pshapes, h2s, post_steps,
+                         omega: float):
+    """Ascend from sizes[-1] back to sizes[0]: per level k = c−1 … 0 —
+    2:1 prolongation of the child solution (lanes on the MXU, rows via the
+    interleave reshape), interior add, post-sweeps. Inputs: u_k/f_k from the
+    descend chain (k < c) + the coarse solution; output: the new u_0."""
+    c = len(sizes) - 1
+    u_ins = rest[:c]
+    f_ins = rest[c:2 * c]
+    out_hbm = rest[2 * c]
+    u_bufs = rest[2 * c + 1:3 * c + 1]
+    f_bufs = rest[3 * c + 1:4 * c + 1]
+    child_buf = rest[4 * c + 1]          # coarse child solution (max shape)
+    work0 = rest[4 * c + 2]
+    sem = rest[4 * c + 3]
+    dtype = uc_hbm.dtype
+
+    def dma(src, dst):
+        cpy = pltpu.make_async_copy(src, dst, sem)
+        cpy.start()
+        cpy.wait()
+
+    rpc_bot, cpc_bot = pshapes[c]
+    dma(uc_hbm, child_buf.at[0:rpc_bot, 0:cpc_bot])
+    for k in range(c):
+        dma(u_ins[k], u_bufs[k])
+        dma(f_ins[k], f_bufs[k])
+
+    for k in range(c - 1, -1, -1):
+        n = sizes[k]
+        rp, cp = pshapes[k]
+        m = sizes[k + 1]
+        rpc, cpc = pshapes[k + 1]
+        child = child_buf[0:rpc, 0:cpc]
+
+        # lanes on the MXU: (rpc, cpc) @ (cpc, cp) → coarse rows, fine lanes
+        cw = _dot(child, _expand_mat(cpc, cp, dtype))
+        # rows: fine 2t ← coarse t, fine 2t+1 ← ½(t + t+1); the last odd row
+        # reads one row past rp/2 — append a duplicate (those fine rows are
+        # ≥ n−1 and masked by the interior add)
+        cw = jnp.concatenate([cw, cw[rpc - 1:rpc, :]], axis=0)
+        ev = cw[0:rp // 2, :]
+        od = 0.5 * (ev + cw[1:rp // 2 + 1, :])
+        corr = jnp.stack([ev, od], axis=1).reshape(rp, cp)
+
+        f_val = f_bufs[k][:]
+        ok, a, fc = _coeffs(n, (rp, cp), h2s[k], omega, f_val, dtype)
+        u_bufs[k][:] = u_bufs[k][:] + jnp.where(ok, corr,
+                                                jnp.zeros((rp, cp), dtype))
+        work = work0.at[0:rp, 0:cp]
+        _sweeps_inplace(u_bufs[k], work, fc, a, ok, post_steps[k], False,
+                        rp, cp)
+        if k > 0:
+            child_buf[0:rp, 0:cp] = u_bufs[k][:]
+
+    dma(u_bufs[0], out_hbm)
+
+
+# --- public entry points -------------------------------------------------------
+
+def _h2s(h0: float, levels: int):
+    return tuple((h0 * (2 ** k)) ** 2 for k in range(levels))
+
+
+@partial(jax.jit, static_argnames=("sizes", "h0", "pre_steps", "omega",
+                                   "restriction", "entry_from_zero",
+                                   "interpret"))
+def fused_chain_descend(u0, f0, sizes: tuple, h0: float, pre_steps: tuple,
+                        omega: float, restriction: str = "sampling",
+                        entry_from_zero: bool = False,
+                        interpret: bool = False):
+    """Run the whole descend chain in one kernel. Returns
+    (u_list, f_list): u_list[k] = post-pre-smooth iterate at sizes[k]
+    (k < c); f_list[k] = RHS at sizes[k+1] (so f_list[-1] feeds the coarse
+    solve)."""
+    c = len(sizes) - 1
+    assert c >= 1 and len(pre_steps) == c
+    pshapes = tuple(padded_shape(n) for n in sizes)
+    assert u0.shape == pshapes[0] and f0.shape == pshapes[0]
+    dtype = u0.dtype
+
+    kernel = partial(_descend_chain_kernel, sizes=sizes, pshapes=pshapes,
+                     h2s=_h2s(h0, c + 1), pre_steps=pre_steps, omega=omega,
+                     restriction=restriction,
+                     entry_from_zero=entry_from_zero)
+
+    out_shape = ([jax.ShapeDtypeStruct(pshapes[k], dtype) for k in range(c)]
+                 + [jax.ShapeDtypeStruct(pshapes[k + 1], dtype)
+                    for k in range(c)])
+    scratch = ([pltpu.VMEM(pshapes[k], dtype) for k in range(c)]      # u
+               + [pltpu.VMEM(pshapes[k], dtype) for k in range(c + 1)]  # f
+               + [pltpu.VMEM(pshapes[0], dtype)]                      # work
+               + [pltpu.SemaphoreType.DMA])
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=tuple(out_shape),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_specs=tuple(pl.BlockSpec(memory_space=pl.ANY)
+                        for _ in out_shape),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(CHAIN_VMEM_BUDGET * 1.2)),
+        interpret=interpret,
+    )(u0, f0)
+    return list(outs[:c]), list(outs[c:])
+
+
+@partial(jax.jit, static_argnames=("sizes", "h0", "post_steps", "omega",
+                                   "interpret"))
+def fused_chain_ascend(u_list, f_list, uc, sizes: tuple, h0: float,
+                       post_steps: tuple, omega: float,
+                       interpret: bool = False):
+    """Run the whole ascend chain in one kernel; returns the new finest u.
+
+    ``u_list``/``f_list`` are fused_chain_descend's outputs with
+    f_list[k] = RHS at sizes[k+1]; internally the kernel wants the RHS AT
+    each smoothing level k < c, i.e. [f0-equivalent…]: pass f_list shifted —
+    here we expect f_at_level[k] for k < c (the caller supplies level-0's f
+    as f_at_level[0])."""
+    c = len(sizes) - 1
+    assert len(u_list) == c and len(f_list) == c and len(post_steps) == c
+    pshapes = tuple(padded_shape(n) for n in sizes)
+    dtype = uc.dtype
+    maxr = max(p[0] for p in pshapes[1:])
+    maxc = max(p[1] for p in pshapes[1:])
+
+    kernel = partial(_ascend_chain_kernel, sizes=sizes, pshapes=pshapes,
+                     h2s=_h2s(h0, c + 1), post_steps=post_steps, omega=omega)
+
+    scratch = ([pltpu.VMEM(pshapes[k], dtype) for k in range(c)]      # u
+               + [pltpu.VMEM(pshapes[k], dtype) for k in range(c)]    # f
+               + [pltpu.VMEM((maxr, maxc), dtype)]                    # child
+               + [pltpu.VMEM(pshapes[0], dtype)]                      # work
+               + [pltpu.SemaphoreType.DMA])
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(pshapes[0], dtype),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (1 + 2 * c),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(CHAIN_VMEM_BUDGET * 1.2)),
+        interpret=interpret,
+    )(uc, *u_list, *f_list)
+
+
+__all__ = ["chain_sizes", "chain_fits", "chain_vmem_bytes",
+           "fused_chain_descend", "fused_chain_ascend",
+           "CHAIN_VMEM_BUDGET"]

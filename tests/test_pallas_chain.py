@@ -1,0 +1,244 @@
+"""VMEM-resident sub-cycle chain kernels (ops.pallas_chain).
+
+The descend chain (per level: pre-sweeps + residual + restriction) and
+ascend chain (prolongation + add + post-sweeps) must BIT-match the
+per-level fused-leg path (pallas_kernels fused_descend/ascend + the XLA
+lane passes) — same expression trees, lane transfers as exact MXU
+selection/2-tap matmuls.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import multigrid_poisson_solver_tpu as mg
+from multigrid_poisson_solver_tpu.ops import layout
+from multigrid_poisson_solver_tpu.ops import padded as P
+from multigrid_poisson_solver_tpu.ops import pallas_chain as pc
+from multigrid_poisson_solver_tpu.ops import pallas_kernels as pk
+
+
+def _fields(n0, seed=5):
+    rng = np.random.default_rng(seed)
+    rp, cp = layout.padded_shape(n0)
+    u0 = jnp.zeros((rp, cp), jnp.float32).at[:n0, :n0].set(
+        jnp.asarray(rng.random((n0, n0)), jnp.float32))
+    f0 = jnp.zeros((rp, cp), jnp.float32).at[:n0, :n0].set(
+        jnp.asarray(rng.random((n0, n0)), jnp.float32))
+    return u0, f0
+
+
+def _reference_descend(u0, f0, sizes, h0, steps, omega, restriction,
+                       entry_from_zero=False):
+    uref, fref = [], []
+    ucur, fcur = u0, f0
+    c = len(sizes) - 1
+    for k in range(c):
+        n, m = sizes[k], sizes[k + 1]
+        h = h0 * 2 ** k
+        un, dwide, _ = pk.fused_descend_padded(
+            ucur, fcur, n, h, steps, omega=omega, restriction=restriction,
+            compat=True, want_err=False,
+            from_zero=entry_from_zero if k == 0 else True, interpret=True)
+        fc = P.restrict_lanes_p(dwide, n, m, layout.padded_shape(m))
+        uref.append(un)
+        fref.append(fc)
+        ucur = jnp.zeros(layout.padded_shape(m), jnp.float32)
+        fcur = fc
+    return uref, fref
+
+
+@pytest.mark.parametrize("restriction", ["sampling", "full_weighting"])
+def test_descend_chain_bitmatches_per_level(restriction):
+    n0 = 65
+    sizes = pc.chain_sizes(n0, n_min=5)
+    assert pc.chain_fits(sizes)
+    c = len(sizes) - 1
+    h0 = 1.0 / (n0 - 1)
+    u0, f0 = _fields(n0)
+    got_u, got_f = pc.fused_chain_descend(
+        u0, f0, sizes, h0, tuple([3] * c), 0.8, restriction=restriction,
+        interpret=True)
+    want_u, want_f = _reference_descend(u0, f0, sizes, h0, 3, 0.8,
+                                        restriction)
+    for k in range(c):
+        np.testing.assert_array_equal(np.asarray(got_u[k]),
+                                      np.asarray(want_u[k]))
+        np.testing.assert_array_equal(np.asarray(got_f[k]),
+                                      np.asarray(want_f[k]))
+
+
+def test_descend_chain_from_zero_entry():
+    """Entry level with u ≡ 0 (a W-cycle's inner excursion) takes the
+    closed-form first sweep at the top too."""
+    n0 = 33
+    sizes = pc.chain_sizes(n0, n_min=5)
+    c = len(sizes) - 1
+    h0 = 1.0 / (n0 - 1)
+    _, f0 = _fields(n0, seed=9)
+    z = jnp.zeros_like(f0)
+    got_u, got_f = pc.fused_chain_descend(
+        z, f0, sizes, h0, tuple([2] * c), 1.0, entry_from_zero=True,
+        interpret=True)
+    want_u, want_f = _reference_descend(z, f0, sizes, h0, 2, 1.0,
+                                        "sampling", entry_from_zero=True)
+    for k in range(c):
+        np.testing.assert_array_equal(np.asarray(got_u[k]),
+                                      np.asarray(want_u[k]))
+        np.testing.assert_array_equal(np.asarray(got_f[k]),
+                                      np.asarray(want_f[k]))
+
+
+def test_ascend_chain_bitmatches_per_level():
+    n0 = 65
+    sizes = pc.chain_sizes(n0, n_min=5)
+    c = len(sizes) - 1
+    h0 = 1.0 / (n0 - 1)
+    u0, f0 = _fields(n0)
+    u_list, f_list = pc.fused_chain_descend(
+        u0, f0, sizes, h0, tuple([3] * c), 0.8, interpret=True)
+
+    nb = sizes[-1]
+    rpb, cpb = layout.padded_shape(nb)
+    rng = np.random.default_rng(11)
+    uc = jnp.zeros((rpb, cpb), jnp.float32).at[1:nb - 1, 1:nb - 1].set(
+        jnp.asarray(rng.random((nb - 2, nb - 2)), jnp.float32))
+
+    f_at = [f0] + f_list[:-1]
+    got = pc.fused_chain_ascend(u_list, f_at, uc, sizes, h0,
+                                tuple([3] * c), 0.8, interpret=True)
+
+    ucur = uc
+    for k in range(c - 1, -1, -1):
+        n, m = sizes[k], sizes[k + 1]
+        h = h0 * 2 ** k
+        rpk, cpk = layout.padded_shape(n)
+        cw = P.prolong_lanes_p(ucur, m, n, (rpk // 2 + 8, cpk))
+        ucur, _ = pk.fused_ascend_padded(u_list[k], f_at[k], cw, n, h, 3,
+                                         omega=0.8, compat=True,
+                                         want_err=False, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ucur))
+
+
+def test_chain_vcycle_converges():
+    """A full V-cycle built from the two chain kernels + the dense coarse
+    solve contracts like the engine's V-cycle and reaches the
+    discretization floor."""
+    from multigrid_poisson_solver_tpu.ops import coarse as co
+    from multigrid_poisson_solver_tpu.ops.layout import (
+        pad_grid_to, unpad_grid)
+
+    n0 = 65
+    sizes = pc.chain_sizes(n0, n_min=8)
+    c = len(sizes) - 1
+    h0 = 1.0 / (n0 - 1)
+    spec = mg.GridSpec(n0)
+    prob = mg.REFERENCE_PROBLEM
+    f0 = layout.pad_grid(prob.source_grid(spec, jnp.float32)
+                         + prob.boundary_grid(spec, jnp.float32))
+    u = layout.pad_grid(prob.boundary_grid(spec, jnp.float32))
+    nb, hb = sizes[-1], h0 * 2 ** c
+
+    def vcycle(u):
+        u_list, f_list = pc.fused_chain_descend(
+            u, f0, sizes, h0, tuple([3] * c), 0.8, interpret=True)
+        uc = pad_grid_to(co.dense_solve(unpad_grid(f_list[-1], nb), hb),
+                         layout.padded_shape(nb))
+        return pc.fused_chain_ascend(u_list, [f0] + f_list[:-1], uc, sizes,
+                                     h0, tuple([3] * c), 0.8, interpret=True)
+
+    for _ in range(8):
+        u = vcycle(u)
+    ana = prob.analytic_grid(spec, jnp.float32)
+    err = float(jnp.mean(jnp.abs(unpad_grid(u, n0) - ana)))
+    assert err < 5e-4          # h²-floor class at n=65
+
+
+def test_chain_fits_guards():
+    assert not pc.chain_fits((64, 32))            # not 2:1 vertex-aligned
+    assert not pc.chain_fits((65,))               # no transition
+    big = pc.chain_sizes(8193, n_min=8)
+    assert not pc.chain_fits(big)                 # 8193 level alone > budget
+
+
+def test_compiled_engine_chains_and_bitmatches():
+    """The compiled engine detects the V-shaped remainder and routes it
+    through the chain kernels; the result is BIT-identical to the
+    per-level fused path (chain disabled via monkeypatch)."""
+    import unittest.mock as mock
+
+    from multigrid_poisson_solver_tpu import compiled as C
+
+    program = mg.v_cycle(129, n_min=8, steps=3, coarse_option=0, coarsen=3)
+    cfg = mg.SolverConfig(omega=0.8, kernels="pallas",
+                          collect_node_stats=False)
+
+    engaged = {"n": 0}
+    real = C._match_chain
+
+    def counting(*a, **k):
+        r = real(*a, **k)
+        if r is not None:
+            engaged["n"] += 1
+        return r
+
+    with mock.patch.object(C, "_match_chain", counting):
+        cc = C.compile_program(program, mg.REFERENCE_PROBLEM, cfg,
+                               donate=False)
+        u, f = cc.init()
+        u_chain, _ = cc(u, f)
+    assert engaged["n"] >= 1, "chain never engaged on an aligned program"
+
+    with mock.patch.object(C, "_match_chain", lambda *a, **k: None):
+        cc2 = C.compile_program(program, mg.REFERENCE_PROBLEM, cfg,
+                                donate=False)
+        u2, f2 = cc2.init()
+        u_plain, _ = cc2(u2, f2)
+    np.testing.assert_array_equal(np.asarray(u_chain), np.asarray(u_plain))
+
+
+def test_compiled_engine_chain_err_semantics():
+    """last_err from a chained finest-entry cycle matches the per-level
+    engine's fused error to metric tolerance (recomputed post-chain)."""
+    import unittest.mock as mock
+
+    from multigrid_poisson_solver_tpu import compiled as C
+
+    program = mg.v_cycle(65, n_min=8, steps=3, coarse_option=0, coarsen=3)
+    for compat in (True, False):
+        cfg = mg.SolverConfig(omega=0.8, kernels="pallas",
+                              compat_error=compat,
+                              collect_node_stats=False)
+        cc = C.compile_program(program, mg.REFERENCE_PROBLEM, cfg,
+                               donate=False)
+        u, f = cc.init()
+        _, err_chain = cc(u, f)
+        with mock.patch.object(C, "_match_chain", lambda *a, **k: None):
+            cc2 = C.compile_program(program, mg.REFERENCE_PROBLEM, cfg,
+                                    donate=False)
+            u2, f2 = cc2.init()
+            _, err_plain = cc2(u2, f2)
+        assert float(err_chain) == pytest.approx(float(err_plain), rel=1e-4)
+
+
+def test_chain_skips_gpu_metric_at_finest():
+    """The gpu ping-pong metric cannot be recomputed post-chain — the
+    matcher must refuse finest-entry chains under compat_error='gpu' and
+    the engine must still produce the fused gpu error."""
+    import unittest.mock as mock
+
+    from multigrid_poisson_solver_tpu import compiled as C
+
+    program = mg.v_cycle(65, n_min=8, steps=3, coarse_option=0, coarsen=3)
+    cfg = mg.SolverConfig(omega=0.8, kernels="pallas", compat_error="gpu",
+                          collect_node_stats=False)
+    cc = C.compile_program(program, mg.REFERENCE_PROBLEM, cfg, donate=False)
+    u, f = cc.init()
+    _, err = cc(u, f)
+    with mock.patch.object(C, "_match_chain", lambda *a, **k: None):
+        cc2 = C.compile_program(program, mg.REFERENCE_PROBLEM, cfg,
+                                donate=False)
+        u2, f2 = cc2.init()
+        _, err2 = cc2(u2, f2)
+    assert float(err) == pytest.approx(float(err2), rel=1e-5)
