@@ -44,12 +44,21 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os
+
 from .layout import padded_shape
 from .pallas_kernels import _nb_sum, _wrap_shift
 
 # VMEM ceiling for the whole chain (level buffers + work + matmul temps).
 # The v5e has 128 MiB/core; leave headroom for Mosaic temporaries.
 CHAIN_VMEM_BUDGET = 96 * 1024 * 1024
+
+# Root-level cap. The in-kernel lane transfers are O(cp²) MXU matmuls, so
+# the chain's win inverts once levels get wide: measured full-cycle A/B on
+# v5e (2026-08-19) — root 1025: 0.136 vs 0.252 ms/cycle (1.85× win);
+# root 2049: 2.42 vs 2.16 at N=4097 (0.89×, the 2049→1025 selection matmul
+# alone is ~0.16 ms). 1025 is the crossover-safe default.
+CHAIN_MAX_ROOT = int(os.environ.get("MG_CHAIN_MAX_ROOT", 1025))
 
 
 def chain_sizes(n0: int, n_min: int = 3) -> tuple[int, ...]:
@@ -74,7 +83,7 @@ def chain_vmem_bytes(sizes, itemsize: int = 4) -> int:
 
 
 def chain_fits(sizes, budget: int = CHAIN_VMEM_BUDGET) -> bool:
-    if len(sizes) < 2:
+    if len(sizes) < 2 or sizes[0] > CHAIN_MAX_ROOT:
         return False
     if any(a != 2 * b - 1 for a, b in zip(sizes, sizes[1:])):
         return False
