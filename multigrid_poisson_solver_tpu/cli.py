@@ -58,6 +58,12 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["auto", "pallas", "xla"],
                    help="hot-path kernel routing: Pallas fused kernels "
                         "(auto = on TPU), or plain-XLA stencils")
+    p.add_argument("--halo", default="ppermute",
+                   choices=["ppermute", "rdma"],
+                   help="sharded-smoother halo exchange: ppermute "
+                        "(collective barrier per fused pass) or rdma "
+                        "(in-kernel inter-chip DMAs overlapped with "
+                        "interior compute; 1-D row partitions)")
     p.add_argument("--trigger", type=float, default=0.01,
                    help="error-trigger slope threshold (reference hardcodes 0.01)")
     p.add_argument("--error-metric", default="cpu",
@@ -277,6 +283,7 @@ def main(argv=None) -> int:
         compat_error={"cpu": True, "clean": False,
                       "gpu": "gpu"}[args.error_metric],
         kernels=args.kernels,
+        halo=args.halo,
         trigger_batch=args.trigger_batch,
         collect_node_stats=args.stats or not args.quiet,
     )
