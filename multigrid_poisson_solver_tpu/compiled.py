@@ -317,6 +317,18 @@ def _trigger_smooth_traced(u, f, h, n: int, cfg: SolverConfig, policy=None):
     from .solver import effective_trigger_cap
     max_sweeps = effective_trigger_cap(cfg.max_trigger_sweeps, n)
 
+    if fuse_err and not sharded:
+        from .ops.pallas_chain import fused_trigger_vmem, trigger_fits
+        if trigger_fits(n):
+            # the WHOLE trigger loop as one VMEM-resident kernel: no HBM
+            # traffic and no dispatch per sweep (the per-pass path below
+            # pays ~3 HBM passes each); identical stop rule and metrics.
+            # Supersedes trigger_batch at these sizes — exact semantics
+            # faster than the batched overshoot.
+            return fused_trigger_vmem(u, f, n, h, cfg.trigger, cfg.omega,
+                                      cfg.compat_error, max_sweeps,
+                                      interpret=_pallas_interpret())
+
     if fuse_err and cfg.trigger_batch > 1:
         from .ops.pallas_kernels import (errs_sweep_cap,
                                          fused_jacobi_errs_padded)

@@ -357,6 +357,114 @@ def fused_chain_ascend(u_list, f_list, uc, sizes: tuple, h0: float,
     )(uc, *u_list, *f_list)
 
 
+# --- in-VMEM error-trigger smoothing -------------------------------------------
+
+def trigger_fits(n: int, itemsize: int = 4,
+                 budget: int = CHAIN_VMEM_BUDGET) -> bool:
+    """The trigger loop holds u plus ~3 full-level temporaries resident."""
+    rp, cp = padded_shape(n)
+    return 4 * rp * cp * itemsize <= budget
+
+
+def _trigger_vmem_kernel(u_hbm, f_hbm, out_hbm, stat_smem, ubuf, sem, *,
+                         n: int, rp: int, cp: int, h2: float, omega: float,
+                         trigger: float, compat, max_sweeps: int):
+    """The reference's whole error-trigger loop (MG_solver_CPU.cpp:194-240)
+    as ONE kernel: sweep while |err_k − err_{k−1}| > trigger, entirely in
+    VMEM — no HBM traffic and no kernel launch per sweep (the per-pass path
+    pays ~3 HBM passes + a dispatch per sweep). Stop rule, metrics, and
+    iterates match the per-pass fused path exactly (same expression trees;
+    cpu/clean error via the extra-sweep Δ identity, gpu via |ΔU|)."""
+    dtype = u_hbm.dtype
+    # f is consumed only through the folded source term fc: stage it through
+    # ubuf (then overwrite ubuf with u) so the kernel needs ONE buffer; fc
+    # lives on as an SSA value (Mosaic materializes its own VMEM temp)
+    dma_f = pltpu.make_async_copy(f_hbm, ubuf, sem)
+    dma_f.start()
+    dma_f.wait()
+    ok, a, fc = _coeffs(n, (rp, cp), h2, omega, ubuf[:], dtype)
+
+    dma_in = pltpu.make_async_copy(u_hbm, ubuf, sem)
+    dma_in.start()
+    dma_in.wait()
+    rows = jax.lax.broadcasted_iota(jnp.int32, (rp, cp), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (rp, cp), 1)
+    if compat == "gpu":
+        sel = ok
+        scale = 4.0 / h2 / (n * n)
+    else:
+        sel = ok & (((rows + cols) % 2 == 0) if compat else True)
+        scale = 4.0 / (omega * h2) / (n * n) * (2.0 if compat else 1.0)
+
+    def sweep_val(u):
+        return u + a * (_nb_sum(u, rp, cp) - 4.0 * u) - fc
+
+    def msum(v):
+        v = jnp.abs(v).astype(jnp.float32)
+        return jnp.sum(jnp.where(sel, v, jnp.zeros_like(v)))
+
+    def step():
+        """One sweep in place; returns this iterate's metric."""
+        u_old = ubuf[:]
+        u_new = sweep_val(u_old)
+        ubuf[:] = u_new
+        if compat == "gpu":
+            raw = msum(u_new - u_old)
+        else:
+            # err of u_new needs Δ of the NEXT sweep (extra in-VMEM sweep,
+            # never written — exactly fused_jacobi_err_padded's identity)
+            raw = msum(a * (_nb_sum(u_new, rp, cp) - 4.0 * u_new) - fc)
+        return raw * jnp.float32(scale)
+
+    err0 = step()
+
+    def cond(carry):
+        _, slope, k = carry
+        return jnp.logical_and(slope > trigger, k < max_sweeps)
+
+    def body(carry):
+        prev, _, k = carry
+        err = step()
+        return err, jnp.abs(err - prev), k + 1
+
+    err, _, k = jax.lax.while_loop(
+        cond, body, (err0, jnp.float32(trigger + 1.0), jnp.int32(1)))
+    stat_smem[0, 0] = err
+    stat_smem[0, 1] = k.astype(jnp.float32)
+
+    dma_out = pltpu.make_async_copy(ubuf, out_hbm, sem)
+    dma_out.start()
+    dma_out.wait()
+
+
+@partial(jax.jit, static_argnames=("n", "h", "trigger", "omega", "compat",
+                                   "max_sweeps", "interpret"))
+def fused_trigger_vmem(u, f, n: int, h: float, trigger: float, omega: float,
+                       compat, max_sweeps: int, interpret: bool = False):
+    """Error-triggered smoothing with the whole loop in VMEM; returns
+    (u_new, err) like the engine's per-pass trigger path (plus the sweep
+    count in the second stat slot, unused by the engine)."""
+    rp, cp = padded_shape(n)
+    assert u.shape == (rp, cp) and trigger_fits(n)
+    kernel = partial(_trigger_vmem_kernel, n=n, rp=rp, cp=cp, h2=h * h,
+                     omega=omega, trigger=trigger, compat=compat,
+                     max_sweeps=max_sweeps)
+    out, stat = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((rp, cp), u.dtype),
+                   jax.ShapeDtypeStruct((1, 2), jnp.float32)),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        scratch_shapes=[pltpu.VMEM((rp, cp), u.dtype),
+                        pltpu.SemaphoreType.DMA],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(CHAIN_VMEM_BUDGET * 1.2)),
+        interpret=interpret,
+    )(u, f)
+    return out, stat[0, 0].astype(u.dtype)
+
+
 __all__ = ["chain_sizes", "chain_fits", "chain_vmem_bytes",
-           "fused_chain_descend", "fused_chain_ascend",
-           "CHAIN_VMEM_BUDGET"]
+           "fused_chain_descend", "fused_chain_ascend", "fused_trigger_vmem",
+           "trigger_fits", "CHAIN_VMEM_BUDGET"]

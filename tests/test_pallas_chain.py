@@ -242,3 +242,56 @@ def test_chain_skips_gpu_metric_at_finest():
         u2, f2 = cc2.init()
         _, err2 = cc2(u2, f2)
     assert float(err) == pytest.approx(float(err2), rel=1e-5)
+
+
+@pytest.mark.parametrize("compat", [True, False, "gpu"])
+def test_trigger_vmem_bitmatches_per_pass_loop(compat):
+    """fused_trigger_vmem: the whole |Δerr| > trigger loop in one kernel —
+    iterates BIT-match the per-pass fused trigger loop, same stop point,
+    same reported error."""
+    n, h = 65, 1.0 / 64
+    u0, f0 = _fields(n, seed=3)
+    gu, ge = pc.fused_trigger_vmem(u0, f0, n, h, 0.05, 0.9, compat, 500,
+                                   interpret=True)
+    v, err = pk.fused_jacobi_err_padded(u0, f0, n, h, 1, omega=0.9,
+                                        compat=compat, interpret=True)
+    prev, k, slope = err, 1, 1e9
+    while slope > 0.05 and k < 500:
+        v, err = pk.fused_jacobi_err_padded(v, f0, n, h, 1, omega=0.9,
+                                            compat=compat, interpret=True)
+        slope = abs(float(err) - float(prev))
+        prev = err
+        k += 1
+    np.testing.assert_array_equal(np.asarray(gu), np.asarray(v))
+    assert float(ge) == pytest.approx(float(err), rel=1e-6)
+
+
+def test_compiled_trigger_routes_through_vmem_kernel():
+    """A kernels='pallas' trigger schedule at VMEM-fitting sizes uses the
+    in-VMEM loop (the per-pass fused step must not be called) and matches
+    the per-pass engine."""
+    import unittest.mock as mock
+
+    from multigrid_poisson_solver_tpu.ops import pallas_chain as PC
+
+    program = mg.v_cycle(65, n_min=8, steps=-1)
+    cfg = mg.SolverConfig(omega=0.8, kernels="pallas",
+                          collect_node_stats=False)
+
+    def boom(*a, **k):
+        raise AssertionError("per-pass trigger step used despite the "
+                             "VMEM trigger kernel fitting")
+
+    with mock.patch.object(pk, "fused_jacobi_err_padded", boom):
+        cc = mg.compile_program(program, mg.REFERENCE_PROBLEM, cfg,
+                                donate=False)
+        u, f = cc.init()
+        u_vmem, _ = cc(u, f)
+
+    with mock.patch.object(PC, "trigger_fits", lambda *a, **k: False):
+        cc2 = mg.compile_program(program, mg.REFERENCE_PROBLEM, cfg,
+                                 donate=False)
+        u2, f2 = cc2.init()
+        u_pass, _ = cc2(u2, f2)
+    np.testing.assert_array_equal(np.asarray(cc.unpad(u_vmem)),
+                                  np.asarray(cc2.unpad(u_pass)))
