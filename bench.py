@@ -257,6 +257,31 @@ def main():
         print(f"[bench] contraction bench skipped: {e}", file=sys.stderr)
 
     try:
+        tn = int(os.environ.get("BENCH_TRIGGER_N", 1025 if on_tpu else 0))
+        if tn:
+            # BASELINE config 2's shape: W-cycle with error-trigger levels —
+            # runs the in-VMEM trigger-loop kernel (ops.pallas_chain)
+            cfg = mg.SolverConfig(omega=0.8, collect_node_stats=False,
+                                  kernels="pallas" if on_tpu else "auto")
+            pw = mg.w_cycle(tn, n_min=8, steps=-1, coarse_option=0)
+            coldw = mg.compile_program(pw, mg.REFERENCE_PROBLEM, cfg,
+                                       donate=False)
+            warmw = mg.compile_program(pw, mg.REFERENCE_PROBLEM, cfg,
+                                       donate=False, warm=True)
+            uw, fw = coldw.init()
+            tw_iters = 20
+            runw = jax.jit(lambda u, f: jax.lax.fori_loop(
+                0, tw_iters, lambda i, v: warmw.fn(v, f)[0],
+                coldw.fn(u, f)[0]))
+            twc, (lo, hi) = _timer().measure_differential_median(
+                runw, uw, fw, reps=3, k=3)
+            print(f"[bench] trigger W-cycle N={tn} (in-VMEM trigger loop): "
+                  f"{twc/(tw_iters+1)*1e3:.3f} ms/cycle (spread "
+                  f"±{(hi-lo)/(tw_iters+1)*1e3/2:.3f})", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        print(f"[bench] trigger bench skipped: {e}", file=sys.stderr)
+
+    try:
         n3 = int(os.environ.get("BENCH_3D_N", 513 if on_tpu else 0))
         if n3:
             from multigrid_poisson_solver_tpu.models import poisson3d as p3
