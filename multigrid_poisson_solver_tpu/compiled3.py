@@ -129,6 +129,15 @@ def _trace_program3(u, f, *, program: CycleProgram, problem: Problem3D,
         (extra smoothing, never less; flag-gated, as in the 2-D engine)."""
         mode = compat              # already normalized to "clean" | "gpu"
 
+        if p3k.trigger3_fits(n):
+            # the WHOLE trigger loop as one VMEM-resident kernel (volumes
+            # ≤ ~129³): no HBM traffic / dispatch per sweep; identical stop
+            # rule and metrics. Supersedes trigger_batch at these sizes.
+            return p3k.fused_trigger3_vmem(
+                lu, lf, n, h, cfg.trigger, cfg.omega, compat,
+                effective_trigger_cap(cfg.max_trigger_sweeps, n, dim=3),
+                interpret=interp)
+
         if cfg.trigger_batch > 1:
             B = min(cfg.trigger_batch, p3k.errs3_sweep_cap(compat))
 

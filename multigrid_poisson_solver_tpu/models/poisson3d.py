@@ -138,21 +138,27 @@ def trigger_smooth3(u, f, h: float, trigger: float, omega: float, compat,
 
 
 @lru_cache(maxsize=8)
-def _laplacian3_inverse(n: int, h: float, dtype_name: str):
+def _laplacian3_inverse(n: int, h: float, dtype_name: str) -> np.ndarray:
     """Cached f64 inverse of the interior 7-point Laplacian on an n³ grid
     ((n−2)³ unknowns; the 3-D analog of ops.coarse.dense_solve's cached
-    InverseMatrix redesign — one HIGHEST-precision MXU matmul applies it)."""
+    InverseMatrix redesign — one HIGHEST-precision MXU matmul applies it).
+
+    Caches a HOST numpy array, never a jnp array: a jnp constant built
+    inside one jit sub-trace and replayed from the cache inside a sibling
+    sub-trace escapes its trace scope (UnexpectedTracerError — hit when two
+    compiled3 engines sharing the cache were traced in one outer jit)."""
     m = n - 2
     if m ** 3 > 4096:
         raise ValueError(
             f"dense 3-D coarse solve capped at 4096 unknowns, got {m ** 3} "
             f"(n={n}); use the red-black GS option for bigger coarse grids")
+    h = float(h)                     # never a tracer in the cache key
     eye = np.eye(m, dtype=np.float64)
     lap1 = (np.diag(np.full(m - 1, 1.0), 1) + np.diag(np.full(m - 1, 1.0), -1)
             - 2.0 * eye)
     a = (np.kron(np.kron(lap1, eye), eye) + np.kron(np.kron(eye, lap1), eye)
          + np.kron(np.kron(eye, eye), lap1)) / (h * h)
-    return jnp.asarray(np.linalg.inv(a).astype(dtype_name))
+    return np.linalg.inv(a).astype(dtype_name)
 
 
 def dense_solve3(f, h: float):
@@ -162,7 +168,8 @@ def dense_solve3(f, h: float):
     values on its border and the RHS inside; the interior system absorbs the
     boundary terms into the RHS."""
     n = f.shape[0]
-    inv = _laplacian3_inverse(n, h, jnp.dtype(f.dtype).name)
+    inv = jnp.asarray(_laplacian3_inverse(n, float(h),
+                                          jnp.dtype(f.dtype).name))
     bc = jnp.where(jnp.zeros((n,) * 3, bool).at[1:-1, 1:-1, 1:-1].set(True),
                    jnp.zeros_like(f), f)
     # move boundary contributions to the RHS: for interior cells adjacent to

@@ -1726,3 +1726,157 @@ def residual_df3_pallas(u0, u1, f, n: int, h: float, interpret: bool = False):
     gets the dd-EFT chain, as in the 2-D residual_df_pallas) — acceptable:
     callers treat the result as the truth."""
     return _residual_mw3_call((u0, u1), f, n, h, interpret)
+
+
+# --- in-VMEM 3-D error-trigger smoothing -----------------------------------
+
+TRIGGER3_VMEM_BUDGET = 96 * 1024 * 1024
+
+
+def trigger3_fits(n: int, itemsize: int = 4,
+                  budget: int = TRIGGER3_VMEM_BUDGET) -> bool:
+    """The 3-D trigger loop holds u (ping-pong ×2) + the folded source
+    volume resident, plus plane-sized temporaries."""
+    nz, rp, cp = padded_shape3(n)
+    return 3 * nz * rp * cp * itemsize + 8 * 1024 * 1024 <= budget
+
+
+def _trigger3_vmem_kernel(u_hbm, f_hbm, out_hbm, stat_smem, A, B, FC, sem, *,
+                          n: int, nz: int, rp: int, cp: int, h2: float,
+                          omega: float, trigger: float, compat,
+                          max_sweeps: int):
+    """The whole 3-D error-trigger loop in ONE kernel (the 2-D
+    pallas_chain._trigger_vmem_kernel one dimension up): sweep while
+    |err_k − err_{k−1}| > trigger, the full volume resident in VMEM — no
+    HBM traffic and no dispatch per sweep. Sweep expressions and metrics
+    (clean via the extra-sweep Δ identity, gpu via |ΔU|) mirror
+    _fused_jacobi3_kernel exactly; plane loops are fori_loops like every
+    3-D kernel here (unrolled planes crash the compiler)."""
+    dtype = u_hbm.dtype
+    # stage f through B (overwritten by the first sweep) to build FC
+    cp_f = pltpu.make_async_copy(f_hbm, B, sem)
+    cp_f.start()
+    cp_f.wait()
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (rp, cp), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (rp, cp), 1)
+    ok2d = ((rows >= 1) & (rows <= n - 2) & (cols >= 1) & (cols <= n - 2))
+    w = jnp.asarray(omega / 6.0, dtype)
+    a2d = jnp.where(ok2d, w, jnp.zeros((rp, cp), dtype))
+    h2c = jnp.asarray(h2, dtype)
+    zero_plane = jnp.zeros((rp, cp), dtype)
+
+    def ap(t):
+        # scalar z-gate as a multiplier (see masked_plane_sum)
+        gate = jnp.where((t >= 1) & (t <= n - 2),
+                         jnp.asarray(1.0, dtype), jnp.asarray(0.0, dtype))
+        return a2d * gate
+
+    def build_fc(t, c):
+        FC[t] = ap(t) * (h2c * B[t])
+        return c
+
+    jax.lax.fori_loop(_i32(0), _i32(nz), build_fc, _i32(0), unroll=False)
+
+    cp_u = pltpu.make_async_copy(u_hbm, A, sem)
+    cp_u.start()
+    cp_u.wait()
+
+    if compat == "gpu":
+        scale = 6.0 / h2 / (n ** 3)
+    else:
+        scale = 6.0 / (omega * h2) / (n ** 3)
+
+    def masked_plane_sum(t, val):
+        # z-gate as a SCALAR multiplier: Mosaic cannot select between
+        # boolean vectors (arith.select on vector<i1> fails to legalize)
+        gate = jnp.where((t >= 1) & (t <= n - 2),
+                         jnp.float32(1.0), jnp.float32(0.0))
+        v = jnp.abs(val).astype(jnp.float32)
+        return gate * jnp.sum(jnp.where(ok2d, v, jnp.zeros_like(v)))
+
+    def step():
+        """One sweep A → B (+ metric), then copy back B → A; returns the
+        new iterate's metric."""
+        B[0] = A[0]
+        B[_i32(nz - 1)] = A[_i32(nz - 1)]
+
+        def plane(t, acc):
+            u = A[t]
+            nb = _nb_sum(u, rp, cp) + A[t - 1] + A[t + 1] - 6.0 * u
+            unew = u + ap(t) * nb - FC[t]
+            B[t] = unew
+            if compat == "gpu":
+                acc = acc + masked_plane_sum(t, unew - u)
+            return acc
+
+        raw = jax.lax.fori_loop(_i32(1), _i32(nz - 1), plane,
+                                jnp.zeros((), jnp.float32), unroll=False)
+
+        if compat != "gpu":
+            # clean metric of the NEW iterate: extra in-VMEM sweep Δ
+            def rplane(t, acc):
+                u = B[t]
+                nb = _nb_sum(u, rp, cp) + B[t - 1] + B[t + 1] - 6.0 * u
+                return acc + masked_plane_sum(t, ap(t) * nb - FC[t])
+
+            raw = jax.lax.fori_loop(_i32(1), _i32(nz - 1), rplane,
+                                    jnp.zeros((), jnp.float32), unroll=False)
+
+        def copy_back(t, c):
+            A[t] = B[t]
+            return c
+
+        jax.lax.fori_loop(_i32(0), _i32(nz), copy_back, _i32(0),
+                          unroll=False)
+        return raw * jnp.float32(scale)
+
+    err0 = step()
+
+    def cond(carry):
+        _, slope, k = carry
+        return jnp.logical_and(slope > trigger, k < max_sweeps)
+
+    def body(carry):
+        prev, _, k = carry
+        err = step()
+        return err, jnp.abs(err - prev), k + 1
+
+    err, _, k = jax.lax.while_loop(
+        cond, body, (err0, jnp.float32(trigger + 1.0), jnp.int32(1)))
+    stat_smem[0, 0] = err
+    stat_smem[0, 1] = k.astype(jnp.float32)
+
+    cp_out = pltpu.make_async_copy(A, out_hbm, sem)
+    cp_out.start()
+    cp_out.wait()
+
+
+@partial(jax.jit, static_argnames=("n", "h", "trigger", "omega", "compat",
+                                   "max_sweeps", "interpret"))
+def fused_trigger3_vmem(u, f, n: int, h: float, trigger: float, omega: float,
+                        compat, max_sweeps: int, interpret: bool = False):
+    """3-D error-triggered smoothing with the whole loop in VMEM (padded
+    (nz, rp, cp) layout); returns (u_new, err) like compiled3's per-pass
+    trigger path — err already normalized by n³."""
+    nz, rp, cp = padded_shape3(n)
+    assert u.shape == (nz, rp, cp) and trigger3_fits(n)
+    kernel = partial(_trigger3_vmem_kernel, n=n, nz=nz, rp=rp, cp=cp,
+                     h2=h * h, omega=omega, trigger=trigger, compat=compat,
+                     max_sweeps=max_sweeps)
+    out, stat = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((nz, rp, cp), u.dtype),
+                   jax.ShapeDtypeStruct((1, 2), jnp.float32)),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        scratch_shapes=[pltpu.VMEM((nz, rp, cp), u.dtype),
+                        pltpu.VMEM((nz, rp, cp), u.dtype),
+                        pltpu.VMEM((nz, rp, cp), u.dtype),
+                        pltpu.SemaphoreType.DMA],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit(3 * nz * rp * cp * 4)),
+        interpret=interpret,
+    )(u, f)
+    return out, stat[0, 0].astype(u.dtype)

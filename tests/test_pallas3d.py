@@ -359,3 +359,52 @@ def test_fused_jacobi3_residual_multi_brick(monkeypatch, err_mode):
     scale = float(jnp.abs(wz_r).max())
     np.testing.assert_allclose(np.asarray(gz[1]), np.asarray(wz_r),
                                rtol=0, atol=5e-7 * scale)
+
+
+@pytest.mark.parametrize("compat", ["clean", "gpu"])
+def test_trigger3_vmem_bitmatches_per_pass_loop(compat):
+    """fused_trigger3_vmem: the whole 3-D |Δerr| > trigger loop in one
+    kernel — iterates BIT-match the per-pass fused trigger loop, same stop
+    point."""
+    n, h = 33, 1.0 / 32
+    rng = np.random.default_rng(3)
+    u = p3k.pad_grid3(jnp.asarray(rng.random((n, n, n)), jnp.float32))
+    f = p3k.pad_grid3(jnp.asarray(rng.random((n, n, n)), jnp.float32))
+    gu, ge = p3k.fused_trigger3_vmem(u, f, n, h, 0.02, 6 / 7, compat, 500,
+                                     interpret=True)
+    v, raw = p3k.fused_jacobi3_padded(u, f, n, h, 1, omega=6 / 7,
+                                      err_mode=compat, interpret=True)
+    err = float(raw) / n ** 3
+    prev, k, slope = err, 1, 1e9
+    while slope > 0.02 and k < 500:
+        v, raw = p3k.fused_jacobi3_padded(v, f, n, h, 1, omega=6 / 7,
+                                          err_mode=compat, interpret=True)
+        err = float(raw) / n ** 3
+        slope = abs(err - prev)
+        prev = err
+        k += 1
+    np.testing.assert_array_equal(np.asarray(gu), np.asarray(v))
+    assert float(ge) == pytest.approx(err, rel=1e-5)
+
+
+def test_compiled3_trigger_routes_through_vmem_kernel():
+    """compiled3 trigger levels that fit VMEM use the in-kernel loop and
+    match the per-pass engine."""
+    import unittest.mock as mock
+
+    import multigrid_poisson_solver_tpu as mg
+    from multigrid_poisson_solver_tpu.compiled3 import compile_program3
+    from multigrid_poisson_solver_tpu.models import poisson3d as p3
+
+    program = mg.v_cycle(33, n_min=8, steps=-1, coarse_option=0)
+    cfg = mg.SolverConfig(omega=6 / 7, kernels="pallas",
+                          collect_node_stats=False)
+    cc = compile_program3(program, p3.REFERENCE_PROBLEM_3D, cfg,
+                          donate=False)
+    u, f = cc.init()
+    u1, _ = cc(u, f)
+    with mock.patch.object(p3k, "trigger3_fits", lambda *a, **k: False):
+        cc2 = compile_program3(program, p3.REFERENCE_PROBLEM_3D, cfg,
+                               donate=False)
+        u2, _ = cc2(u, f)
+    np.testing.assert_array_equal(np.asarray(u1), np.asarray(u2))
