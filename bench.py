@@ -142,19 +142,23 @@ def _converging_engines(n: int):
     return cold, warm
 
 
-def bench_vcycle(n: int, iters: int = 20):
+def bench_vcycle(n: int, iters: int = 20, want_timing: bool = True):
     """ms/cycle of the CONVERGING V(3,3) cycle (chained warm-restart inside
-    one jit) plus the measured per-cycle residual contraction factor."""
+    one jit) plus the measured per-cycle residual contraction factor.
+    ``want_timing=False`` skips the (expensive, tunneled) timing protocol
+    for callers that only need the convergence evidence."""
     cold, warm = _converging_engines(n)
     u, f = cold.init()
     h = cold.finest_spec.h
 
-    run = jax.jit(lambda u, f: jax.lax.fori_loop(
-        0, iters, lambda i, v: warm.fn(v, f)[0], cold.fn(u, f)[0]))
-    per_call, (lo, hi) = _timer().measure_differential_median(
-        run, u, f, reps=4, k=3)
-    dt = per_call / (iters + 1)
-    dt_spread = (hi - lo) / (iters + 1)
+    dt = dt_spread = None
+    if want_timing:
+        run = jax.jit(lambda u, f: jax.lax.fori_loop(
+            0, iters, lambda i, v: warm.fn(v, f)[0], cold.fn(u, f)[0]))
+        per_call, (lo, hi) = _timer().measure_differential_median(
+            run, u, f, reps=4, k=3)
+        dt = per_call / (iters + 1)
+        dt_spread = (hi - lo) / (iters + 1)
 
     # convergence evidence: compensated relative residual after 1 vs 6
     # cycles, compared against the fp32 REPRESENTABILITY floor — the
@@ -247,7 +251,7 @@ def main():
         # show floor-detection (VERDICT r2 weak 5)
         cn = int(os.environ.get("BENCH_CONTRACTION_N", 1025 if on_tpu else 0))
         if cn:
-            _, _, cr1, cr6, cfloor = bench_vcycle(cn)
+            _, _, cr1, cr6, cfloor = bench_vcycle(cn, want_timing=False)
             print(f"[bench] contraction N={cn}: unit rel residual -> "
                   f"{cr1:.2e} after ONE cycle (factor {cr1:.3f}); "
                   f"{cr6:.2e} after 6 (fp32 floor {cfloor:.2e} — the tail "

@@ -50,18 +50,21 @@ def _consts():
 
 
 def _body(op):
-    def kernel(x_hbm, o_hbm, buf, sem):
-        cp_in = pltpu.make_async_copy(x_hbm, buf, sem)
+    # PING-PONG between two buffers, like the production kernels. An earlier
+    # single-buffer in-place form (buf[:] = op(buf[:])) produced numbers up
+    # to 3x off — aliasing lets Mosaic lower the update differently than any
+    # real sweep — and mislabeled an expression-tree rewrite as a 3.3x win
+    # (debunked by a bit-identical end-to-end A/B; see pallas_kernels
+    # _SWEEP_FORM).
+    def kernel(x_hbm, o_hbm, b0, b1, sem):
+        cp_in = pltpu.make_async_copy(x_hbm, b0, sem)
         cp_in.start()
         cp_in.wait()
         k = _consts()
-
-        def step(i, carry):
-            buf[:] = op(buf[:], k)
-            return carry
-
-        jax.lax.fori_loop(0, K, step, jnp.float32(0.0))
-        cp_out = pltpu.make_async_copy(buf, o_hbm, sem)
+        bufs = [b0, b1]
+        for s in range(K):
+            bufs[(s + 1) % 2][:] = op(bufs[s % 2][:], k)
+        cp_out = pltpu.make_async_copy(bufs[K % 2], o_hbm, sem)
         cp_out.start()
         cp_out.wait()
     return kernel
@@ -76,6 +79,7 @@ def probe(name, op):
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[pltpu.VMEM((STRIP, CP), jnp.float32),
+                            pltpu.VMEM((STRIP, CP), jnp.float32),
                             pltpu.SemaphoreType.DMA],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),

@@ -73,10 +73,12 @@ def _trace_program3(u, f, *, program: CycleProgram, problem: Problem3D,
 
     def smooth_xla(u, f, h, steps):
         if steps == -1:
+            # n from the ARRAY, not from h: round(1/h)+1 is wrong whenever
+            # program.length != 1 and would mis-size the watchdog cap
             u, err, _ = p3.trigger_smooth3(
                 u, f, h, cfg.trigger, cfg.omega, compat, cfg.smoother,
                 effective_trigger_cap(cfg.max_trigger_sweeps,
-                                      round(1.0 / h) + 1, dim=3))
+                                      u.shape[0], dim=3))
             return u, err
         return p3.smooth3(u, f, h, steps=steps, omega=cfg.omega,
                           compat=compat, smoother=cfg.smoother)

@@ -290,13 +290,12 @@ def _fused_jacobi_kernel(offs_smem, u_hbm, f_hbm, *rest,
             return _nb_sum(u, strip, cp)
 
         if _SWEEP_FORM == "ilp":
-            # dependency-chain-reduced body (hardware probe exp_vpu_probe:
-            # 0.113 vs 0.374 ms/sweep-equivalent for the reference form):
-            # dst = a·nb + (b·u − C) with b = 1 − 4a — the b·u − C term has
-            # no dependence on the neighbor rolls, so it issues while the
-            # VPU computes them, and the post-nb chain is 2 ops, not 4.
-            # Algebraically equal to the reference increment form (one fp32
-            # reassociation; frozen cells: a = 0, b = 1 → dst = u).
+            # dependency-chain-reduced body: dst = a·nb + (b·u − C) with
+            # b = 1 − 4a. Measured BIT-IDENTICAL output and time vs the
+            # reference form on hardware — Mosaic canonicalizes the
+            # expression DAG (see the _SWEEP_FORM note above; an early
+            # probe's 3.3x "win" was a single-buffer aliasing artifact).
+            # Kept as a knob for future probes.
             bv = 1.0 - 4.0 * a
 
             def sweep(src, dst):

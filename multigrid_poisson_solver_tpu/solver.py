@@ -100,7 +100,7 @@ TRIGGER_WALL_BUDGET_S = 30.0
 
 def effective_trigger_cap(max_trigger_sweeps: int, n: int, dim: int = 2) -> int:
     """Watchdog guard: cap trigger sweeps so the worst-case device loop stays
-    under TRIGGER_WALL_BUDGET_S, estimating ~12 B/point per trigger sweep at
+    under TRIGGER_WALL_BUDGET_S, estimating ~12 fp32 words (48 B)/point per sweep at
     v5e bandwidth (≈2× the measured fused-pass cost — margin on the safe
     side: 8193² ≈ 1.6 ms/sweep measured vs 3.9 modeled; 513³ ≈ 4.3 vs 7.9).
     Small levels keep the configured cap; the min is taken, so an explicit

@@ -38,10 +38,9 @@ import math
 from typing import Optional
 
 from ..ops.layout import LANE, padded_shape
+from ..ops.pallas_kernels import HALO, MAX_FUSED_SWEEPS as MAX_FUSED
 from ..schedule import Ascend, CoarseSolve, CycleProgram, Descend
 
-HALO = 8                       # rows exchanged per side per fused pass
-MAX_FUSED = 8                  # sweeps per fused pass
 DTYPE_BYTES = 4
 
 # Public per-chip interconnect figures (1-D ring, one link per direction).
