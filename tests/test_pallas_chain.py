@@ -295,3 +295,63 @@ def test_compiled_trigger_routes_through_vmem_kernel():
         u_pass, _ = cc2(u2, f2)
     np.testing.assert_array_equal(np.asarray(cc.unpad(u_vmem)),
                                   np.asarray(cc2.unpad(u_pass)))
+
+
+def test_chain_mixed_steps_and_zero_post():
+    """The matcher supports per-level step counts, including 0 post-sweeps
+    (add-only ascend); chain output stays bit-identical to the per-level
+    engine, and last_err falls back to the pre-smoothing metric."""
+    import unittest.mock as mock
+
+    from multigrid_poisson_solver_tpu import compiled as C
+    from multigrid_poisson_solver_tpu.schedule import (
+        Ascend, CoarseSolve, CycleProgram, Descend)
+
+    ins = (Descend(next_n=33, steps=4), Descend(next_n=17, steps=2),
+           Descend(next_n=9, steps=1), CoarseSolve(1e-8, 0),
+           Ascend(steps=0), Ascend(steps=3), Ascend(steps=0))
+    program = CycleProgram(1.0, 0.0, 0.0, 65, ins)
+    cfg = mg.SolverConfig(omega=0.8, kernels="pallas",
+                          collect_node_stats=False)
+    cc = C.compile_program(program, mg.REFERENCE_PROBLEM, cfg, donate=False)
+    u, f = cc.init()
+    u1, e1 = cc(u, f)
+    with mock.patch.object(C, "_match_chain", lambda *a, **k: None):
+        cc2 = C.compile_program(program, mg.REFERENCE_PROBLEM, cfg,
+                                donate=False)
+        u2, e2 = cc2(u, f)
+    np.testing.assert_array_equal(np.asarray(u1), np.asarray(u2))
+    assert float(e1) == pytest.approx(float(e2), rel=1e-4)
+
+
+def test_chain_skips_partial_v_patterns():
+    """A W-shaped suffix (fewer ascends than descends before the next
+    descend) must not match; the engine still runs it correctly."""
+    from multigrid_poisson_solver_tpu import compiled as C
+    from multigrid_poisson_solver_tpu.schedule import (
+        Ascend, CoarseSolve, CycleProgram, Descend)
+
+    ins = (Descend(next_n=33, steps=2), Descend(next_n=17, steps=2),
+           CoarseSolve(1e-8, 0), Ascend(steps=2),        # partial ascent
+           Descend(next_n=17, steps=2), CoarseSolve(1e-8, 0),
+           Ascend(steps=2), Ascend(steps=2))
+    cfg = mg.SolverConfig(omega=0.8, kernels="pallas",
+                          collect_node_stats=False)
+    # position 0 must NOT match (1 ascend < 2 descends); position 1 (the
+    # inner 33→17 V) and position 4 must
+    m0 = C._match_chain(ins, 0, 65, cfg, None, finest=True)
+    assert m0 is None
+    m1 = C._match_chain(ins, 1, 33, cfg, None, finest=False)
+    assert m1 is not None and m1[0] == (33, 17)
+    program = CycleProgram(1.0, 0.0, 0.0, 65, ins)
+    cc = C.compile_program(program, mg.REFERENCE_PROBLEM, cfg, donate=False)
+    u, f = cc.init()
+    u1, _ = cc(u, f)
+    cfg_x = mg.SolverConfig(omega=0.8, kernels="xla",
+                            collect_node_stats=False)
+    ccx = C.compile_program(program, mg.REFERENCE_PROBLEM, cfg_x,
+                            donate=False)
+    ux, _ = ccx(u, f)
+    np.testing.assert_allclose(np.asarray(cc.unpad(u1)),
+                               np.asarray(ccx.unpad(ux)),
+                               rtol=1e-4, atol=1e-6)
