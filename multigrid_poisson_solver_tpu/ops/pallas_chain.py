@@ -36,7 +36,6 @@ Alignment contract: every transition must be 2:1 vertex-aligned
 
 from __future__ import annotations
 
-import math
 from functools import partial
 
 import jax

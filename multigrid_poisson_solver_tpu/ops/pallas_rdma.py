@@ -45,7 +45,6 @@ Protocol notes:
 
 from __future__ import annotations
 
-import math
 from functools import partial
 
 import jax
@@ -56,7 +55,6 @@ from jax.experimental.pallas import tpu as pltpu
 from .pallas_kernels import (
     HALO,
     _VMEM_BUDGET_BYTES,
-    _check_padded,
     _i32,
     _nb_sum,
     _strip_geometry,

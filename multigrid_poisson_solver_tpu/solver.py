@@ -89,7 +89,12 @@ class SolverConfig:
                                       # (in-kernel inter-chip DMAs overlapped
                                       # with interior compute; 1-D row
                                       # policies, parallel.pallas_shard.
-                                      # rdma_fused_jacobi)
+                                      # rdma_fused_jacobi). Applies to plain
+                                      # smoothing passes; the fused legs and
+                                      # error/trigger paths keep ppermute
+                                      # (their psum is a barrier anyway —
+                                      # modeled gain ~1.5% at 8 chips,
+                                      # utils/scaling_model.py)
 
 
 # A device-side trigger while_loop that runs for minutes gets the TPU worker

@@ -35,7 +35,6 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Optional
 
 from ..ops.layout import LANE, padded_shape
 from ..ops.pallas_kernels import HALO, MAX_FUSED_SWEEPS as MAX_FUSED
