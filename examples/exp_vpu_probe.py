@@ -2,7 +2,17 @@
 
 Times kernel-body candidates in isolation on the real chip — everything runs
 K iterations on a VMEM-resident (STRIP, CP) block inside ONE pallas kernel
-(no HBM traffic in the loop), so the numbers are pure compute-unit costs:
+(no HBM traffic in the loop).
+
+MEASURED CAVEATS (2026-08-19, v5e): (1) single-op rows all bottom out at the
+same ~0.002 ms/iter — the ping-pong VMEM buffer-write floor (~2.8 TB/s for a
+5.6 MB strip), so they measure the copy floor, NOT op cost; only the
+relative ordering of the composite sweep rows is informative. (2) per-call
+times here are sub-ms, below the tunnel's reliable differential-timing
+threshold (see ROADMAP probe-protocol warning) — treat any conclusion from
+this probe as a hypothesis to confirm with an end-to-end A/B on the real
+kernel (the definitive protocol; see pallas_kernels._SWEEP_FORM for the
+canonicalization result found that way).
 
   roll_r        one ±1 sublane (row) roll
   roll_c        one ±1 lane (col) roll
@@ -32,7 +42,9 @@ from jax.experimental.pallas import tpu as pltpu
 from multigrid_poisson_solver_tpu.utils.profiling import DeviceTimer
 
 STRIP, CP = 168, 8320          # the 32 MiB-budget strip at N=8193
-K = 128                        # in-VMEM iterations per kernel call
+K = 32                         # in-VMEM iterations per kernel call (python-
+                               # unrolled; 128 made the sweep variants take
+                               # >30 min of remote compile)
 
 
 def _consts():
