@@ -254,7 +254,7 @@ def main(argv=None) -> int:
     print(f"Cycle structure file name = {cycle_path}")
 
     try:
-        program = parse_cycle_path(cycle_path, trigger=args.trigger)
+        program = parse_cycle_path(cycle_path)
     except OSError as e:
         print(f"[ ERROR ]: Cannot open file {cycle_path}: {e}", file=sys.stderr)
         return 1

@@ -562,8 +562,11 @@ def _run_traced(u0, f0, *, program: CycleProgram, problem: Problem,
             if chain is not None:
                 # the whole V-shaped remainder below this level fits in
                 # VMEM: run it as TWO kernels (descend chain + ascend chain)
-                # around the XLA coarse solve — bit-identical to the
-                # per-level fused path (ops.pallas_chain, tested)
+                # around the XLA coarse solve — the iterate u is
+                # bit-identical to the per-level fused path
+                # (ops.pallas_chain, tested); the finest ERROR below is
+                # recomputed post-hoc, so it matches the per-level engine to
+                # metric tolerance (fp32 reduction order), not bit-exactly
                 from .ops.pallas_chain import (fused_chain_ascend,
                                                fused_chain_descend)
                 sizes, pre, post, solve_ins, i = chain

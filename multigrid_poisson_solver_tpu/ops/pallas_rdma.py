@@ -52,9 +52,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import pallas_kernels as pk
 from .pallas_kernels import (
     HALO,
-    _VMEM_BUDGET_BYTES,
     _i32,
     _nb_sum,
     _strip_geometry,
@@ -352,7 +352,10 @@ def _rdma_jacobi_shard_call(meta, u, f, n: int, h: float, steps: int,
             pltpu.SemaphoreType.DMA((2,)),         # f recv up/down
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=2 * _VMEM_BUDGET_BYTES,
+            # read the budget at call time: bench.py's auto-tune mutates
+            # pk._VMEM_BUDGET_BYTES, and _strip_geometry above already sees
+            # the tuned value — an import-by-value copy would diverge
+            vmem_limit_bytes=2 * pk._VMEM_BUDGET_BYTES,
             # the neighbor barrier's semaphore (only allocated for real
             # rings; a 1-device "ring" skips the barrier and Mosaic rejects
             # a collective_id without one)

@@ -111,7 +111,7 @@ def _tokens(text: str) -> Iterator[str]:
     return iter(text.split())
 
 
-def parse_cycle_file(text: str, trigger: float = TRIGGER_DEFAULT) -> CycleProgram:
+def parse_cycle_file(text: str) -> CycleProgram:
     """Parse the reference's Cycle.txt grammar into a CycleProgram.
 
     Resolves the con_step × con_N option matrix (README.md:103-128): which
@@ -136,8 +136,14 @@ def parse_cycle_file(text: str, trigger: float = TRIGGER_DEFAULT) -> CycleProgra
 
     # con_N 1 and 2 are the reference's rules (halve / decrement,
     # README.md:80-86); 3 is this framework's odd-halve extension (2^k+1
-    # aligned hierarchies for full-weighting restriction)
-    n_array = level_sizes(n_max, n_min, con_n) if con_n in (1, 2, 3) else None
+    # aligned hierarchies for full-weighting restriction); 0 reads next_N
+    # per node. Anything else is a clean error (the native parser,
+    # native/mg_runtime.cpp::mg_parse_cycle, enforces the same set).
+    if con_n not in (0, 1, 2, 3):
+        raise ValueError(
+            f"unknown con_N {con_n}; expected 0 (explicit next_N per node), "
+            f"1 (halve), 2 (decrement), or 3 (odd-halve extension)")
+    n_array = level_sizes(n_max, n_min, con_n) if con_n != 0 else None
     level = 0  # index into n_array (the reference's len_flag)
 
     instructions: list[Instruction] = []
@@ -184,9 +190,9 @@ def parse_cycle_file(text: str, trigger: float = TRIGGER_DEFAULT) -> CycleProgra
     return program
 
 
-def parse_cycle_path(path, trigger: float = TRIGGER_DEFAULT) -> CycleProgram:
+def parse_cycle_path(path) -> CycleProgram:
     with open(path) as fh:
-        return parse_cycle_file(fh.read(), trigger=trigger)
+        return parse_cycle_file(fh.read())
 
 
 # --- Programmatic schedule generators ----------------------------------------

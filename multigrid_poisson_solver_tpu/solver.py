@@ -103,15 +103,31 @@ class SolverConfig:
 TRIGGER_WALL_BUDGET_S = 30.0
 
 
-def effective_trigger_cap(max_trigger_sweeps: int, n: int, dim: int = 2) -> int:
+def effective_trigger_cap(max_trigger_sweeps: int, n: int, dim: int = 2,
+                          platform: Optional[str] = None) -> int:
     """Watchdog guard: cap trigger sweeps so the worst-case device loop stays
     under TRIGGER_WALL_BUDGET_S, estimating ~12 fp32 words (48 B)/point per sweep at
     v5e bandwidth (≈2× the measured fused-pass cost — margin on the safe
     side: 8193² ≈ 1.6 ms/sweep measured vs 3.9 modeled; 513³ ≈ 4.3 vs 7.9).
     Small levels keep the configured cap; the min is taken, so an explicit
-    small ``max_trigger_sweeps`` always wins."""
+    small ``max_trigger_sweeps`` always wins.
+
+    The guard exists for the TPU worker watchdog only, so on non-TPU
+    backends the configured cap is returned unchanged (CPU runs may be slow
+    but nothing kills them — ADVICE r3). When the cap actually binds, a
+    warning is logged so trigger results that deviate from reference
+    semantics are never silent.
+    """
+    if (platform or jax.default_backend()) != "tpu":
+        return max_trigger_sweeps
     est_sweep_s = 12.0 * (n ** dim) * 4.0 / 819e9
     cap = max(64, int(TRIGGER_WALL_BUDGET_S / max(est_sweep_s, 1e-12)))
+    if cap < max_trigger_sweeps:
+        logger.warning(
+            "trigger watchdog cap binds at N=%d (dim=%d): max_trigger_sweeps "
+            "%d -> %d (TRIGGER_WALL_BUDGET_S=%.0fs); a trigger loop that "
+            "needs more sweeps will stop early", n, dim, max_trigger_sweeps,
+            cap, TRIGGER_WALL_BUDGET_S)
     return min(max_trigger_sweeps, cap)
 
 

@@ -187,8 +187,11 @@ def comm_report(program: CycleProgram, ndev: int,
                 if k > 1:
                     acc(n, pp=(k - 1) * row_halo_bytes(n, HALO, 2),
                         ev_pp=(k - 1) * 2 * events_per_exchange)
-            # psum of the fused error partial (scalar)
-            if sharded(n):
+            # psum of the fused error partial (scalar) — the compiled engine
+            # only fuses/psums the error at the FINEST level's ascend
+            # (compiled.py reports last_err from the top of the cycle), so
+            # charging it per level would inflate the latency term (ADVICE r3)
+            if sharded(n) and len(stack) == 1:
                 acc(n, ev_ps=1)
 
     lv = sorted(levels.values(), key=lambda lc: -lc.n)

@@ -152,10 +152,10 @@ int32_t mg_parse_cycle(const char* text, int64_t text_len, MgHeader* hdr,
   if (!to_int(t, &hdr->n_min)) return fail(errbuf, errlen, "bad N_min");
 
   std::vector<int32_t> n_array;
-  if (hdr->con_n == 1 || hdr->con_n == 2) {
+  if (hdr->con_n >= 1 && hdr->con_n <= 3) {
     n_array = level_sizes(hdr->n_max, hdr->n_min, hdr->con_n);
   } else if (hdr->con_n != 0) {
-    return fail(errbuf, errlen, "unknown con_N; expected 0, 1, or 2");
+    return fail(errbuf, errlen, "unknown con_N; expected 0, 1, 2, or 3");
   }
   int32_t level = 0;  // the reference's len_flag
 

@@ -172,11 +172,14 @@ def test_trigger_watchdog_cap():
     from multigrid_poisson_solver_tpu.solver import (
         TRIGGER_WALL_BUDGET_S, effective_trigger_cap)
 
-    assert effective_trigger_cap(100_000, 65) == 100_000
-    big2 = effective_trigger_cap(100_000, 8193)
-    big3 = effective_trigger_cap(100_000, 513, dim=3)
+    assert effective_trigger_cap(100_000, 65, platform="tpu") == 100_000
+    big2 = effective_trigger_cap(100_000, 8193, platform="tpu")
+    big3 = effective_trigger_cap(100_000, 513, dim=3, platform="tpu")
     # modeled worst-case wall stays within the budget
     assert big2 * 12 * 8193**2 * 4 / 819e9 <= TRIGGER_WALL_BUDGET_S * 1.01
     assert big3 * 12 * 513**3 * 4 / 819e9 <= TRIGGER_WALL_BUDGET_S * 1.01
     assert big2 < 100_000 and big3 < 100_000
-    assert effective_trigger_cap(50, 8193) == 50
+    assert effective_trigger_cap(50, 8193, platform="tpu") == 50
+    # the guard is a TPU-watchdog workaround: non-TPU backends never clamp
+    # a user-configured cap (ADVICE r3)
+    assert effective_trigger_cap(100_000, 8193, platform="cpu") == 100_000

@@ -52,6 +52,23 @@ def test_parser_errors_match(bad, msg):
         native.parse_cycle_native(bad)
 
 
+def test_parser_con_n3_cross_parity():
+    """con_N=3 (odd-halve extension): both parsers accept it and produce the
+    same instruction stream; con_N=4 gets a clean error from both
+    (VERDICT r3 Weak 3 — the parsers had diverged here)."""
+    text = "1.0 0.0 0.0\n3 3\n65 8\n-1\n-1\n-1\n0\n1e-8 1\n1\n1\n1\n2\n"
+    program = parse_cycle_file(text)
+    assert [ins.next_n for ins in program.instructions
+            if isinstance(ins, mg.Descend)] == [33, 17, 9]
+    assert native.parse_cycle_native(text) == program
+
+    bad = text.replace("3 3\n", "3 4\n", 1)
+    with pytest.raises(ValueError, match="con_N"):
+        parse_cycle_file(bad)
+    with pytest.raises(ValueError, match="con_N"):
+        native.parse_cycle_native(bad)
+
+
 def test_csv_writer_byte_identical(tmp_path, rng):
     u = rng.standard_normal((37, 37))
     p_native = tmp_path / "native.csv"
