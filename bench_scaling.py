@@ -158,9 +158,30 @@ def main():
                   f"{r['efficiency_rdma_bound']:.1%} (RDMA overlap bound)",
                   file=sys.stderr)
 
+    # DCN-aware multi-host prediction (BASELINE config 5: block FMG at
+    # 16385², rows on DCN, cols on ICI — utils.scaling_model). Emitted in
+    # the same machine-readable JSON so the first real multi-host session
+    # has a ready predicted-vs-measured harness.
+    model_multihost = []
+    if dim == 2:
+        from multigrid_poisson_solver_tpu.utils import scaling_model as smod
+
+        model_multihost = (smod.multihost_scaling_table(mode="strong")
+                           + smod.multihost_scaling_table(mode="weak"))
+        for r in model_multihost:
+            print(f"[scaling/model-dcn/{r['mode']}] {r['hosts']} hosts x "
+                  f"{r['local_devices']} chips, N={r['n']} {r['schedule']}: "
+                  f"comm {r['t_comm_ms']:.3f} ms/pass (DCN share "
+                  f"{r['t_comm_dcn_ms']:.3f}) vs compute "
+                  f"{r['t_compute_ms']:.2f} -> predicted eff "
+                  f"{r['efficiency_ppermute']:.1%} (ppermute) / "
+                  f"{r['efficiency_rdma_bound']:.1%} (RDMA overlap bound)",
+                  file=sys.stderr)
+
     print(json.dumps({"mode": mode, "dim": dim,
                       "backend": jax.default_backend(),
-                      "results": results, "model": model_rows}))
+                      "results": results, "model": model_rows,
+                      "model_multihost": model_multihost}))
 
 
 if __name__ == "__main__":

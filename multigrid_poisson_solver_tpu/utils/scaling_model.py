@@ -14,7 +14,10 @@ model for a policy-sharded compiled program —
 
 combined with a compute-time estimate (measured single-chip ms/cycle, or
 the HBM roofline from utils.profiling.cost_report) into a predicted
-weak-scaling efficiency for an N-chip ICI ring:
+weak-scaling efficiency for an N-chip ICI ring — or, with ``dcn_rows=True``
+(the ``multihost.hybrid_block_mesh`` layout), a DCN×ICI mesh where
+row-direction traffic pays per-host DCN bandwidth/latency
+(``multihost_scaling_table`` = BASELINE config 5's planning table):
 
     eff = T_comp / (T_comp + T_comm)          (ppermute barrier path)
     eff_rdma ≈ T_comp / (T_comp + T_lat)      (in-kernel RDMA overlap path:
@@ -50,16 +53,29 @@ ICI_BW = {"v5e": 45e9, "v5p": 150e9}
 ICI_LATENCY_S = 1.5e-6
 HBM_BW = {"v5e": 819e9, "v5p": 2765e9}
 
+# Public per-HOST data-center-network figures (inter-host collectives when a
+# mesh axis leaves the ICI slice — parallel.multihost.hybrid_block_mesh puts
+# the grid's ROW axis there). ~2×100 Gbps NICs ≈ 25 GB/s egress per host per
+# direction (the "How to Scale Your Model" planning figure for v5e/v5p
+# pods); shared by all local devices sending concurrently. Latency is an
+# order of magnitude above ICI (host NIC + switch round trip).
+DCN_BW_HOST = {"v5e": 25e9, "v5p": 25e9}
+DCN_LATENCY_S = 25e-6
+
 
 @dataclasses.dataclass
 class LevelComm:
     n: int
     sharded: bool
-    ppermute_bytes: int          # per device, per cycle, this level
-    allgather_bytes: int         # per device (received), per cycle
+    ppermute_bytes: int          # per device, per cycle, this level (TOTAL)
+    allgather_bytes: int         # per device (received), per cycle (TOTAL)
     events_ppermute: int         # ppermute launches (pre-CSE upper bound)
     events_psum: int             # scalar psum launches
     events_allgather: int        # agglomeration all-gathers
+    # DCN-attributed subsets of the totals above (nonzero only under
+    # dcn_rows=True — the hybrid_block_mesh layout with the row axis on DCN)
+    bytes_dcn: int = 0
+    events_dcn: int = 0
 
     @property
     def events(self) -> int:
@@ -75,14 +91,33 @@ class CommReport:
     events_ppermute: int
     events_psum: int
     events_allgather: int
+    bytes_dcn: int = 0           # DCN-attributed share of the byte totals
+    events_dcn: int = 0          # events paying DCN (not ICI) latency
+    local_devices: int = 1       # devices per host (DCN NIC contention)
 
     @property
     def events(self) -> int:
         return self.events_ppermute + self.events_psum + self.events_allgather
 
-    def t_comm(self, ici_bw: float, latency: float = ICI_LATENCY_S) -> float:
-        wire = (self.ppermute_bytes + self.allgather_bytes) / ici_bw
-        return wire + self.events * latency
+    def t_comm(self, ici_bw: float, latency: float = ICI_LATENCY_S,
+               dcn_bw: float = DCN_BW_HOST["v5e"],
+               dcn_latency: float = DCN_LATENCY_S) -> float:
+        """Serialized communication time per device per cycle.
+
+        ICI bytes ride the per-chip ring links; DCN bytes share the per-HOST
+        NIC with the ``local_devices - 1`` siblings sending concurrently
+        (hybrid_block_mesh: every device in a host row-block owns a
+        width-slice of the same halo row, so the host egress per exchange is
+        the full-width row = per-device bytes × local_devices). Summing the
+        two wire terms is conservative: row (DCN) and lane (ICI) exchanges
+        of the same pass could overlap, but the barrier ppermute path
+        serializes them in front of the kernel anyway."""
+        ici_bytes = self.ppermute_bytes + self.allgather_bytes - self.bytes_dcn
+        wire = (ici_bytes / ici_bw
+                + self.bytes_dcn * self.local_devices / dcn_bw)
+        lat = ((self.events - self.events_dcn) * latency
+               + self.events_dcn * dcn_latency)
+        return wire + lat
 
     def summary(self) -> str:
         lines = [f"{'level n':>8}{'sharded':>9}{'ppermute KB':>13}"
@@ -107,7 +142,8 @@ def _passes(steps: int) -> int:
 
 
 def comm_report(program: CycleProgram, ndev: int,
-                threshold_rows: int = 32, block_cols: int = 1) -> CommReport:
+                threshold_rows: int = 32, block_cols: int = 1,
+                dcn_rows: bool = False) -> CommReport:
     """Per-device communication volume for one cycle of ``program`` under a
     1-D rows (block_cols=1) or 2-D block (rows×cols device grid) policy.
 
@@ -122,7 +158,16 @@ def comm_report(program: CycleProgram, ndev: int,
         the lane-expanded coarse solution;
       * the first descend BELOW the shard threshold all-gathers the coarse
         RHS (replication), the matching ascend re-slices locally (free);
-      * column sharding adds LANE-wide lane halos per pass on each array.
+      * column sharding adds LANE-wide lane halos per pass on each array
+        (and their own ppermute launches).
+
+    ``dcn_rows=True`` models the ``multihost.hybrid_block_mesh`` layout —
+    the row axis spans hosts over DCN, the column axis stays on ICI inside
+    a host (multihost.py's layout rationale). Row-direction halo traffic,
+    the agglomeration all-gather, and the error psum are then tagged DCN
+    (``bytes_dcn``/``events_dcn``) and ``CommReport.t_comm`` charges them at
+    per-host DCN bandwidth (shared by ``block_cols`` local devices) and DCN
+    latency instead of the ICI figures.
     """
     row_dev = ndev // block_cols
     events_per_exchange = 2          # fwd + bwd ppermute per array
@@ -130,25 +175,38 @@ def comm_report(program: CycleProgram, ndev: int,
     def sharded(n: int) -> bool:
         return n // row_dev >= threshold_rows and row_dev > 1
 
-    def row_halo_bytes(n: int, rows: int, arrays: int) -> int:
-        _, cp = padded_shape(n)
+    def halo_parts(n: int, rows: int, arrays: int) -> tuple[int, int]:
+        """(row_bytes, lane_bytes) per device for one exchange of ``arrays``
+        arrays with a ``rows``-deep row halo; lane halos are LANE wide and
+        exist only under column sharding."""
+        rp, cp = padded_shape(n)
         cp_loc = cp // block_cols
-        b = arrays * 2 * rows * cp_loc * DTYPE_BYTES
-        if block_cols > 1:
-            rp, _ = padded_shape(n)
-            b += arrays * 2 * LANE * (rp // row_dev) * DTYPE_BYTES
-        return b
+        row_b = arrays * 2 * rows * cp_loc * DTYPE_BYTES
+        lane_b = (arrays * 2 * LANE * (rp // row_dev) * DTYPE_BYTES
+                  if block_cols > 1 else 0)
+        return row_b, lane_b
 
     levels: dict[int, LevelComm] = {}
 
     def acc(n: int, pp: int = 0, ag: int = 0, ev_pp: int = 0,
-            ev_ps: int = 0, ev_ag: int = 0):
+            ev_ps: int = 0, ev_ag: int = 0, b_dcn: int = 0, ev_dcn: int = 0):
         lc = levels.setdefault(n, LevelComm(n, sharded(n), 0, 0, 0, 0, 0))
         lc.ppermute_bytes += pp
         lc.allgather_bytes += ag
         lc.events_ppermute += ev_pp
         lc.events_psum += ev_ps
         lc.events_allgather += ev_ag
+        lc.bytes_dcn += b_dcn
+        lc.events_dcn += ev_dcn
+
+    def acc_exchange(n: int, k: int, row_b: int, lane_b: int, arrays: int):
+        """k passes exchanging `arrays` arrays: row halos (DCN-taggable) +
+        lane halos (always ICI) with their launch events."""
+        ev_row = k * arrays * events_per_exchange
+        ev_lane = k * arrays * events_per_exchange if block_cols > 1 else 0
+        acc(n, pp=k * (row_b + lane_b), ev_pp=ev_row + ev_lane,
+            b_dcn=k * row_b if dcn_rows else 0,
+            ev_dcn=ev_row if dcn_rows else 0)
 
     stack = [program.n_max]
     for ins in program.instructions:
@@ -159,19 +217,20 @@ def comm_report(program: CycleProgram, ndev: int,
                 if k:
                     # fused descend leg: one combined pass; extra passes for
                     # steps > 8 are plain smoother passes
-                    arrays_per_pass = 2          # u and f
-                    acc(n, pp=k * row_halo_bytes(n, HALO, arrays_per_pass),
-                        ev_pp=k * arrays_per_pass * events_per_exchange)
+                    row_b, lane_b = halo_parts(n, HALO, 2)   # u and f
+                    acc_exchange(n, k, row_b, lane_b, arrays=2)
                 else:
                     # FMG descent: restriction only — device-local
                     pass
                 if not sharded(ins.next_n):
                     # shard → replicated agglomeration: all-gather the
                     # restricted RHS (each device receives the others'
-                    # blocks)
+                    # blocks); crosses hosts when the row axis is on DCN
                     rp, cp = padded_shape(ins.next_n)
                     ag = (row_dev - 1) * rp * cp * DTYPE_BYTES // row_dev
-                    acc(ins.next_n, ag=ag, ev_ag=1)
+                    acc(ins.next_n, ag=ag, ev_ag=1,
+                        b_dcn=ag if dcn_rows else 0,
+                        ev_dcn=1 if dcn_rows else 0)
             stack.append(ins.next_n)
         elif isinstance(ins, CoarseSolve):
             pass                                  # replicated: no traffic
@@ -181,18 +240,20 @@ def comm_report(program: CycleProgram, ndev: int,
             if sharded(n):
                 k = _passes(ins.steps)
                 # ascend leg: u, f at 2·HALO rows + coarse wide at 2·HALO
-                acc(n, pp=(row_halo_bytes(n, 2 * HALO, 2)
-                           + row_halo_bytes(n, 2 * HALO, 1) // 2),
-                    ev_pp=3 * events_per_exchange)
+                # (half height)
+                row_uf, lane_uf = halo_parts(n, 2 * HALO, 2)
+                row_cw, lane_cw = halo_parts(n, 2 * HALO, 1)
+                acc_exchange(n, 1, row_uf + row_cw // 2,
+                             lane_uf + lane_cw // 2, arrays=3)
                 if k > 1:
-                    acc(n, pp=(k - 1) * row_halo_bytes(n, HALO, 2),
-                        ev_pp=(k - 1) * 2 * events_per_exchange)
+                    row_b, lane_b = halo_parts(n, HALO, 2)
+                    acc_exchange(n, k - 1, row_b, lane_b, arrays=2)
             # psum of the fused error partial (scalar) — the compiled engine
             # only fuses/psums the error at the FINEST level's ascend
             # (compiled.py reports last_err from the top of the cycle), so
             # charging it per level would inflate the latency term (ADVICE r3)
             if sharded(n) and len(stack) == 1:
-                acc(n, ev_ps=1)
+                acc(n, ev_ps=1, ev_dcn=1 if dcn_rows else 0)
 
     lv = sorted(levels.values(), key=lambda lc: -lc.n)
     return CommReport(
@@ -201,27 +262,36 @@ def comm_report(program: CycleProgram, ndev: int,
         allgather_bytes=sum(l.allgather_bytes for l in lv),
         events_ppermute=sum(l.events_ppermute for l in lv),
         events_psum=sum(l.events_psum for l in lv),
-        events_allgather=sum(l.events_allgather for l in lv))
+        events_allgather=sum(l.events_allgather for l in lv),
+        bytes_dcn=sum(l.bytes_dcn for l in lv),
+        events_dcn=sum(l.events_dcn for l in lv),
+        local_devices=block_cols if dcn_rows else 1)
 
 
 def predicted_efficiency(report: CommReport, t_compute_s: float,
                          chip: str = "v5e",
-                         latency: float = ICI_LATENCY_S) -> dict:
-    """Weak-scaling efficiency prediction for an ICI ring of report.ndev
-    chips, given the per-device compute time of one cycle (constant under
-    weak scaling).
+                         latency: float = ICI_LATENCY_S,
+                         dcn_latency: float = DCN_LATENCY_S) -> dict:
+    """Weak-scaling efficiency prediction for a mesh of report.ndev chips,
+    given the per-device compute time of one cycle (constant under weak
+    scaling). DCN-tagged traffic (reports built with dcn_rows=True) is
+    charged at per-host DCN bandwidth/latency; the rest at ICI figures.
 
     Returns both the current ppermute-barrier path (wire + latency serialize
     in front of each pass) and the RDMA-overlap bound (wire time hidden
     under interior compute; only the collective launch latency remains —
     ops.pallas_rdma)."""
     bw = ICI_BW.get(chip, ICI_BW["v5e"])
-    t_comm = report.t_comm(bw, latency)
-    t_lat = report.events * latency
+    dcn_bw = DCN_BW_HOST.get(chip, DCN_BW_HOST["v5e"])
+    t_comm = report.t_comm(bw, latency, dcn_bw, dcn_latency)
+    t_lat = ((report.events - report.events_dcn) * latency
+             + report.events_dcn * dcn_latency)
     return {
         "ndev": report.ndev,
         "t_compute_ms": t_compute_s * 1e3,
         "t_comm_ms": t_comm * 1e3,
+        "t_comm_dcn_ms": (report.bytes_dcn * report.local_devices / dcn_bw
+                          + report.events_dcn * dcn_latency) * 1e3,
         "efficiency_ppermute": t_compute_s / (t_compute_s + t_comm),
         "efficiency_rdma_bound": t_compute_s / (t_compute_s + t_lat),
     }
@@ -267,5 +337,50 @@ def scaling_table(base_n: int, t1_s: float,
                           block_cols=block_cols)
         row = predicted_efficiency(rep, t1_s * c, chip)
         row["n"] = n
+        rows.append(row)
+    return rows
+
+
+def multihost_scaling_table(n: int = 16385, t1_s: float = 46.9e-3,
+                            n_hosts=(2, 4, 8), local_devices: int = 4,
+                            chip: str = "v5e", threshold_rows: int = 32,
+                            steps: int = 3, coarsen: int = 3,
+                            schedule: str = "fmg",
+                            mode: str = "strong") -> list[dict]:
+    """Predicted efficiency for BASELINE config 5: multi-host
+    block-partitioned FMG at 16385², hybrid_block_mesh layout (grid rows on
+    DCN across hosts, columns on ICI inside each host —
+    parallel/multihost.py). No reference analog exists (single GPU); no
+    hardware exists here either, so this is the DCN-aware planning table
+    the first real multi-host session compares against (VERDICT r3 item 6).
+
+    ``mode="strong"`` (the literal config-5 grid): fixed ``n``, per-device
+    compute modeled as ``t1_s / ndev`` (``t1_s`` = measured single-chip
+    seconds per pass at ``n`` — BASELINE 16385² V(3,3) 46.9 ms). Coarse-
+    level serialization is NOT modeled, so the efficiency isolates the
+    communication overhead — and it still predicts DCN-LATENCY-BOUND
+    operation (~20-30% at 2 hosts): 16385² simply does not carry enough
+    work per device to hide ~60 DCN-latency collectives per FMG pass.
+    ``mode="weak"``: rows grow with hosts (n_h = (n−1)·hosts + 1, block per
+    device constant-height × hosts-wider), per-device compute
+    ``t1_s · hosts / local_devices`` — the regime where multi-host pays."""
+    from ..schedule import fmg, v_cycle
+
+    rows = []
+    for hosts in n_hosts:
+        ndev = hosts * local_devices
+        n_h = n if mode == "strong" else (n - 1) * hosts + 1
+        t_comp = t1_s / ndev if mode == "strong" \
+            else t1_s * hosts / local_devices
+        if schedule == "fmg":
+            prog = fmg(n_h, n_min=8, steps=steps, coarsen=coarsen)
+        else:
+            prog = v_cycle(n_h, n_min=8, steps=steps, coarse_option=0,
+                           coarsen=coarsen)
+        rep = comm_report(prog, ndev, threshold_rows=threshold_rows,
+                          block_cols=local_devices, dcn_rows=True)
+        row = predicted_efficiency(rep, t_comp, chip)
+        row.update(n=n_h, hosts=hosts, local_devices=local_devices,
+                   schedule=schedule, mode=mode)
         rows.append(row)
     return rows

@@ -75,6 +75,51 @@ def test_predicted_efficiency_meets_target():
         assert r["efficiency_rdma_bound"] > r["efficiency_ppermute"]
 
 
+def test_dcn_attribution():
+    """dcn_rows=True tags exactly the row-direction halo traffic, the
+    agglomeration all-gather, and the error psum as DCN; the 1-D-rows
+    report is unchanged by the flag's default."""
+    program = mg.v_cycle(129, n_min=8, steps=3, coarse_option=0, coarsen=3)
+    base = sm.comm_report(program, 8, threshold_rows=8)
+    assert base.bytes_dcn == 0 and base.events_dcn == 0
+
+    # pure rows-on-DCN (block_cols=1): ALL traffic is DCN-attributed
+    rows_dcn = sm.comm_report(program, 8, threshold_rows=8, dcn_rows=True)
+    assert rows_dcn.bytes_dcn == (rows_dcn.ppermute_bytes
+                                  + rows_dcn.allgather_bytes)
+    assert rows_dcn.events_dcn == rows_dcn.events
+    assert rows_dcn.ppermute_bytes == base.ppermute_bytes
+
+    # hybrid 2 hosts x 4 chips: lane halos stay on ICI
+    hyb = sm.comm_report(program, 8, threshold_rows=8, block_cols=4,
+                         dcn_rows=True)
+    assert 0 < hyb.bytes_dcn < hyb.ppermute_bytes + hyb.allgather_bytes
+    assert 0 < hyb.events_dcn < hyb.events
+    assert hyb.local_devices == 4
+    # DCN latency/bandwidth must make comm strictly more expensive than
+    # pretending the same traffic rides ICI
+    t_ici_only = (hyb.ppermute_bytes + hyb.allgather_bytes) / sm.ICI_BW[
+        "v5e"] + hyb.events * sm.ICI_LATENCY_S
+    assert hyb.t_comm(sm.ICI_BW["v5e"]) > t_ici_only
+
+
+def test_multihost_table_shapes():
+    """BASELINE config 5's planning table: strong mode predicts the DCN-
+    latency-bound regime (documented honestly), weak mode recovers
+    efficiency with scale; RDMA bound dominates ppermute in both."""
+    strong = sm.multihost_scaling_table(mode="strong", n_hosts=(2, 4))
+    weak = sm.multihost_scaling_table(mode="weak", n_hosts=(2, 4))
+    for rows in (strong, weak):
+        for r in rows:
+            assert 0 < r["efficiency_ppermute"] < 1
+            assert r["efficiency_rdma_bound"] >= r["efficiency_ppermute"]
+            assert r["t_comm_dcn_ms"] <= r["t_comm_ms"]
+    assert strong[0]["n"] == 16385
+    assert weak[1]["n"] == (16385 - 1) * 4 + 1
+    # weak efficiency grows with hosts (per-device work grows, comm ~flat)
+    assert weak[1]["efficiency_ppermute"] > weak[0]["efficiency_ppermute"]
+
+
 def test_hlo_counter_ignores_noise():
     txt = """
   %x = f32[8]{0} all-gather(%a), dimensions={0}
