@@ -46,6 +46,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dtype", default="f32", choices=sorted(DTYPES),
                    help="level-array precision (default f32; f64 is emulated on TPU)")
     p.add_argument("--smoother", default="jacobi", choices=["jacobi", "rbgs"])
+    p.add_argument("--restriction", default="sampling",
+                   choices=["sampling", "full_weighting"],
+                   help="restriction operator (rb-GS smoothing needs "
+                        "full_weighting — sampling aliases its one-color "
+                        "residual — which in turn needs 2:1 vertex-aligned "
+                        "levels, e.g. con_N=3 schedules)")
     p.add_argument("--omega", type=float, default=1.0,
                    help="Jacobi damping factor (reference: 1.0; 0.8 converges deeper)")
     p.add_argument("--repeat", type=int, default=1,
@@ -275,9 +281,16 @@ def main(argv=None) -> int:
               f"(choose from {sorted(BUILTIN_PROBLEMS)})", file=sys.stderr)
         return 1
 
+    if args.smoother == "rbgs" and args.restriction == "sampling":
+        print("[ WARNING ]: rb-GS smoothing with sampling restriction "
+              "aliases the one-color residual (degraded convergence); "
+              "use --restriction full_weighting on a 2:1-aligned schedule",
+              file=sys.stderr)
+
     config = SolverConfig(
         dtype=jnp.dtype(DTYPES[args.dtype]),
         smoother=args.smoother,
+        restriction=args.restriction,
         omega=args.omega,
         trigger=args.trigger,
         compat_error={"cpu": True, "clean": False,

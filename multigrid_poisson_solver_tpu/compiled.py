@@ -294,6 +294,20 @@ def _sweeps(u, f, h, n: int, steps: int, cfg: SolverConfig, policy=None,
                           jnp.zeros_like(u))
             steps -= 1
     else:
+        # rb-GS: the Pallas strip kernel runs the colored half-sweep pairs
+        # (ops.pallas_kernels.fused_rbgs_padded, ≤4 sweeps per HBM pass;
+        # reference analog ker_GaussSeideleven/odd_GPU,
+        # MG_solver_GPU.cu:663-795) — single-chip and per-shard
+        if _use_pallas(cfg) and (policy is None or not policy.is_sharded(n)):
+            from .ops.pallas_kernels import fused_rbgs_padded
+            return fused_rbgs_padded(u, f, n, h, steps, from_zero=from_zero,
+                                     interpret=_pallas_interpret())
+        if _use_pallas(cfg) and steps > 0:
+            from .parallel.pallas_shard import sharded_fused_jacobi
+            return sharded_fused_jacobi(u, f, n, h, steps, 1.0, policy,
+                                        from_zero=from_zero,
+                                        interpret=_pallas_interpret(),
+                                        smoother="rbgs")
         sweep = partial(P.redblack_gs_sweep_p, h=h, n=n)
     return lax.fori_loop(0, steps, lambda _, v: sweep(v, f), u, unroll=True)
 
@@ -313,11 +327,13 @@ def _trigger_smooth_traced(u, f, h, n: int, cfg: SolverConfig, policy=None):
     The iterate overshoots the reference's stop point by up to batch − 1
     sweeps — extra smoothing, never less; gated behind the flag."""
     sharded = policy is not None and policy.is_sharded(n)
-    fuse_err = cfg.smoother == "jacobi" and _use_pallas(cfg)
+    fuse_err = _use_pallas(cfg) and (
+        cfg.smoother == "jacobi"
+        or (cfg.smoother == "rbgs" and cfg.compat_error != "gpu"))
     from .solver import effective_trigger_cap
     max_sweeps = effective_trigger_cap(cfg.max_trigger_sweeps, n)
 
-    if fuse_err and not sharded:
+    if fuse_err and not sharded and cfg.smoother == "jacobi":
         from .ops.pallas_chain import fused_trigger_vmem, trigger_fits
         if trigger_fits(n):
             # the WHOLE trigger loop as one VMEM-resident kernel: no HBM
@@ -329,7 +345,7 @@ def _trigger_smooth_traced(u, f, h, n: int, cfg: SolverConfig, policy=None):
                                       cfg.compat_error, max_sweeps,
                                       interpret=_pallas_interpret())
 
-    if fuse_err and cfg.trigger_batch > 1:
+    if fuse_err and cfg.trigger_batch > 1 and cfg.smoother == "jacobi":
         from .ops.pallas_kernels import (errs_sweep_cap,
                                          fused_jacobi_errs_padded)
         from .parallel.pallas_shard import sharded_fused_jacobi_errs
@@ -375,7 +391,15 @@ def _trigger_smooth_traced(u, f, h, n: int, cfg: SolverConfig, policy=None):
         def step(v):
             return sharded_fused_jacobi_err(v, f, n, h, 1, cfg.omega,
                                             cfg.compat_error, policy,
-                                            interpret=_pallas_interpret())
+                                            interpret=_pallas_interpret(),
+                                            smoother=cfg.smoother)
+    elif fuse_err and cfg.smoother == "rbgs":
+        from .ops.pallas_kernels import fused_rbgs_err_padded
+
+        def step(v):
+            return fused_rbgs_err_padded(v, f, n, h, 1,
+                                         compat=cfg.compat_error,
+                                         interpret=_pallas_interpret())
     elif fuse_err:
         from .ops.pallas_kernels import fused_jacobi_err_padded
 
@@ -412,17 +436,28 @@ def _smooth_traced(u, f, h, n: int, steps: int, cfg: SolverConfig,
                    want_err: bool, policy=None, from_zero: bool = False):
     if steps == -1:
         return _trigger_smooth_traced(u, f, h, n, cfg, policy)
-    if (want_err and steps >= 1 and cfg.smoother == "jacobi"
-            and _use_pallas(cfg)):
+    fuse_err_ok = (cfg.smoother == "jacobi"
+                   or (cfg.smoother == "rbgs" and cfg.compat_error != "gpu"))
+    if want_err and steps >= 1 and fuse_err_ok and _use_pallas(cfg):
         # Pallas path: error reduction fused into the smoother's last HBM
         # pass (zero extra traffic); sharded levels psum the per-shard
-        # partials (parallel.pallas_shard)
+        # partials (parallel.pallas_shard). rbgs fuses the cpu/clean
+        # metrics; its gpu metric needs the final full-sweep ping-pong pair
+        # (destroyed by the in-place color halves) so it takes the generic
+        # two-call form below.
         if policy is not None and policy.is_sharded(n):
             from .parallel.pallas_shard import sharded_fused_jacobi_err
             return sharded_fused_jacobi_err(u, f, n, h, steps, cfg.omega,
                                             cfg.compat_error, policy,
                                             from_zero=from_zero,
-                                            interpret=_pallas_interpret())
+                                            interpret=_pallas_interpret(),
+                                            smoother=cfg.smoother)
+        if cfg.smoother == "rbgs":
+            from .ops.pallas_kernels import fused_rbgs_err_padded
+            return fused_rbgs_err_padded(u, f, n, h, steps,
+                                         compat=cfg.compat_error,
+                                         from_zero=from_zero,
+                                         interpret=_pallas_interpret())
         from .ops.pallas_kernels import fused_jacobi_err_padded
         return fused_jacobi_err_padded(u, f, n, h, steps, omega=cfg.omega,
                                        compat=cfg.compat_error,

@@ -50,6 +50,9 @@ from .layout import LANE, SUBLANE, padded_shape
 
 HALO = 8                      # rows of halo per cut edge; also max fused sweeps
 MAX_FUSED_SWEEPS = HALO
+# rb-GS consumes TWO halo rows per sweep (each colored half-sweep advances
+# the trapezoid staleness front one row), so its fused-pass budget halves
+MAX_FUSED_RBGS = HALO // 2
 
 # VMEM budget for strip buffers. The chip (v5e) has 128 MiB VMEM/core (a
 # 120 MiB scratch compiles and runs, probed on hardware); the original
@@ -160,7 +163,8 @@ def _fused_jacobi_kernel(offs_smem, u_hbm, f_hbm, *rest,
                          ext_r: int, ext_c: int, steps: int,
                          num_strips: int, strip: int, owned: int,
                          h2: float, omega: float, from_zero: bool,
-                         err_mode=None, per_sweep: bool = False):
+                         err_mode=None, per_sweep: bool = False,
+                         smoother: str = "jacobi"):
     """Kernel body, generalized over halo-extended shard blocks.
 
     Single-device: u/f/out are all (erows, cp) with ext_r = 0 and the offset
@@ -189,6 +193,15 @@ def _fused_jacobi_kernel(offs_smem, u_hbm, f_hbm, *rest,
     the cpu/clean metric of iterate u_s is |Δ_{s+1}| (captured during sweep
     s+1, plus one extra in-VMEM sweep for u_steps), the gpu metric of u_s
     is |Δ_s| (captured during sweep s itself).
+
+    ``smoother="rbgs"``: red-black Gauss-Seidel sweeps instead of Jacobi
+    (the reference's paired ker_GaussSeideleven/odd_GPU kernels,
+    MG_solver_GPU.cu:663-795, as checkerboard parity masks inside this strip
+    pipeline). Each sweep is two masked half-updates — even color then odd,
+    the odd half reading the fresh even values — so a sweep consumes TWO
+    trapezoid halo rows: ≤4 sweeps per pass (≤3 with the cpu/clean fused
+    error's extra in-VMEM residual sweep). ω is ignored (GS has no damping
+    in the reference); err_mode="gpu" and per_sweep are jacobi-only.
     """
     if err_mode is None:
         out_hbm, = rest[:1]
@@ -196,7 +209,10 @@ def _fused_jacobi_kernel(offs_smem, u_hbm, f_hbm, *rest,
     else:
         out_hbm, err_smem = rest[:2]
         rest = rest[2:]
-    u_slots, fc_slots, work, a_buf, load_sems, out_sems = rest
+    if smoother == "rbgs":
+        u_slots, fc_slots, work, a_buf, modd_buf, load_sems, out_sems = rest
+    else:
+        u_slots, fc_slots, work, a_buf, load_sems, out_sems = rest
     row0 = offs_smem[0]
     col0 = offs_smem[1]
 
@@ -268,28 +284,63 @@ def _fused_jacobi_kernel(offs_smem, u_hbm, f_hbm, *rest,
         # global boundary and col cp−1 is padding, both already masked)
         ok = (ok_global & (rows >= 1) & (rows <= strip - 2)
               & (cols >= 1) & (cols <= cp - 2))
-        a = jnp.where(ok, jnp.float32(0.25 * omega), jnp.float32(0.0)
-                      ).astype(u_hbm.dtype)
-        a_buf[:] = a
-        raw_f = fc_slots[slot]              # read before the C overwrite
-        fc_slots[slot] = a * (jnp.asarray(h2, u_hbm.dtype) * raw_f)
+        if smoother == "rbgs":
+            # checkerboard parity in GLOBAL coordinates (the reference's GS
+            # even/odd split, MG_solver_CPU.cpp:996-1055): a_buf holds the
+            # even-color update mask, modd_buf the odd; fc keeps the raw
+            # h²·f (each half-update divides by 4 in-place, no ω folding)
+            par_even = (g + gc) % 2 == 0
+            one = jnp.ones((), u_hbm.dtype)
+            zero = jnp.zeros((), u_hbm.dtype)
+            a_buf[:] = jnp.where(ok & par_even, one, zero)
+            modd_buf[:] = jnp.where(ok & ~par_even, one, zero)
+            fc_slots[slot] = (jnp.asarray(h2, u_hbm.dtype)
+                              * fc_slots[slot][:])
+            if from_zero:
+                # GS has no closed form past the even half (the odd half
+                # reads fresh even values); just materialize the zero
+                # iterate in VMEM and skip the u read (the caller already
+                # skipped its DMA)
+                u_slots[slot] = jnp.zeros((strip, cp), u_hbm.dtype)
+        else:
+            a = jnp.where(ok, jnp.float32(0.25 * omega), jnp.float32(0.0)
+                          ).astype(u_hbm.dtype)
+            a_buf[:] = a
+            raw_f = fc_slots[slot]          # read before the C overwrite
+            fc_slots[slot] = a * (jnp.asarray(h2, u_hbm.dtype) * raw_f)
 
-        if from_zero:
-            # closed-form sweep 1 from u≡0: u₁ = −(ω/4)·h²·f on the global
-            # interior (exact everywhere, including the strip edges — no
-            # neighbor dependence — so the trapezoid only needs steps−1
-            # halo rows, which HALO ≥ steps covers)
-            u_slots[slot] = jnp.where(
-                ok_global,
-                -(jnp.asarray(0.25 * omega, u_hbm.dtype)
-                  * (jnp.asarray(h2, u_hbm.dtype) * raw_f)),
-                jnp.zeros((strip, cp), u_hbm.dtype))
+            if from_zero:
+                # closed-form sweep 1 from u≡0: u₁ = −(ω/4)·h²·f on the
+                # global interior (exact everywhere, including the strip
+                # edges — no neighbor dependence — so the trapezoid only
+                # needs steps−1 halo rows, which HALO ≥ steps covers)
+                u_slots[slot] = jnp.where(
+                    ok_global,
+                    -(jnp.asarray(0.25 * omega, u_hbm.dtype)
+                      * (jnp.asarray(h2, u_hbm.dtype) * raw_f)),
+                    jnp.zeros((strip, cp), u_hbm.dtype))
 
         # --- k sweeps, pure fp32 vector arithmetic --------------------------
         def nb_sum(u):
             return _nb_sum(u, strip, cp)
 
-        if _SWEEP_FORM == "ilp":
+        if smoother == "rbgs":
+            def half(src, dst, m):
+                # one colored half-update: u = (Σnb − h²f)/4 on the mask's
+                # color, unchanged elsewhere (bit-identical op order to
+                # ops.padded.redblack_gs_sweep_p / stencils.redblack_gs_sweep)
+                u = src[:]
+                val = 0.25 * (nb_sum(u) - fc_slots[slot][:])
+                dst[:] = jnp.where(m[:] != 0, val, u)
+
+            def delta_of(fin):
+                # Δ of one extra ω=1 JACOBI sweep = (h²/4)·r(u_final) on
+                # unfrozen interior cells (even+odd masks sum to the ok
+                # mask) — the same residual identity the jacobi err path
+                # uses; callers rescale by 4/h²
+                return (a_buf[:] + modd_buf[:]) * (
+                    0.25 * (nb_sum(fin) - 4.0 * fin - fc_slots[slot][:]))
+        elif _SWEEP_FORM == "ilp":
             # dependency-chain-reduced body: dst = a·nb + (b·u − C) with
             # b = 1 − 4a. Measured BIT-IDENTICAL output and time vs the
             # reference form on hardware — Mosaic canonicalizes the
@@ -316,7 +367,9 @@ def _fused_jacobi_kernel(offs_smem, u_hbm, f_hbm, *rest,
                 return a_buf[:] * (nb_sum(fin) - 4.0 * fin) \
                     - fc_slots[slot][:]
 
-        n_sweeps = steps - 1 if from_zero else steps
+        # rbgs: from_zero saves only the u read (no closed-form shortcut —
+        # the odd half already depends on fresh even values)
+        n_sweeps = steps - 1 if (from_zero and smoother != "rbgs") else steps
         bufs = [u_slots.at[slot], work]
 
         if err_mode is not None:
@@ -366,6 +419,19 @@ def _fused_jacobi_kernel(offs_smem, u_hbm, f_hbm, *rest,
                 parts[n_sweeps - 1] = (parts[n_sweeps - 1]
                                        + masked_sum(d, selc))
             part = tuple(parts)
+        elif smoother == "rbgs":
+            # 2k masked half-updates, even color then odd per sweep; the
+            # even total always parks the final iterate back in the slot
+            # buffer for the direct out-DMA
+            for s in range(2 * n_sweeps):
+                half(bufs[s % 2], bufs[(s + 1) % 2],
+                     a_buf if s % 2 == 0 else modd_buf)
+
+            part = acc
+            if err_mode is not None:
+                val = jnp.abs(delta_of(bufs[0][:])).astype(jnp.float32)
+                part = acc + jnp.sum(jnp.where(selc, val,
+                                               jnp.zeros_like(val)))
         else:
             for s in range(n_sweeps):
                 sweep(bufs[s % 2], bufs[(s + 1) % 2])
@@ -388,7 +454,7 @@ def _fused_jacobi_kernel(offs_smem, u_hbm, f_hbm, *rest,
                 val = val.astype(jnp.float32)
                 part = acc + jnp.sum(jnp.where(sel, val, jnp.zeros_like(val)))
 
-        if n_sweeps % 2 == 1:
+        if smoother != "rbgs" and n_sweeps % 2 == 1:
             # result must sit in the slot buffer for the direct out-DMA
             u_slots[slot] = work[:]
 
@@ -434,7 +500,8 @@ def _strip_geometry(erows: int, out_rows: int, cp: int, itemsize: int):
 def _fused_jacobi_shard_call(offs, u, f, n: int, h: float, steps: int,
                              omega: float, ext_r: int, from_zero: bool,
                              interpret: bool, ext_c: int = 0, err_mode=None,
-                             per_sweep: bool = False):
+                             per_sweep: bool = False,
+                             smoother: str = "jacobi"):
     """One ≤8-sweep fused pass on a (possibly halo-extended) block.
 
     ``offs`` = int32 (2,) global (row, col) coordinates of u[0, 0];
@@ -444,6 +511,8 @@ def _fused_jacobi_shard_call(offs, u, f, n: int, h: float, steps: int,
     (see _fused_jacobi_kernel); the caller applies metric scaling.
     ``per_sweep`` returns a (steps,) vector of per-iterate raw partials
     instead (trigger batching; requires err_mode, no from_zero).
+    ``smoother="rbgs"``: red-black GS half-sweep pairs, ≤4 sweeps per pass
+    (≤3 with cpu/clean err); gpu err and per_sweep stay jacobi-only.
     """
     erows, cp = u.shape
     out_rows = erows - 2 * ext_r
@@ -451,7 +520,14 @@ def _fused_jacobi_shard_call(offs, u, f, n: int, h: float, steps: int,
     strip, owned, num_strips = _strip_geometry(erows, out_rows, cp, itemsize)
     if per_sweep:
         assert err_mode is not None and not from_zero
-    if err_mode in ("cpu", "clean"):
+    if smoother == "rbgs":
+        assert err_mode != "gpu" and not per_sweep, (
+            "rbgs fuses only the cpu/clean error metric")
+        halves = 2 * steps + (1 if err_mode in ("cpu", "clean") else 0)
+        assert halves <= HALO, (
+            f"fused rbgs pass: 2·steps(+err) must fit the {HALO}-row halo, "
+            f"got steps={steps}, err={err_mode}")
+    elif err_mode in ("cpu", "clean"):
         k = steps - 1 if from_zero else steps
         assert k <= HALO - 1, (
             f"fused cpu/clean error needs ≤{HALO - 1} sweeps per pass, "
@@ -461,7 +537,8 @@ def _fused_jacobi_shard_call(offs, u, f, n: int, h: float, steps: int,
                      out_rows=out_rows, ext_r=ext_r, ext_c=ext_c, steps=steps,
                      num_strips=num_strips, strip=strip, owned=owned,
                      h2=h * h, omega=omega, from_zero=from_zero,
-                     err_mode=err_mode, per_sweep=per_sweep)
+                     err_mode=err_mode, per_sweep=per_sweep,
+                     smoother=smoother)
 
     err_cols = steps if per_sweep else 1
     out_shape = jax.ShapeDtypeStruct((out_rows, cp - 2 * ext_c), u.dtype)
@@ -482,7 +559,9 @@ def _fused_jacobi_shard_call(offs, u, f, n: int, h: float, steps: int,
             pltpu.VMEM((2, strip, cp), u.dtype),   # u load slots
             pltpu.VMEM((2, strip, cp), u.dtype),   # f load slots -> C coeff
             pltpu.VMEM((strip, cp), u.dtype),      # ping-pong work buffer
-            pltpu.VMEM((strip, cp), u.dtype),      # A coefficient (mask·ω/4)
+            pltpu.VMEM((strip, cp), u.dtype),      # A coeff / even mask
+        ] + ([pltpu.VMEM((strip, cp), u.dtype)]    # odd-color mask (rbgs)
+             if smoother == "rbgs" else []) + [
             pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -498,13 +577,14 @@ def _fused_jacobi_shard_call(offs, u, f, n: int, h: float, steps: int,
 
 
 @partial(jax.jit, static_argnames=("n", "h", "steps", "omega", "from_zero",
-                                   "interpret"))
+                                   "interpret", "smoother"))
 def _fused_jacobi_call(u, f, n: int, h: float, steps: int, omega: float,
-                       from_zero: bool, interpret: bool):
+                       from_zero: bool, interpret: bool,
+                       smoother: str = "jacobi"):
     _check_padded(u.shape, n)
     return _fused_jacobi_shard_call(
         jnp.zeros((2,), jnp.int32), u, f, n, h, steps, omega,
-        ext_r=0, from_zero=from_zero, interpret=interpret)
+        ext_r=0, from_zero=from_zero, interpret=interpret, smoother=smoother)
 
 
 def _fused_descend_kernel(offs_smem, u_hbm, f_hbm, out_hbm, dw_hbm, *rest,
@@ -1621,6 +1701,68 @@ def fused_jacobi_err_padded(u, f, n: int, h: float, steps: int,
                  * (2.0 if err_mode == "cpu" else 1.0))
     # raw partials are f32 (bf16 has no scalar add and no usable range);
     # rescale in f32, present in the state dtype
+    err = (raw * jnp.float32(scale)).astype(u.dtype)
+    return u, err
+
+
+def fused_rbgs_padded(u: jnp.ndarray, f: jnp.ndarray, n: int, h: float,
+                      steps: int, from_zero: bool = False,
+                      interpret: bool = False) -> jnp.ndarray:
+    """``steps`` red-black Gauss-Seidel sweeps on padded-layout arrays,
+    ≤4 per HBM pass (each sweep is two colored half-updates and consumes two
+    trapezoid halo rows).
+
+    Semantically identical to ``steps`` applications of
+    ops.padded.redblack_gs_sweep_p / ops.stencils.redblack_gs_sweep (the
+    reference's GaussSeidel inner loop, MG_solver_CPU.cpp:996-1055, and its
+    paired GPU kernels ker_GaussSeideleven/odd_GPU,
+    MG_solver_GPU.cu:663-795). Chunks calls when steps > 4.
+
+    ``from_zero=True`` (correction levels): skips the u read of the first
+    pass — no closed-form shortcut exists for GS (the odd half reads fresh
+    even values), so all sweeps still run.
+    """
+    if steps <= 0:
+        return u
+    first = True
+    while steps > 0:
+        k = min(steps, MAX_FUSED_RBGS)
+        u = _fused_jacobi_call(u, f, n, h, k, 1.0, from_zero and first,
+                               interpret, smoother="rbgs")
+        steps -= k
+        first = False
+    return u
+
+
+@partial(jax.jit, static_argnames=("n", "h", "steps", "compat", "from_zero",
+                                   "interpret"))
+def fused_rbgs_err_padded(u, f, n: int, h: float, steps: int, compat=True,
+                          from_zero: bool = False, interpret: bool = False):
+    """``steps`` rb-GS sweeps WITH the cpu/clean smoothing-error metric fused
+    into the final HBM pass (one extra in-VMEM ω=1 Jacobi delta = (h²/4)·r
+    of the final iterate). Returns (u, err); matches fused_rbgs_padded +
+    smoothing_error_p to fp32 reassociation tolerance. The gpu metric needs
+    the final full-sweep ping-pong pair, which the in-place color halves
+    destroy — callers route compat="gpu" through the two-call form.
+    """
+    _check_padded(u.shape, n)
+    assert compat != "gpu", "rbgs fuses only the cpu/clean error metrics"
+    if steps <= 0:
+        return u, jnp.zeros((), u.dtype)
+    err_mode = "cpu" if compat else "clean"
+    # 2·last + 1 halo rows (the extra residual half) must fit HALO
+    last = min(steps, (HALO - 1) // 2)
+    first = True
+    if steps > last:
+        u = fused_rbgs_padded(u, f, n, h, steps - last,
+                              from_zero=from_zero, interpret=interpret)
+        first = False
+    u, raw = _fused_jacobi_shard_call(
+        jnp.zeros((2,), jnp.int32), u, f, n, h, last, 1.0, ext_r=0,
+        from_zero=from_zero and first, interpret=interpret,
+        err_mode=err_mode, smoother="rbgs")
+    npts = n * n
+    scale = 4.0 / (h * h) / npts * (2.0 if err_mode == "cpu" else 1.0)
     err = (raw * jnp.float32(scale)).astype(u.dtype)
     return u, err
 

@@ -43,6 +43,7 @@ from jax.sharding import PartitionSpec as P
 from ..ops.layout import LANE, ROW_PAD, SUBLANE
 from ..ops.pallas_kernels import (
     HALO,
+    MAX_FUSED_RBGS,
     MAX_FUSED_SWEEPS,
     _fused_ascend_shard_call,
     _fused_descend_shard_call,
@@ -96,18 +97,21 @@ def _check_alignment(shape, policy, row_axis, col_axis):
 
 
 @partial(jax.jit, static_argnames=("n", "h", "steps", "omega", "policy",
-                                   "from_zero", "interpret"))
+                                   "from_zero", "interpret", "smoother"))
 def sharded_fused_jacobi(u, f, n: int, h: float, steps: int, omega: float,
                          policy, from_zero: bool = False,
-                         interpret: bool = False):
-    """``steps`` fused damped-Jacobi sweeps on a policy-sharded global array.
+                         interpret: bool = False, smoother: str = "jacobi"):
+    """``steps`` fused smoothing sweeps on a policy-sharded global array.
 
     Semantics identical to ops.pallas_kernels.fused_jacobi_padded (itself
     doSmoothing, MG_solver_CPU.cpp:573-604): owned cells bit-match the
-    unsharded kernel. One halo exchange per ≤8-sweep pass.
+    unsharded kernel. One halo exchange per fused pass (≤8 sweeps for
+    jacobi; ≤4 for ``smoother="rbgs"``, whose colored half-sweeps consume
+    two halo rows each — ω is then ignored, matching fused_rbgs_padded).
     """
     row_axis, col_axis = _axes_of(policy, n)
     _check_alignment(u.shape, policy, row_axis, col_axis)
+    cap = MAX_FUSED_RBGS if smoother == "rbgs" else MAX_FUSED_SWEEPS
 
     def body(u_loc, f_loc):
         r_loc, c_loc = u_loc.shape
@@ -122,13 +126,13 @@ def sharded_fused_jacobi(u, f, n: int, h: float, steps: int, omega: float,
 
         out, remaining, first = u_loc, steps, True
         while remaining > 0:
-            k = min(remaining, MAX_FUSED_SWEEPS)
+            k = min(remaining, cap)
             u_e = _extend_cols(out, col_axis) if col_axis else out
             u_e = _extend_rows(u_e, row_axis)
             out = _fused_jacobi_shard_call(
                 offs, u_e, f_e, n, h, k, omega, ext_r=HALO,
                 from_zero=from_zero and first, interpret=interpret,
-                ext_c=ext_c)
+                ext_c=ext_c, smoother=smoother)
             remaining -= k
             first = False
         return out
@@ -289,13 +293,16 @@ def _err_scale(err_mode: str, n: int, h: float, omega: float) -> float:
 
 
 @partial(jax.jit, static_argnames=("n", "h", "steps", "omega", "compat",
-                                   "policy", "from_zero", "interpret"))
+                                   "policy", "from_zero", "interpret",
+                                   "smoother"))
 def sharded_fused_jacobi_err(u, f, n: int, h: float, steps: int, omega: float,
                              compat, policy, from_zero: bool = False,
-                             interpret: bool = False):
+                             interpret: bool = False,
+                             smoother: str = "jacobi"):
     """``steps`` sharded fused sweeps WITH the smoothing-error metric fused
     into the final pass — the policy-sharded twin of
-    ops.pallas_kernels.fused_jacobi_err_padded. Returns (u, err) with the
+    ops.pallas_kernels.fused_jacobi_err_padded (fused_rbgs_err_padded for
+    ``smoother="rbgs"``, cpu/clean metrics only). Returns (u, err) with the
     error psum-reduced over the sharded axes (each shard's kernel emits its
     owned-cells partial; the kernel's ownership masks make the psum exact).
 
@@ -305,9 +312,14 @@ def sharded_fused_jacobi_err(u, f, n: int, h: float, steps: int, omega: float,
     row_axis, col_axis = _axes_of(policy, n)
     _check_alignment(u.shape, policy, row_axis, col_axis)
     err_mode = "gpu" if compat == "gpu" else ("cpu" if compat else "clean")
-    # cpu/clean burn one halo row on the extra in-VMEM residual sweep
-    last_cap = (MAX_FUSED_SWEEPS if err_mode == "gpu"
-                else MAX_FUSED_SWEEPS - 1)
+    if smoother == "rbgs":
+        assert err_mode != "gpu", "rbgs fuses only the cpu/clean metrics"
+        cap, last_cap = MAX_FUSED_RBGS, (HALO - 1) // 2
+    else:
+        cap = MAX_FUSED_SWEEPS
+        # cpu/clean burn one halo row on the extra in-VMEM residual sweep
+        last_cap = (MAX_FUSED_SWEEPS if err_mode == "gpu"
+                    else MAX_FUSED_SWEEPS - 1)
     assert steps >= 1
 
     def body(u_loc, f_loc):
@@ -330,23 +342,24 @@ def sharded_fused_jacobi_err(u, f, n: int, h: float, steps: int, omega: float,
         last = min(steps, last_cap)
         out, remaining, first = u_loc, steps - last, True
         while remaining > 0:
-            k = min(remaining, MAX_FUSED_SWEEPS)
+            k = min(remaining, cap)
             out = _fused_jacobi_shard_call(
                 offs, extend(out), f_e, n, h, k, omega, ext_r=HALO,
                 from_zero=from_zero and first, interpret=interpret,
-                ext_c=ext_c)
+                ext_c=ext_c, smoother=smoother)
             remaining -= k
             first = False
         out, raw = _fused_jacobi_shard_call(
             offs, extend(out), f_e, n, h, last, omega, ext_r=HALO,
             from_zero=from_zero and first, interpret=interpret,
-            ext_c=ext_c, err_mode=err_mode)
+            ext_c=ext_c, err_mode=err_mode, smoother=smoother)
         return out, _psum_axes(raw, row_axis, col_axis)
 
     spec = policy.spec(n)
     u_new, raw = shard_map(body, mesh=policy.mesh, in_specs=(spec, spec),
                            out_specs=(spec, P()), check_vma=False)(u, f)
-    err = (raw * jnp.float32(_err_scale(err_mode, n, h, omega))
+    err = (raw * jnp.float32(_err_scale(
+        err_mode, n, h, 1.0 if smoother == "rbgs" else omega))
            ).astype(u.dtype)
     return u_new, err
 

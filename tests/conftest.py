@@ -23,6 +23,62 @@ jax.config.update("jax_enable_x64", True)
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# --- default-loop taming (VERDICT r3 weak 4) --------------------------------
+# Everything measured >10 s on the 4-core box is marked `slow` here (one
+# place, param-granular) so `-m "not slow"` is a fast default loop. Every
+# kernel/engine FAMILY keeps at least one fast bit-match/parity
+# representative in the default set — the marked ids below are the heavier
+# grids/params of families that are still covered by a cheaper sibling
+# (e.g. Wcycle parity is slow, test/Vcycle/VcycleTrigger parity stay;
+# [3-rows-1d] sharded-engine bit-match stays, the other three policies are
+# slow). Durations: `pytest --durations=150` full-run log, 2026-08-20.
+
+# whole functions (every param >10 s)
+_SLOW_FUNCS = frozenset({
+    "test_pallas3d.py::test_trigger3_vmem_bitmatches_per_pass_loop",
+    "test_rdma.py::test_compiled_engine_rdma_halo_matches",
+    "test_block_partition.py::test_fmg_block_sharded_matches_single",
+    "test_compiled3.py::test_pallas_trigger_fast_path_consistency",
+    "test_refine3.py::test_refine3_checkpoint_resume",
+    "test_orbax_checkpoint.py::test_refine3_resume_through_orbax",
+    "test_refine.py::test_tw32_checkpoint_resume_keeps_all_words",
+    "test_refine.py::test_bf16_inner_cycles_converge",
+    "test_refine.py::test_full_weighting_matches_manual",
+    "test_pallas_chain.py::test_compiled_trigger_routes_through_vmem_kernel",
+    "test_pallas_chain.py::test_compiled_engine_chains_and_bitmatches",
+    "test_pallas_chain.py::test_compiled_engine_chain_err_semantics",
+    "test_pallas_shard.py::test_sharded_trigger_batch_matches_unbatched",
+})
+
+# single parametrizations (their siblings are fast and stay default)
+_SLOW_IDS = frozenset({
+    "test_reference_parity.py::test_final_error_matches_reference[Wcycle.txt]",
+    "test_pallas_shard.py::test_compiled_pallas_sharded_matches_xla[3-block-2d]",
+    "test_pallas_shard.py::test_compiled_pallas_sharded_matches_xla[-1-block-2d]",
+    "test_pallas_shard.py::test_compiled_pallas_sharded_matches_xla[-1-rows-1d]",
+    "test_pallas_shard.py::test_compiled_pallas_sharded_aligned_uses_fused_legs[rows-1d]",
+    "test_pallas_shard.py::test_sharded_trigger_no_xla_error_pass[block-2d]",
+    "test_pallas_chain.py::test_descend_chain_bitmatches_per_level[sampling]",
+    "test_pallas_shard3.py::test_v_cycle3_sharded_matches_single_device[129]",
+    "test_pallas_shard3.py::test_v_cycle3_sharded_matches_single_device[65]",
+    "test_pallas_shard3.py::test_sharded_legs_multi_brick_clipped[3]",
+    "test_dtypes.py::test_both_engines_converge_per_dtype[bfloat16-0.005]",
+    "test_pallas3d.py::test_fused_jacobi3_residual_multi_brick[None]",
+    "test_pallas.py::test_fused_descend_matches_separate_ops[True-full_weighting-1031-6]",
+    "test_pallas.py::test_fused_error_matches_separate_metric[True-1030-7]",
+    "test_pallas.py::test_fused_error_matches_separate_metric[gpu-1030-8]",
+    "test_compiled.py::test_compiled_matches_interpreted[<lambda>2]",
+    "test_padded3.py::test_prolong3_add_p_matches_oracle[9]",
+})
+
+
+def pytest_collection_modifyitems(items):
+    for item in items:
+        nodeid = item.nodeid.split("/")[-1]          # strip tests/ prefix
+        func = nodeid.split("[")[0]
+        if nodeid in _SLOW_IDS or func in _SLOW_FUNCS:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture
 def rng():
