@@ -52,12 +52,20 @@ from .pallas_kernels import _nb_sum, _wrap_shift
 # The v5e has 128 MiB/core; leave headroom for Mosaic temporaries.
 CHAIN_VMEM_BUDGET = 96 * 1024 * 1024
 
-# Root-level cap. The in-kernel lane transfers are O(cp²) MXU matmuls, so
-# the chain's win inverts once levels get wide: measured full-cycle A/B on
-# v5e (2026-08-19) — root 1025: 0.136 vs 0.252 ms/cycle (1.85× win);
-# root 2049: 2.42 vs 2.16 at N=4097 (0.89×, the 2049→1025 selection matmul
-# alone is ~0.16 ms). 1025 is the crossover-safe default.
-CHAIN_MAX_ROOT = int(os.environ.get("MG_CHAIN_MAX_ROOT", 1025))
+# Root-level cap. Round 3 capped this at 1025: the DENSE in-kernel lane
+# transfers are O(cp²) MXU matmuls and inverted the win at a 2049 root
+# (measured 0.89× at N=4097). Round 4's banded 128-lane block panels
+# (below) cut them to O(cp·128) FLOPs — each output panel reads only the
+# ≤2-tap input window — lifting the practical cap to 2049 (a 4097 root's
+# level ladder exceeds the 128 MiB VMEM itself, so 2049 is also the
+# physical whole-chain maximum). Override for A/B via MG_CHAIN_MAX_ROOT.
+CHAIN_MAX_ROOT = int(os.environ.get("MG_CHAIN_MAX_ROOT", 2049))
+
+# Lane-transfer lowering: "panel" = banded 128-lane block panels (default),
+# "dense" = the round-3 full (cp_src, cp_dst) matmuls (A/B knob). Both are
+# bit-exact: selection has one tap per output lane and expansion at most
+# two (the 0.5-weighted odd taps), so no reassociation exists to differ.
+_LANE_FORM = os.environ.get("MG_CHAIN_LANE_FORM", "panel")
 
 
 def chain_sizes(n0: int, n_min: int = 3) -> tuple[int, ...]:
@@ -73,11 +81,16 @@ def chain_sizes(n0: int, n_min: int = 3) -> tuple[int, ...]:
 
 def chain_vmem_bytes(sizes, itemsize: int = 4) -> int:
     """VMEM bytes the chain kernels hold resident: u+f per level + one
-    work buffer at the top shape + the largest lane-matrix product."""
+    work buffer at the top shape + lane-transfer temporaries (with the
+    banded panel form the matrices are two 256×128 blocks; the dominant
+    temp is the half-height pre-decimation value at the top transition)."""
     per_level = sum(rp * cp for rp, cp in map(padded_shape, sizes))
     rp0, cp0 = padded_shape(sizes[0])
-    mat = max((padded_shape(a)[1] * padded_shape(b)[1]
-               for a, b in zip(sizes, sizes[1:])), default=0)
+    if _LANE_FORM == "dense":
+        mat = max((padded_shape(a)[1] * padded_shape(b)[1]
+                   for a, b in zip(sizes, sizes[1:])), default=0)
+    else:
+        mat = 2 * 256 * 128 + (rp0 // 2) * cp0
     return (2 * per_level + rp0 * cp0 + mat) * itemsize
 
 
@@ -129,6 +142,64 @@ def _dot(a, b):
     return jax.lax.dot(a, b, precision=jax.lax.Precision.HIGHEST)
 
 
+def _select_lanes(x, cp: int, cpc: int, dtype, form: str = None):
+    """x @ S for the even-lane selection S (cp, cpc) — S[i, j] = (i == 2j).
+
+    Panel form (default): output lane block J (128 lanes) has its single
+    taps entirely inside input lanes [256J, 256J + 256), and the local
+    (256, 128) panel matrix is J-independent (256J + i == 2·(128J + j) ⇔
+    i == 2j) — one small MXU matmul per block, O(cp·128) FLOPs total
+    instead of the dense O(cp²) that capped the chain root at 1025.
+    Bit-exact vs dense: selection sums have exactly one product."""
+    if form == "dense" or cpc <= 256:
+        return _dot(x, _select_mat(cp, cpc, dtype))
+    panel = _select_mat(256, 128, dtype)
+    outs = []
+    for j in range(cpc // 128):
+        lo = 256 * j
+        w = min(256, cp - lo)
+        if w <= 0:
+            outs.append(jnp.zeros((x.shape[0], 128), dtype))
+            continue
+        outs.append(_dot(x[:, lo:lo + w],
+                         panel[:w] if w < 256 else panel))
+    return jnp.concatenate(outs, axis=1)
+
+
+def _expand_panel_mat(off: int, dtype):
+    """Local (256, 128) block of the 2:1 lane-expansion matrix for output
+    block J with input window start lo = 128·(J//2): global c = 2·lo + off
+    + j and r = lo + i, so the taps c == 2r / |c − 2r| = 1 become
+    off + j == 2i / |off + j − 2i| == 1 (off = 128·(J % 2))."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (256, 128), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (256, 128), 1) + off
+    even = (c == 2 * r).astype(dtype)
+    odd = ((c == 2 * r + 1) | (c == 2 * r - 1)).astype(dtype)
+    return even + jnp.asarray(0.5, dtype) * odd
+
+
+def _expand_lanes(child, cpc: int, cp: int, dtype, form: str = None):
+    """child @ E for the 2:1 lane expansion E (cpc, cp) — fine 2i ← coarse
+    i, fine 2i+1 ← ½(coarse i + i+1), as banded 128-lane block panels:
+    output block J reads coarse lanes [64J, 64J + 64] ⊂ the 256-lane window
+    starting at 128·(J//2), with a parity-dependent local matrix.
+    Bit-exact vs dense (≤2 taps per output lane, both with exact 0.5
+    weights — no reassociation)."""
+    if form == "dense" or cp <= 256:
+        return _dot(child, _expand_mat(cpc, cp, dtype))
+    mats = (_expand_panel_mat(0, dtype), _expand_panel_mat(128, dtype))
+    outs = []
+    for j in range(cp // 128):
+        lo = 128 * (j // 2)
+        w = min(256, cpc - lo)
+        if w <= 0:
+            outs.append(jnp.zeros((child.shape[0], 128), dtype))
+            continue
+        e = mats[j % 2]
+        outs.append(_dot(child[:, lo:lo + w], e[:w] if w < 256 else e))
+    return jnp.concatenate(outs, axis=1)
+
+
 def _sweeps_inplace(ubuf, work, fc, a, ok, n_sweeps: int, from_zero: bool,
                     rp: int, cp: int):
     """Run sweeps on the full (rp, cp) level between ``ubuf`` and ``work``
@@ -148,7 +219,7 @@ def _sweeps_inplace(ubuf, work, fc, a, ok, n_sweeps: int, from_zero: bool,
 
 def _descend_chain_kernel(u0_hbm, f0_hbm, *rest, sizes, pshapes,
                           h2s, pre_steps, omega: float, restriction: str,
-                          entry_from_zero: bool):
+                          entry_from_zero: bool, lane_form: str = None):
     """Descend from sizes[0] to sizes[-1]: per level k < c — pre-sweeps,
     residual (extra-sweep Δ identity), restriction into level k+1's RHS.
     Outputs: u_k (post-pre-smooth) for k < c, f_k for 1 ≤ k ≤ c."""
@@ -204,14 +275,14 @@ def _descend_chain_kernel(u0_hbm, f0_hbm, *rest, sizes, pshapes,
         else:
             pad = jnp.zeros((rpc - rp // 2, cp), dtype)
             dec_rows = jnp.concatenate([dec_rows, pad], axis=0)
-        dec = _dot(dec_rows, _select_mat(cp, cpc, dtype))
+        dec = _select_lanes(dec_rows, cp, cpc, dtype, form=lane_form)
         okc = _masks(m, (rpc, cpc))
         f_bufs[k + 1][:] = jnp.where(okc, dec, jnp.zeros((rpc, cpc), dtype))
         dma(f_bufs[k + 1], f_outs[k])
 
 
 def _ascend_chain_kernel(uc_hbm, *rest, sizes, pshapes, h2s, post_steps,
-                         omega: float):
+                         omega: float, lane_form: str = None):
     """Ascend from sizes[-1] back to sizes[0]: per level k = c−1 … 0 —
     2:1 prolongation of the child solution (lanes on the MXU, rows via the
     interleave reshape), interior add, post-sweeps. Inputs: u_k/f_k from the
@@ -246,7 +317,8 @@ def _ascend_chain_kernel(uc_hbm, *rest, sizes, pshapes, h2s, post_steps,
         child = child_buf[0:rpc, 0:cpc]
 
         # lanes on the MXU: (rpc, cpc) @ (cpc, cp) → coarse rows, fine lanes
-        cw = _dot(child, _expand_mat(cpc, cp, dtype))
+        # (banded 128-lane panels — see _expand_lanes)
+        cw = _expand_lanes(child, cpc, cp, dtype, form=lane_form)
         # rows: fine 2t ← coarse t, fine 2t+1 ← ½(t + t+1); the last odd row
         # reads one row past rp/2 — append a duplicate (those fine rows are
         # ≥ n−1 and masked by the interior add)
@@ -276,11 +348,11 @@ def _h2s(h0: float, levels: int):
 
 @partial(jax.jit, static_argnames=("sizes", "h0", "pre_steps", "omega",
                                    "restriction", "entry_from_zero",
-                                   "interpret"))
+                                   "interpret", "lane_form"))
 def fused_chain_descend(u0, f0, sizes: tuple, h0: float, pre_steps: tuple,
                         omega: float, restriction: str = "sampling",
                         entry_from_zero: bool = False,
-                        interpret: bool = False):
+                        interpret: bool = False, lane_form: str = None):
     """Run the whole descend chain in one kernel. Returns
     (u_list, f_list): u_list[k] = post-pre-smooth iterate at sizes[k]
     (k < c); f_list[k] = RHS at sizes[k+1] (so f_list[-1] feeds the coarse
@@ -294,7 +366,8 @@ def fused_chain_descend(u0, f0, sizes: tuple, h0: float, pre_steps: tuple,
     kernel = partial(_descend_chain_kernel, sizes=sizes, pshapes=pshapes,
                      h2s=_h2s(h0, c + 1), pre_steps=pre_steps, omega=omega,
                      restriction=restriction,
-                     entry_from_zero=entry_from_zero)
+                     entry_from_zero=entry_from_zero,
+                     lane_form=lane_form or _LANE_FORM)
 
     out_shape = ([jax.ShapeDtypeStruct(pshapes[k], dtype) for k in range(c)]
                  + [jax.ShapeDtypeStruct(pshapes[k + 1], dtype)
@@ -318,10 +391,10 @@ def fused_chain_descend(u0, f0, sizes: tuple, h0: float, pre_steps: tuple,
 
 
 @partial(jax.jit, static_argnames=("sizes", "h0", "post_steps", "omega",
-                                   "interpret"))
+                                   "interpret", "lane_form"))
 def fused_chain_ascend(u_list, f_list, uc, sizes: tuple, h0: float,
                        post_steps: tuple, omega: float,
-                       interpret: bool = False):
+                       interpret: bool = False, lane_form: str = None):
     """Run the whole ascend chain in one kernel; returns the new finest u.
 
     ``u_list``/``f_list`` are fused_chain_descend's outputs with
@@ -337,7 +410,8 @@ def fused_chain_ascend(u_list, f_list, uc, sizes: tuple, h0: float,
     maxc = max(p[1] for p in pshapes[1:])
 
     kernel = partial(_ascend_chain_kernel, sizes=sizes, pshapes=pshapes,
-                     h2s=_h2s(h0, c + 1), post_steps=post_steps, omega=omega)
+                     h2s=_h2s(h0, c + 1), post_steps=post_steps, omega=omega,
+                     lane_form=lane_form or _LANE_FORM)
 
     scratch = ([pltpu.VMEM(pshapes[k], dtype) for k in range(c)]      # u
                + [pltpu.VMEM(pshapes[k], dtype) for k in range(c)]    # f

@@ -355,3 +355,54 @@ def test_chain_skips_partial_v_patterns():
     np.testing.assert_allclose(np.asarray(cc.unpad(u1)),
                                np.asarray(ccx.unpad(ux)),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_lane_panels_bitmatch_dense():
+    """Round-4 banded 128-lane block-panel transfers (the cap-lifting form,
+    VERDICT r3 item 1) are BIT-identical to the round-3 dense matmuls —
+    selection has one tap per output lane and expansion at most two, so no
+    reassociation exists to differ. Root 513 engages multi-block panels at
+    every wide transition."""
+    n0 = 513
+    sizes = pc.chain_sizes(n0, n_min=5)
+    assert pc.chain_fits(sizes)
+    c = len(sizes) - 1
+    h0 = 1.0 / (n0 - 1)
+    u0, f0 = _fields(n0)
+    outs = {}
+    for form in ("panel", "dense"):
+        du, df = pc.fused_chain_descend(
+            u0, f0, sizes, h0, tuple([2] * c), 0.8,
+            restriction="full_weighting", interpret=True, lane_form=form)
+        uc = jnp.zeros(layout.padded_shape(sizes[-1]), jnp.float32)
+        up = pc.fused_chain_ascend(
+            du, [f0] + df[:-1], uc, sizes, h0, tuple([2] * c), 0.8,
+            interpret=True, lane_form=form)
+        outs[form] = (du, df, up)
+    for a, b in zip(outs["panel"][0], outs["dense"][0]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(outs["panel"][1], outs["dense"][1]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(outs["panel"][2]),
+                                  np.asarray(outs["dense"][2]))
+
+
+def test_panel_chain_bitmatches_per_level_at_513():
+    """At a panel-engaging root the whole chain still bit-matches the
+    per-level reference ops (the round-3 guarantee survives the banded
+    transfer rewrite)."""
+    n0 = 513
+    sizes = pc.chain_sizes(n0, n_min=5)
+    c = len(sizes) - 1
+    h0 = 1.0 / (n0 - 1)
+    u0, f0 = _fields(n0)
+    got_u, got_f = pc.fused_chain_descend(
+        u0, f0, sizes, h0, tuple([2] * c), 0.8, restriction="sampling",
+        interpret=True, lane_form="panel")
+    want_u, want_f = _reference_descend(u0, f0, sizes, h0, 2, 0.8,
+                                        "sampling")
+    for k in range(c):
+        np.testing.assert_array_equal(np.asarray(got_u[k]),
+                                      np.asarray(want_u[k]))
+        np.testing.assert_array_equal(np.asarray(got_f[k]),
+                                      np.asarray(want_f[k]))
