@@ -334,7 +334,9 @@ def _trigger_smooth_traced(u, f, h, n: int, cfg: SolverConfig, policy=None):
     max_sweeps = effective_trigger_cap(cfg.max_trigger_sweeps, n)
 
     if fuse_err and not sharded and cfg.smoother == "jacobi":
-        from .ops.pallas_chain import fused_trigger_vmem, trigger_fits
+        from .ops.pallas_chain import (fused_trigger_stream,
+                                       fused_trigger_vmem, trigger_fits,
+                                       trigger_stream_fits)
         if trigger_fits(n):
             # the WHOLE trigger loop as one VMEM-resident kernel: no HBM
             # traffic and no dispatch per sweep (the per-pass path below
@@ -344,6 +346,14 @@ def _trigger_smooth_traced(u, f, h, n: int, cfg: SolverConfig, policy=None):
             return fused_trigger_vmem(u, f, n, h, cfg.trigger, cfg.omega,
                                       cfg.compat_error, max_sweeps,
                                       interpret=_pallas_interpret())
+        if trigger_stream_fits(n):
+            # next size class (4097²): u + f no longer fit VMEM together,
+            # but the ITERATE alone does — keep u resident across the whole
+            # loop and stream f in strips once per sweep (one HBM pass +
+            # zero dispatch per sweep vs the per-pass path's ~3 + 1)
+            return fused_trigger_stream(u, f, n, h, cfg.trigger, cfg.omega,
+                                        cfg.compat_error, max_sweeps,
+                                        interpret=_pallas_interpret())
 
     if fuse_err and cfg.trigger_batch > 1 and cfg.smoother == "jacobi":
         from .ops.pallas_kernels import (errs_sweep_cap,

@@ -46,26 +46,34 @@ from jax.experimental.pallas import tpu as pltpu
 import os
 
 from .layout import padded_shape
-from .pallas_kernels import _nb_sum, _wrap_shift
+from .pallas_kernels import _i32, _nb_sum, _wrap_shift
 
 # VMEM ceiling for the whole chain (level buffers + work + matmul temps).
 # The v5e has 128 MiB/core; leave headroom for Mosaic temporaries.
 CHAIN_VMEM_BUDGET = 96 * 1024 * 1024
 
-# Root-level cap. Round 3 capped this at 1025: the DENSE in-kernel lane
-# transfers are O(cp²) MXU matmuls and inverted the win at a 2049 root
-# (measured 0.89× at N=4097). Round 4's banded 128-lane block panels
-# (below) cut them to O(cp·128) FLOPs — each output panel reads only the
-# ≤2-tap input window — lifting the practical cap to 2049 (a 4097 root's
-# level ladder exceeds the 128 MiB VMEM itself, so 2049 is also the
-# physical whole-chain maximum). Override for A/B via MG_CHAIN_MAX_ROOT.
-CHAIN_MAX_ROOT = int(os.environ.get("MG_CHAIN_MAX_ROOT", 2049))
+# Root-level cap, measured twice:
+#  * round 3 (dense O(cp²) lane matmuls): a 2049 root inverted the win
+#    (0.89× at N=4097) — hence the 1025 cap;
+#  * round 4 probed the VERDICT-r3 hypothesis that banded 128-lane block
+#    panels (O(cp·128) FLOPs, below) would lift the cap. REFUTED on
+#    hardware (2026-08-20, examples/exp_chain_panels.py, same window):
+#    the panel kernel is bit-identical but SLOWER than dense at a 2049
+#    root (0.311 vs 0.232 ms/sub-cycle — one big MXU matmul beats 9 small
+#    ones + lane concats), and even the dense whole-program 2049 chain
+#    loses to the per-level engine (engine A/B: 0.449 vs 0.348 ms/cycle;
+#    sub-chains at 4097/8193 are noise-neutral, maxdiff 0.0). The chain
+#    win is a small-level dispatch-deletion effect; at 2049+ the strip
+#    pipelines' overlapped DMA wins. 1025 stays the default; override for
+#    A/B via MG_CHAIN_MAX_ROOT.
+CHAIN_MAX_ROOT = int(os.environ.get("MG_CHAIN_MAX_ROOT", 1025))
 
-# Lane-transfer lowering: "panel" = banded 128-lane block panels (default),
-# "dense" = the round-3 full (cp_src, cp_dst) matmuls (A/B knob). Both are
-# bit-exact: selection has one tap per output lane and expansion at most
-# two (the 0.5-weighted odd taps), so no reassociation exists to differ.
-_LANE_FORM = os.environ.get("MG_CHAIN_LANE_FORM", "panel")
+# Lane-transfer lowering: "panel" = banded 128-lane block panels,
+# "dense" = full (cp_src, cp_dst) matmuls (default — measured faster, see
+# above). Both are bit-exact: selection has one tap per output lane and
+# expansion at most two (the 0.5-weighted odd taps), so no reassociation
+# exists to differ.
+_LANE_FORM = os.environ.get("MG_CHAIN_LANE_FORM", "dense")
 
 
 def chain_sizes(n0: int, n_min: int = 3) -> tuple[int, ...]:
@@ -542,6 +550,254 @@ def fused_trigger_vmem(u, f, n: int, h: float, trigger: float, omega: float,
     return out, stat[0, 0].astype(u.dtype)
 
 
+# --- u-resident / f-streamed trigger loop (the 4097² size class) ---------------
+#
+# The pure in-VMEM trigger (above) needs ~5 level-sized buffers, capping it
+# at 2049² — and no "2-buffer variant" exists one class up: at 4097² even
+# u + f alone are 2 × 69.5 MB > the 128 MiB VMEM (VERDICT r3 item 4's
+# premise is physically infeasible). The TPU-shaped answer is to keep ONLY
+# the iterate u resident across the whole |Δerr| > trigger loop and stream
+# f in strips once per sweep: per-sweep HBM traffic drops from ~3 full
+# passes (u read + u write + f read) + a kernel dispatch to ONE f read and
+# zero dispatch.
+
+STREAM_VMEM_BUDGET = 112 * 1024 * 1024
+
+
+def _stream_strip_rows(rp: int, cp: int, itemsize: int = 4) -> int:
+    """Strip height for the streamed trigger: ubuf (rp+16 rows) + 3 f slots
+    + ~5 strip-sized live temporaries inside the budget."""
+    left = STREAM_VMEM_BUDGET - (rp + 16) * cp * itemsize
+    s = left // (8 * cp * itemsize)
+    s = (s // 16) * 16
+    return max(32, min(s, 512))
+
+
+def trigger_stream_fits(n: int, itemsize: int = 4) -> bool:
+    """Whether the streamed trigger kernel CAN run at n (resident iterate +
+    strip working set inside the budget). The engine prefers the pure
+    in-VMEM kernel where trigger_fits(n) — this is the next class up."""
+    rp, cp = padded_shape(n)
+    s = _stream_strip_rows(rp, cp, itemsize)
+    if s <= 0:
+        return False
+    total = ((rp + 16) * cp + 3 * s * cp + 5 * (s + 16) * cp) * itemsize
+    return total <= STREAM_VMEM_BUDGET
+
+
+def _trigger_stream_kernel(u_hbm, f_hbm, out_hbm, stat_smem, ubuf, fslots,
+                           edge, sem, fsems, *, n: int, rp: int, cp: int,
+                           S: int, q: int, rem: int, h2: float, omega: float,
+                           trigger: float, compat, max_sweeps: int):
+    """The whole error-trigger loop with u resident in VMEM and f streamed
+    in strips (triple-buffered) once per sweep.
+
+    ubuf is padded by 8 rows top and bottom (zeroed) so every window read
+    keeps a uniform ×8-aligned offset; data rows live at [8, 8 + rp).
+    Per sweep, strips commit in place top-down: ``edge`` carries the
+    previous strip's pre-update last 8 rows (the in-place Jacobi wavefront),
+    so every point sees exactly the old iterate — per-point expressions are
+    identical to the strip kernels' and the iterates BIT-match the per-pass
+    fused path. The cpu/clean metric of the new iterate (extra-Δ identity)
+    is accumulated one strip behind the commits, where all committed
+    neighbors exist; the gpu metric falls out of the commit Δ directly.
+    Stop rule and scaling mirror _trigger_vmem_kernel / the per-pass
+    engine path exactly. Reference: the trigger loops,
+    /root/reference/src/MG_solver_CPU.cpp:194-240."""
+    dtype = u_hbm.dtype
+    nstrips = q + (1 if rem else 0)
+
+    # zero the alignment pads, then park u at rows [8, 8+rp)
+    ubuf[0:8] = jnp.zeros((8, cp), dtype)
+    ubuf[8 + rp:16 + rp] = jnp.zeros((8, cp), dtype)
+    dma_in = pltpu.make_async_copy(u_hbm, ubuf.at[pl.ds(8, rp)], sem)
+    dma_in.start()
+    dma_in.wait()
+
+    if compat == "gpu":
+        scale = 4.0 / h2 / (n * n)
+    else:
+        scale = 4.0 / (omega * h2) / (n * n) * (2.0 if compat else 1.0)
+
+    def mul8(x):
+        return pl.multiple_of(x, 8)
+
+    def f_start(i):
+        # strip i covers data rows [i·S, i·S + blk); the last strip is
+        # clamped so its DMA stays in range (rem rows used)
+        return mul8(jnp.minimum(_i32(i) * _i32(S), _i32(rp - S)))
+
+    def f_dma(i, slot):
+        return pltpu.make_async_copy(
+            f_hbm.at[pl.ds(f_start(i), S)], fslots.at[slot],
+            fsems.at[slot])
+
+    def masks(row0, blk):
+        """(ok_global, a, colsel) for data rows [row0, row0+blk)."""
+        rows = jax.lax.broadcasted_iota(jnp.int32, (blk, cp), 0) + row0
+        cols = jax.lax.broadcasted_iota(jnp.int32, (blk, cp), 1)
+        ok = ((rows >= 1) & (rows <= n - 2)
+              & (cols >= 1) & (cols <= n - 2))
+        a = jnp.where(ok, jnp.float32(0.25 * omega),
+                      jnp.float32(0.0)).astype(dtype)
+        if compat == "gpu" or not compat:
+            sel = ok
+        else:
+            sel = ok & ((rows + cols) % 2 == 0)
+        return ok, a, sel
+
+    def nb_of(w, mid, blk):
+        """North+south from the (blk+16,) window value, west+east via lane
+        rolls on the strip — the same value set and sum order as _nb_sum
+        on the per-pass kernels' strips."""
+        return (w[7:7 + blk, :] + w[9:9 + blk, :]
+                + _wrap_shift(mid, 1, axis=1)
+                + _wrap_shift(mid, cp - 1, axis=1))
+
+    def fc_of(fslot, blk: int, f_lo: int, a):
+        """Folded source term from the strip's f slot. ``f_lo`` is the
+        STATIC offset of the strip's rows inside the slot — 0 for full
+        strips, S − rem for the clamped remainder DMA."""
+        fv = fslot[pl.ds(_i32(f_lo), blk)]
+        return a * (jnp.asarray(h2, dtype) * fv)
+
+    def commit(row0, blk: int, fslot, f_lo: int = 0):
+        """One in-place strip update; returns the commit Δ's masked sum
+        (the gpu metric's raw partial)."""
+        ok, a, sel = masks(row0, blk)
+        mid = ubuf[pl.ds(mul8(row0 + 8), blk)]
+        bot = ubuf[pl.ds(mul8(row0 + 8 + blk), 8)]
+        w = jnp.concatenate([edge[:], mid, bot], axis=0)
+        fc = fc_of(fslot, blk, f_lo, a)
+        new = mid + a * (nb_of(w, mid, blk) - 4.0 * mid) - fc
+        edge[:] = mid[blk - 8:blk, :]
+        ubuf[pl.ds(mul8(row0 + 8), blk)] = new
+        if compat != "gpu":
+            return jnp.float32(0.0)
+        d = jnp.abs(new - mid).astype(jnp.float32)
+        return jnp.sum(jnp.where(sel, d, jnp.zeros_like(d)))
+
+    def err_of(row0, blk: int, fslot, f_lo: int = 0):
+        """Extra-Δ metric partial of the COMMITTED strip (all neighbors
+        committed): Δ_next = a·(Σnb − 4u) − fc, |r| = 4|Δ|/(ω·h²)."""
+        ok, a, sel = masks(row0, blk)
+        mid = ubuf[pl.ds(mul8(row0 + 8), blk)]
+        top = ubuf[pl.ds(mul8(row0), 8)]
+        bot = ubuf[pl.ds(mul8(row0 + 8 + blk), 8)]
+        w = jnp.concatenate([top, mid, bot], axis=0)
+        fc = fc_of(fslot, blk, f_lo, a)
+        d = a * (nb_of(w, mid, blk) - 4.0 * mid) - fc
+        d = jnp.abs(d).astype(jnp.float32)
+        return jnp.sum(jnp.where(sel, d, jnp.zeros_like(d)))
+
+    def sweep_once():
+        """One full in-place sweep; returns the raw metric partial of the
+        NEW iterate (gpu: Σ|Δ| from the commits; cpu/clean: Σ|Δ_next|
+        accumulated one strip behind)."""
+        edge[:] = jnp.zeros((8, cp), dtype)   # strip 0's top is frozen rows
+        f_dma(0, _i32(0)).start()
+        if nstrips > 1:
+            f_dma(1, _i32(1)).start()
+
+        def body(i, raw):
+            slot = jax.lax.rem(_i32(i), _i32(3))
+            f_dma(i, slot).wait()
+            row0 = _i32(i) * _i32(S)
+            raw = raw + commit(row0, S, fslots.at[slot])
+
+            if compat != "gpu":
+                # err of strip i−1 (all its neighbors now committed); at
+                # i = 0 the clamped evaluation reads valid rows but its
+                # value is masked off — cheaper than a lax.cond branch
+                prev_slot = jax.lax.rem(_i32(i) + _i32(2), _i32(3))
+                row0e = jnp.maximum(_i32(0), (_i32(i) - 1) * _i32(S))
+                raw = raw + jnp.where(
+                    i >= 1, err_of(row0e, S, fslots.at[prev_slot]),
+                    jnp.float32(0.0))
+
+            @pl.when(_i32(i) + 2 < _i32(nstrips))
+            def _():
+                f_dma(i + 2, jax.lax.rem(_i32(i) + _i32(2), _i32(3))).start()
+            return raw
+
+        raw = jax.lax.fori_loop(_i32(0), _i32(q), body, jnp.float32(0.0),
+                                unroll=False)
+        if rem:
+            # the remainder's f DMA is row-clamped to [rp − S, rp): its rows
+            # sit at the STATIC offset S − rem inside the slot
+            slot = jax.lax.rem(_i32(q), _i32(3))
+            f_dma(q, slot).wait()
+            row0 = _i32(q) * _i32(S)
+            raw = raw + commit(row0, rem, fslots.at[slot], f_lo=S - rem)
+            if compat != "gpu":
+                pslot = jax.lax.rem(_i32(q) + _i32(2), _i32(3))
+                raw = raw + err_of(_i32(q - 1) * _i32(S), S,
+                                   fslots.at[pslot])
+                raw = raw + err_of(row0, rem, fslots.at[slot],
+                                   f_lo=S - rem)
+        elif compat != "gpu":
+            lslot = jax.lax.rem(_i32(q - 1), _i32(3))
+            raw = raw + err_of(_i32(q - 1) * _i32(S), S, fslots.at[lslot])
+        return raw * jnp.float32(scale)
+
+    err0 = sweep_once()
+
+    def cond(carry):
+        _, slope, k = carry
+        return jnp.logical_and(slope > trigger, k < max_sweeps)
+
+    def body(carry):
+        prev, _, k = carry
+        err = sweep_once()
+        return err, jnp.abs(err - prev), k + 1
+
+    err, _, k = jax.lax.while_loop(
+        cond, body, (err0, jnp.float32(trigger + 1.0), jnp.int32(1)))
+    stat_smem[0, 0] = err
+    stat_smem[0, 1] = k.astype(jnp.float32)
+
+    dma_out = pltpu.make_async_copy(ubuf.at[pl.ds(8, rp)], out_hbm, sem)
+    dma_out.start()
+    dma_out.wait()
+
+
+@partial(jax.jit, static_argnames=("n", "h", "trigger", "omega", "compat",
+                                   "max_sweeps", "interpret"))
+def fused_trigger_stream(u, f, n: int, h: float, trigger: float,
+                         omega: float, compat, max_sweeps: int,
+                         interpret: bool = False):
+    """Error-triggered smoothing for grids whose iterate (but not iterate +
+    RHS) fits VMEM — u stays resident across the whole loop, f streams in
+    strips once per sweep. Returns (u_new, err) like fused_trigger_vmem."""
+    rp, cp = padded_shape(n)
+    assert u.shape == (rp, cp) and trigger_stream_fits(n)
+    S = _stream_strip_rows(rp, cp, jnp.dtype(u.dtype).itemsize)
+    q, rem = divmod(rp, S)
+    if q == 0:
+        q, S, rem = 1, rp, 0
+    kernel = partial(_trigger_stream_kernel, n=n, rp=rp, cp=cp, S=S, q=q,
+                     rem=rem, h2=h * h, omega=omega, trigger=trigger,
+                     compat=compat, max_sweeps=max_sweeps)
+    out, stat = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((rp, cp), u.dtype),
+                   jax.ShapeDtypeStruct((1, 2), jnp.float32)),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        scratch_shapes=[pltpu.VMEM((rp + 16, cp), u.dtype),   # resident u
+                        pltpu.VMEM((3, S, cp), u.dtype),      # f strips
+                        pltpu.VMEM((8, cp), u.dtype),         # edge rows
+                        pltpu.SemaphoreType.DMA,
+                        pltpu.SemaphoreType.DMA((3,))],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(STREAM_VMEM_BUDGET * 1.1)),
+        interpret=interpret,
+    )(u, f)
+    return out, stat[0, 0].astype(u.dtype)
+
+
 __all__ = ["chain_sizes", "chain_fits", "chain_vmem_bytes",
            "fused_chain_descend", "fused_chain_ascend", "fused_trigger_vmem",
-           "trigger_fits", "CHAIN_VMEM_BUDGET"]
+           "fused_trigger_stream", "trigger_fits", "trigger_stream_fits",
+           "CHAIN_VMEM_BUDGET", "STREAM_VMEM_BUDGET"]

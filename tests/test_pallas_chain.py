@@ -288,7 +288,11 @@ def test_compiled_trigger_routes_through_vmem_kernel():
         u, f = cc.init()
         u_vmem, _ = cc(u, f)
 
-    with mock.patch.object(PC, "trigger_fits", lambda *a, **k: False):
+    with mock.patch.object(PC, "trigger_fits", lambda *a, **k: False), \
+            mock.patch.object(PC, "trigger_stream_fits",
+                              lambda *a, **k: False):
+        # disable BOTH whole-loop kernels so the reference run really is
+        # the per-pass path (round 4 added the streamed fallback tier)
         cc2 = mg.compile_program(program, mg.REFERENCE_PROBLEM, cfg,
                                  donate=False)
         u2, f2 = cc2.init()
@@ -406,3 +410,113 @@ def test_panel_chain_bitmatches_per_level_at_513():
                                       np.asarray(want_u[k]))
         np.testing.assert_array_equal(np.asarray(got_f[k]),
                                       np.asarray(want_f[k]))
+
+
+def _per_pass_trigger(u, f, n, h, trig, omega, compat, cap):
+    """The engine's per-pass trigger loop (fused err kernel, 1 sweep/pass)."""
+    from multigrid_poisson_solver_tpu.ops import pallas_kernels as pk
+    prev = None
+    k = 0
+    while True:
+        u, err = pk.fused_jacobi_err_padded(u, f, n, h, 1, omega=omega,
+                                            compat=compat, interpret=True)
+        k += 1
+        if prev is not None and abs(float(err) - prev) <= trig:
+            break
+        if k >= cap:
+            break
+        prev = float(err)
+    return u, float(err), k
+
+
+@pytest.mark.parametrize("compat", [True, False, "gpu"])
+def test_trigger_stream_matches_per_pass(compat):
+    """The u-resident / f-streamed trigger loop (the 4097² class) replays
+    the per-pass loop: same sweep counts, same iterate to fp32-contraction
+    tolerance (CPU-interpret XLA makes chunk-dependent FMA choices — even
+    fused(1)∘fused(1) vs fused(2) differ at 1 ulp here; hardware Mosaic is
+    canonical and the TPU experiment pins bit-identity)."""
+    n = 129
+    rp, cp = layout.padded_shape(n)
+    rng = np.random.default_rng(5)
+    u = jnp.zeros((rp, cp), jnp.float32).at[:n, :n].set(
+        jnp.asarray(rng.standard_normal((n, n)), jnp.float32))
+    f = jnp.zeros((rp, cp), jnp.float32).at[:n, :n].set(
+        jnp.asarray(10 * rng.standard_normal((n, n)), jnp.float32))
+    h = 1.0 / (n - 1)
+    assert pc.trigger_stream_fits(n)
+    got, err = pc.fused_trigger_stream(u, f, n, h, 30.0, 0.8, compat, 200,
+                                       interpret=True)
+    want, werr, k = _per_pass_trigger(u, f, n, h, 30.0, 0.8, compat, 200)
+    assert k < 200                     # the stop rule actually fired
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=1e-6)
+    assert abs(float(err) - werr) <= 1e-5 * abs(werr)
+
+
+def test_trigger_stream_multi_strip(monkeypatch):
+    """Multi-strip wavefront (in-place commits + edge carry + lagged err)
+    matches the single-strip evaluation of the same kernel."""
+    n = 257
+    rp, cp = layout.padded_shape(n)
+    rng = np.random.default_rng(7)
+    u = jnp.zeros((rp, cp), jnp.float32).at[:n, :n].set(
+        jnp.asarray(rng.standard_normal((n, n)), jnp.float32))
+    f = jnp.zeros((rp, cp), jnp.float32).at[:n, :n].set(
+        jnp.asarray(10 * rng.standard_normal((n, n)), jnp.float32))
+    h = 1.0 / (n - 1)
+    single, es = pc.fused_trigger_stream(u, f, n, h, 60.0, 0.8, True, 100,
+                                         interpret=True)
+    # shrink the budget so strips engage (rp=272 -> S=64: 4 strips + rem 16)
+    monkeypatch.setattr(pc, "STREAM_VMEM_BUDGET",
+                        ((rp + 16) * cp + 8 * 64 * cp + 5 * 16 * cp) * 4)
+    S = pc._stream_strip_rows(rp, cp)
+    assert S < rp
+    import jax
+    jax.clear_caches()                 # same static signature, new geometry
+    multi, em = pc.fused_trigger_stream(u, f, n, h, 60.0, 0.8, True, 100,
+                                        interpret=True)
+    np.testing.assert_allclose(np.asarray(multi), np.asarray(single),
+                               rtol=0, atol=1e-6)
+    assert abs(float(em) - float(es)) <= 1e-5 * abs(float(es))
+
+
+def test_compiled_trigger_routes_through_stream_kernel(monkeypatch):
+    """The compiled engine picks the streamed kernel for trigger levels in
+    the (trigger_fits, trigger_stream_fits] band and matches the per-pass
+    fallback engine."""
+    import multigrid_poisson_solver_tpu as mg
+    from multigrid_poisson_solver_tpu.compiled import compile_program
+
+    n = 129
+    program = mg.v_cycle(n, n_min=8, steps=-1, coarse_option=0, coarsen=3)
+    cfg = mg.SolverConfig(omega=0.8, kernels="pallas",
+                          collect_node_stats=False)
+
+    def run():
+        cc = compile_program(program, mg.REFERENCE_PROBLEM, cfg,
+                             donate=False)
+        u, f = cc.init()
+        u, err = cc(u, f)
+        return np.asarray(u), float(err)
+
+    base_u, base_err = run()           # in-VMEM kernel path (129 fits)
+    import jax
+    # force the stream path: make trigger_fits reject 129
+    monkeypatch.setattr(pc, "trigger_fits", lambda n, **kw: False)
+    calls = []
+    orig = pc.fused_trigger_stream
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(pc, "fused_trigger_stream", spy)
+    jax.clear_caches()
+    got_u, got_err = run()
+    assert calls, "stream kernel was not routed"
+    np.testing.assert_allclose(got_u, base_u, rtol=0, atol=1e-6)
+    # the final err is a residual-magnitude sum of a near-converged state:
+    # ulp-level u differences (CPU-interpret FMA contraction, see above)
+    # amplify to ~1e-4 relative there
+    assert abs(got_err - base_err) <= 1e-3 * abs(base_err) + 1e-12
