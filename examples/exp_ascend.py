@@ -52,8 +52,12 @@ def run_case(label, probe, steps):
 r = {}
 r["base_s3"] = run_case("base steps=3", None, 3)
 r["base_s1"] = run_case("base steps=1", None, 1)
+r["base_s0"] = run_case("base steps=0", None, 0)
 r["no_od_s3"] = run_case("no_od steps=3", "no_od", 3)
 r["no_int_s3"] = run_case("no_interleave steps=3", "no_interleave", 3)
+r["no_int_s0"] = run_case("no_interleave steps=0", "no_interleave", 0)
+r["const_s3"] = run_case("const_coeff steps=3", "const_coeff", 3)
+r["const_s0"] = run_case("const_coeff steps=0", "const_coeff", 0)
 pk._ASCEND_PROBE = None
 
 print("\n=== summary (ms) ===")
@@ -63,3 +67,7 @@ sweep = (r["base_s3"] - r["base_s1"]) / 2
 print(f"per-sweep slope      {sweep*1e3:.3f} ms")
 print(f"odd-average cost     {(r['base_s3']-r['no_od_s3'])*1e3:.3f} ms")
 print(f"interleave+avg cost  {(r['base_s3']-r['no_int_s3'])*1e3:.3f} ms")
+print(f"interleave@s0        {(r['base_s0']-r['no_int_s0'])*1e3:.3f} ms")
+print(f"mask-build cost @s3  {(r['base_s3']-r['const_s3'])*1e3:.3f} ms")
+print(f"mask-build cost @s0  {(r['base_s0']-r['const_s0'])*1e3:.3f} ms")
+print(f"DMA+add floor (s0, const, no masks) {r['const_s0']*1e3:.3f} ms")

@@ -566,8 +566,9 @@ STREAM_VMEM_BUDGET = 112 * 1024 * 1024
 
 def _stream_strip_rows(rp: int, cp: int, itemsize: int = 4) -> int:
     """Strip height for the streamed trigger: ubuf (rp+16 rows) + 3 f slots
-    + ~5 strip-sized live temporaries inside the budget."""
-    left = STREAM_VMEM_BUDGET - (rp + 16) * cp * itemsize
+    + ~5 strip-sized live temporaries (each S+16 rows) inside the budget —
+    the same 8·S + 80 rows trigger_stream_fits charges."""
+    left = STREAM_VMEM_BUDGET - (rp + 16 + 5 * 16) * cp * itemsize
     s = left // (8 * cp * itemsize)
     s = (s // 16) * 16
     return max(32, min(s, 512))
@@ -654,21 +655,25 @@ def _trigger_stream_kernel(u_hbm, f_hbm, out_hbm, stat_smem, ubuf, fslots,
                 + _wrap_shift(mid, 1, axis=1)
                 + _wrap_shift(mid, cp - 1, axis=1))
 
-    def fc_of(fslot, blk: int, f_lo: int, a):
+    def fc_of(slot, blk: int, f_lo: int, a):
         """Folded source term from the strip's f slot. ``f_lo`` is the
         STATIC offset of the strip's rows inside the slot — 0 for full
-        strips, S − rem for the clamped remainder DMA."""
-        fv = fslot[pl.ds(_i32(f_lo), blk)]
+        strips, S − rem for the clamped remainder DMA. Reads the whole
+        (S, cp) slot (traced leading index) and slices the VALUE statically:
+        Mosaic rejects pl.ds on a .at[slot] view."""
+        fv = fslots[slot]
+        if f_lo or blk != S:
+            fv = fv[f_lo:f_lo + blk, :]
         return a * (jnp.asarray(h2, dtype) * fv)
 
-    def commit(row0, blk: int, fslot, f_lo: int = 0):
+    def commit(row0, blk: int, slot, f_lo: int = 0):
         """One in-place strip update; returns the commit Δ's masked sum
         (the gpu metric's raw partial)."""
         ok, a, sel = masks(row0, blk)
         mid = ubuf[pl.ds(mul8(row0 + 8), blk)]
         bot = ubuf[pl.ds(mul8(row0 + 8 + blk), 8)]
         w = jnp.concatenate([edge[:], mid, bot], axis=0)
-        fc = fc_of(fslot, blk, f_lo, a)
+        fc = fc_of(slot, blk, f_lo, a)
         new = mid + a * (nb_of(w, mid, blk) - 4.0 * mid) - fc
         edge[:] = mid[blk - 8:blk, :]
         ubuf[pl.ds(mul8(row0 + 8), blk)] = new
@@ -677,7 +682,7 @@ def _trigger_stream_kernel(u_hbm, f_hbm, out_hbm, stat_smem, ubuf, fslots,
         d = jnp.abs(new - mid).astype(jnp.float32)
         return jnp.sum(jnp.where(sel, d, jnp.zeros_like(d)))
 
-    def err_of(row0, blk: int, fslot, f_lo: int = 0):
+    def err_of(row0, blk: int, slot, f_lo: int = 0):
         """Extra-Δ metric partial of the COMMITTED strip (all neighbors
         committed): Δ_next = a·(Σnb − 4u) − fc, |r| = 4|Δ|/(ω·h²)."""
         ok, a, sel = masks(row0, blk)
@@ -685,7 +690,7 @@ def _trigger_stream_kernel(u_hbm, f_hbm, out_hbm, stat_smem, ubuf, fslots,
         top = ubuf[pl.ds(mul8(row0), 8)]
         bot = ubuf[pl.ds(mul8(row0 + 8 + blk), 8)]
         w = jnp.concatenate([top, mid, bot], axis=0)
-        fc = fc_of(fslot, blk, f_lo, a)
+        fc = fc_of(slot, blk, f_lo, a)
         d = a * (nb_of(w, mid, blk) - 4.0 * mid) - fc
         d = jnp.abs(d).astype(jnp.float32)
         return jnp.sum(jnp.where(sel, d, jnp.zeros_like(d)))
@@ -703,7 +708,7 @@ def _trigger_stream_kernel(u_hbm, f_hbm, out_hbm, stat_smem, ubuf, fslots,
             slot = jax.lax.rem(_i32(i), _i32(3))
             f_dma(i, slot).wait()
             row0 = _i32(i) * _i32(S)
-            raw = raw + commit(row0, S, fslots.at[slot])
+            raw = raw + commit(row0, S, slot)
 
             if compat != "gpu":
                 # err of strip i−1 (all its neighbors now committed); at
@@ -712,7 +717,7 @@ def _trigger_stream_kernel(u_hbm, f_hbm, out_hbm, stat_smem, ubuf, fslots,
                 prev_slot = jax.lax.rem(_i32(i) + _i32(2), _i32(3))
                 row0e = jnp.maximum(_i32(0), (_i32(i) - 1) * _i32(S))
                 raw = raw + jnp.where(
-                    i >= 1, err_of(row0e, S, fslots.at[prev_slot]),
+                    i >= 1, err_of(row0e, S, prev_slot),
                     jnp.float32(0.0))
 
             @pl.when(_i32(i) + 2 < _i32(nstrips))
@@ -728,16 +733,14 @@ def _trigger_stream_kernel(u_hbm, f_hbm, out_hbm, stat_smem, ubuf, fslots,
             slot = jax.lax.rem(_i32(q), _i32(3))
             f_dma(q, slot).wait()
             row0 = _i32(q) * _i32(S)
-            raw = raw + commit(row0, rem, fslots.at[slot], f_lo=S - rem)
+            raw = raw + commit(row0, rem, slot, f_lo=S - rem)
             if compat != "gpu":
                 pslot = jax.lax.rem(_i32(q) + _i32(2), _i32(3))
-                raw = raw + err_of(_i32(q - 1) * _i32(S), S,
-                                   fslots.at[pslot])
-                raw = raw + err_of(row0, rem, fslots.at[slot],
-                                   f_lo=S - rem)
+                raw = raw + err_of(_i32(q - 1) * _i32(S), S, pslot)
+                raw = raw + err_of(row0, rem, slot, f_lo=S - rem)
         elif compat != "gpu":
             lslot = jax.lax.rem(_i32(q - 1), _i32(3))
-            raw = raw + err_of(_i32(q - 1) * _i32(S), S, fslots.at[lslot])
+            raw = raw + err_of(_i32(q - 1) * _i32(S), S, lslot)
         return raw * jnp.float32(scale)
 
     err0 = sweep_once()

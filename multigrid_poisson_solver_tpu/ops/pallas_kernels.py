@@ -986,8 +986,15 @@ def _fused_ascend_kernel(offs_smem, u_hbm, f_hbm, cw_hbm, out_hbm, *rest,
         ok_global = ((g >= 1) & (g <= n - 2) & (gc >= 1) & (gc <= n - 2))
         ok = (ok_global & (rows >= 1) & (rows <= strip - 2)
               & (cols >= 1) & (cols <= pw - 2))
-        a = jnp.where(ok, jnp.float32(0.25 * omega), jnp.float32(0.0)
-                      ).astype(u_hbm.dtype)
+        if _ASCEND_PROBE == "const_coeff":
+            # timing probe (WRONG at edges by design): skip the per-strip
+            # iota mask build entirely — measures the coefficient-rebuild
+            # share of the kernel
+            a = jnp.full((strip, pw), jnp.float32(0.25 * omega),
+                         u_hbm.dtype)
+        else:
+            a = jnp.where(ok, jnp.float32(0.25 * omega), jnp.float32(0.0)
+                          ).astype(u_hbm.dtype)
         a_buf[:] = a
         raw_f = fc_slots[slot]
         fc_slots[slot] = a * (jnp.asarray(h2, u_hbm.dtype) * raw_f)
@@ -1004,8 +1011,13 @@ def _fused_ascend_kernel(offs_smem, u_hbm, f_hbm, cw_hbm, out_hbm, *rest,
             od = (ev if _ASCEND_PROBE == "no_od"  # probe: skip the average
                   else 0.5 * (ev + cw[1:strip // 2 + 1, :]))
             corr = jnp.stack([ev, od], axis=1).reshape(strip, pw)
-        u_slots[slot] = u_slots[slot][:] + jnp.where(
-            ok_global, corr, jnp.zeros_like(corr))
+        if _ASCEND_PROBE == "const_coeff":
+            # probe pairs with the constant-a branch above: unmasked add so
+            # the iota masks vanish from the kernel entirely
+            u_slots[slot] = u_slots[slot][:] + corr
+        else:
+            u_slots[slot] = u_slots[slot][:] + jnp.where(
+                ok_global, corr, jnp.zeros_like(corr))
 
         def nb_sum(u):
             return _nb_sum(u, strip, pw)
