@@ -168,6 +168,20 @@ def main():
 
         model_multihost = (smod.multihost_scaling_table(mode="strong")
                            + smod.multihost_scaling_table(mode="weak"))
+        # agglomeration-threshold tuning on the DCN mesh (the actionable
+        # counterpart of the latency-bound finding): the optimal threshold
+        # per host count rides along in the JSON
+        tuned = {h: smod.tune_threshold(16385, 46.9e-3, hosts=h,
+                                        local_devices=4,
+                                        thresholds=(16, 32, 64, 128, 256,
+                                                    512, 1024, 2048))
+                 for h in (2, 4, 8)}
+        for h, res in tuned.items():
+            b = res["best"]
+            print(f"[scaling/model-dcn/tune] {h} hosts: optimal "
+                  f"threshold_rows={b['threshold_rows']} -> "
+                  f"{b['t_total_ms']:.2f} ms/pass (default-32 entry: "
+                  f"{res['rows'][1]['t_total_ms']:.2f})", file=sys.stderr)
         for r in model_multihost:
             print(f"[scaling/model-dcn/{r['mode']}] {r['hosts']} hosts x "
                   f"{r['local_devices']} chips, N={r['n']} {r['schedule']}: "
@@ -178,10 +192,15 @@ def main():
                   f"{r['efficiency_rdma_bound']:.1%} (RDMA overlap bound)",
                   file=sys.stderr)
 
+    tuned_json = []
+    if dim == 2 and t1 is not None:
+        tuned_json = [{"hosts": h, **res["best"]}
+                      for h, res in tuned.items()]
     print(json.dumps({"mode": mode, "dim": dim,
                       "backend": jax.default_backend(),
                       "results": results, "model": model_rows,
-                      "model_multihost": model_multihost}))
+                      "model_multihost": model_multihost,
+                      "model_dcn_threshold": tuned_json}))
 
 
 if __name__ == "__main__":

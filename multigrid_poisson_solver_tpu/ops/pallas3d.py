@@ -73,6 +73,14 @@ def _vmem_limit(scratch_bytes: int) -> int:
 # The plane loop is a fori_loop (not a Python unroll) so Mosaic program
 # size is O(1) in brick depth; unrolled kernels crashed the compiler for
 # zs ≳ 30 (the 48+ MiB budget failures in the round-2 sweep).
+#
+# Plane-read form (perf knob, trace-time): "reread" reads 3 planes from
+# VMEM per updated plane (t−1, t, t+1 each sweep); "carry" threads
+# (u_{t−1}, u_t) through the fori carry so each plane is READ ONCE per
+# sweep — same expressions and order, bit-identical by construction. The
+# knob exists because Mosaic may materialize carry shuffles as plane
+# copies, which would give the win back.
+_SWEEP3_FORM = os.environ.get("MG_SWEEP3_FORM", "reread")
 
 
 def padded_shape3(n: int) -> tuple[int, int, int]:
@@ -346,14 +354,29 @@ def _fused_jacobi3_kernel(offs_smem, u_hbm, f_hbm, *rest,
             wr(_i32(0), rd(_i32(0)))
             wr(_i32(zs - 1), rd(_i32(zs - 1)))
 
-            def plane(t, c):
-                u = rd(t)
-                nb = (_nb_sum(u, rs, cp) + rd(t - 1) + rd(t + 1) - 6.0 * u)
-                wr(t, u + a_buf[t] * nb - fc_slots[slot, t])
-                return c
+            if _SWEEP3_FORM == "carry":
+                # each plane read ONCE per sweep: (u_{t−1}, u_t) ride the
+                # fori carry — identical expressions/order to the reread
+                # form, so bit-identical outputs
+                def plane(t, c):
+                    um, u = c
+                    up = rd(t + 1)
+                    nb = (_nb_sum(u, rs, cp) + um + up - 6.0 * u)
+                    wr(t, u + a_buf[t] * nb - fc_slots[slot, t])
+                    return (u, up)
 
-            jax.lax.fori_loop(_i32(1), _i32(zs - 1), plane, _i32(0),
-                              unroll=False)
+                jax.lax.fori_loop(_i32(1), _i32(zs - 1), plane,
+                                  (rd(_i32(0)), rd(_i32(1))), unroll=False)
+            else:
+                def plane(t, c):
+                    u = rd(t)
+                    nb = (_nb_sum(u, rs, cp) + rd(t - 1) + rd(t + 1)
+                          - 6.0 * u)
+                    wr(t, u + a_buf[t] * nb - fc_slots[slot, t])
+                    return c
+
+                jax.lax.fori_loop(_i32(1), _i32(zs - 1), plane, _i32(0),
+                                  unroll=False)
 
         if err_mode is not None:
             # exact (non-overlapping) ownership for the reduction, unlike

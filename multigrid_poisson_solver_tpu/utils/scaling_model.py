@@ -297,6 +297,61 @@ def predicted_efficiency(report: CommReport, t_compute_s: float,
     }
 
 
+def tune_threshold(n: int, t1_s: float, hosts: int = 2,
+                   local_devices: int = 4, chip: str = "v5e",
+                   steps: int = 3, coarsen: int = 3,
+                   schedule: str = "fmg",
+                   thresholds=(16, 32, 64, 128, 256, 512, 1024)) -> dict:
+    """Sweep the agglomeration threshold for a DCN×ICI mesh and return the
+    predicted-time-optimal row.
+
+    The multihost table showed config 5 is DCN-LATENCY-bound: FMG revisits
+    every level O(L) times and each sharded level pays per-pass DCN
+    collective latency. Raising ``threshold_rows`` replicates more coarse
+    levels (their compute is trivial) and deletes their DCN events — the
+    standard agglomeration-schedule tuning, now quantified. Returns
+    {"best": row, "rows": all rows}; each row carries the predicted
+    per-pass time t_total_ms = compute + comm."""
+    ndev = hosts * local_devices
+    row_dev = hosts
+    if schedule == "fmg":
+        from ..schedule import fmg as make
+        prog = make(n, n_min=8, steps=steps, coarsen=coarsen)
+    else:
+        from ..schedule import v_cycle as make
+        prog = make(n, n_min=8, steps=steps, coarse_option=0,
+                    coarsen=coarsen)
+
+    # visit-weighted per-level work shares (n² per smoothing-leg visit):
+    # replicated levels run their FULL share on every device, sharded
+    # levels 1/ndev of it — the compute penalty that bounds how far the
+    # agglomeration threshold can profitably rise
+    visits: list[int] = []
+    stack = [prog.n_max]
+    for ins in prog.instructions:
+        if isinstance(ins, Descend):
+            visits.append(stack[-1])
+            stack.append(ins.next_n)
+        elif isinstance(ins, Ascend):
+            stack.pop()
+            visits.append(stack[-1])
+    total_w = sum(v * v for v in visits) or 1
+
+    rows = []
+    for th in thresholds:
+        repl_w = sum(v * v for v in visits if v // row_dev < th)
+        t_comp = t1_s * ((total_w - repl_w) / total_w / ndev
+                         + repl_w / total_w)
+        rep = comm_report(prog, ndev, threshold_rows=th,
+                          block_cols=local_devices, dcn_rows=True)
+        row = predicted_efficiency(rep, t_comp, chip)
+        row.update(threshold_rows=th,
+                   t_total_ms=row["t_compute_ms"] + row["t_comm_ms"])
+        rows.append(row)
+    best = min(rows, key=lambda r: r["t_total_ms"])
+    return {"best": best, "rows": rows}
+
+
 def hlo_collective_counts(hlo_text: str) -> dict:
     """Count collective ops in a lowered/compiled HLO module text — the
     cross-check that the model's event accounting matches what GSPMD/

@@ -120,6 +120,22 @@ def test_multihost_table_shapes():
     assert weak[1]["efficiency_ppermute"] > weak[0]["efficiency_ppermute"]
 
 
+def test_tune_threshold_interior_optimum():
+    """Agglomeration-threshold tuning on the DCN mesh finds an INTERIOR
+    optimum: replicating more coarse levels deletes DCN latency events
+    until the replicated-compute (and bigger agglomeration all-gather)
+    penalty takes over."""
+    res = sm.tune_threshold(16385, 46.9e-3, hosts=4, local_devices=4,
+                            thresholds=(16, 64, 256, 1024, 4096))
+    ths = [r["threshold_rows"] for r in res["rows"]]
+    ts = [r["t_total_ms"] for r in res["rows"]]
+    best = res["best"]["threshold_rows"]
+    assert best not in (ths[0], ths[-1])          # interior
+    assert min(ts) == res["best"]["t_total_ms"]
+    # the tuned threshold beats the default-32-class entry by a real margin
+    assert res["best"]["t_total_ms"] < ts[0] * 0.85
+
+
 def test_hlo_counter_ignores_noise():
     txt = """
   %x = f32[8]{0} all-gather(%a), dimensions={0}
