@@ -77,10 +77,18 @@ def _vmem_limit(scratch_bytes: int) -> int:
 # Plane-read form (perf knob, trace-time): "reread" reads 3 planes from
 # VMEM per updated plane (t−1, t, t+1 each sweep); "carry" threads
 # (u_{t−1}, u_t) through the fori carry so each plane is READ ONCE per
-# sweep — same expressions and order, bit-identical by construction. The
-# knob exists because Mosaic may materialize carry shuffles as plane
-# copies, which would give the win back.
+# sweep — same expressions and order, bit-identical by construction.
+# MEASURED on hardware (2026-08-20, examples/exp_sweep3_carry.py, 513³
+# k=8 chained): carry 2.530 ms/sweep vs reread 2.217 — Mosaic
+# materializes the carry shuffles as plane copies, giving the read
+# saving back with interest (outputs maxdiff 0.0). reread stays default.
 _SWEEP3_FORM = os.environ.get("MG_SWEEP3_FORM", "reread")
+# Partial plane-loop unroll was probed (2026-08-20) and is NOT a lever:
+# Mosaic's for-loop lowering supports only unroll=1 or FULL unroll
+# ("Only unroll=num_steps and unroll=1 supported"), and full unroll is the
+# known compiler-killer past ~30 planes. The ~2× per-op cost of the 3-D
+# sweep vs 2-D is the 3 VMEM plane reads per updated plane (the carry form
+# that would reuse them lowers to plane copies — see _SWEEP3_FORM above).
 
 
 def padded_shape3(n: int) -> tuple[int, int, int]:
