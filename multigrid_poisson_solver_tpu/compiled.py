@@ -609,9 +609,11 @@ def _run_traced(u0, f0, *, program: CycleProgram, problem: Problem,
                 # VMEM: run it as TWO kernels (descend chain + ascend chain)
                 # around the XLA coarse solve — the iterate u is
                 # bit-identical to the per-level fused path
-                # (ops.pallas_chain, tested); the finest ERROR below is
-                # recomputed post-hoc, so it matches the per-level engine to
-                # metric tolerance (fp32 reduction order), not bit-exactly
+                # (ops.pallas_chain, tested); the finest ERROR fuses into
+                # the ascend chain kernel (extra in-VMEM Δ, the same
+                # identity as fused_jacobi_err_padded — ADVICE r3 item 4),
+                # falling back to a post-hoc metric pass only for
+                # 0-post-sweep finest entries
                 from .ops.pallas_chain import (fused_chain_ascend,
                                                fused_chain_descend)
                 sizes, pre, post, solve_ins, i = chain
@@ -624,16 +626,21 @@ def _run_traced(u0, f0, *, program: CycleProgram, problem: Problem,
                 uc = _coarse_solve_traced(
                     f_list[-1], h * (2 ** depth), sizes[-1], solve_ins, cfg,
                     policy=None)
-                lvl.u = _constrain(fused_chain_ascend(
+                fuse_chain_err = finest and post[0] != 0
+                res = fused_chain_ascend(
                     u_list, [lvl.f] + f_list[:-1], uc, sizes, h, post,
-                    cfg.omega, interpret=_pallas_interpret()), policy, n)
-                if finest:
-                    # the engine's last_err semantics: the error after the
-                    # finest post-smoothing (or, with 0 post-sweeps, after
-                    # the finest pre-smoothing) — recomputed in one metric
-                    # pass (gpu compat excluded by the matcher)
-                    src = lvl.u if post[0] != 0 else u_list[0]
-                    last_err = P.smoothing_error_p(src, lvl.f, h, n,
+                    cfg.omega, interpret=_pallas_interpret(),
+                    compat=cfg.compat_error if fuse_chain_err else None)
+                if fuse_chain_err:
+                    u_new, last_err = res
+                    warm_now = True
+                else:
+                    u_new = res
+                lvl.u = _constrain(u_new, policy, n)
+                if finest and not fuse_chain_err:
+                    # 0 post-sweeps: the metric is defined after the finest
+                    # PRE-smoothing — one post-hoc pass on that iterate
+                    last_err = P.smoothing_error_p(u_list[0], lvl.f, h, n,
                                                    compat=cfg.compat_error)
                     warm_now = True
                 continue

@@ -290,20 +290,32 @@ def _descend_chain_kernel(u0_hbm, f0_hbm, *rest, sizes, pshapes,
 
 
 def _ascend_chain_kernel(uc_hbm, *rest, sizes, pshapes, h2s, post_steps,
-                         omega: float, lane_form: str = None):
+                         omega: float, lane_form: str = None,
+                         err_mode=None):
     """Ascend from sizes[-1] back to sizes[0]: per level k = c−1 … 0 —
     2:1 prolongation of the child solution (lanes on the MXU, rows via the
     interleave reshape), interior add, post-sweeps. Inputs: u_k/f_k from the
-    descend chain (k < c) + the coarse solution; output: the new u_0."""
+    descend chain (k < c) + the coarse solution; output: the new u_0.
+
+    ``err_mode`` ("cpu"/"clean"): also emit the finest level's raw
+    smoothing-error partial after its post-sweeps via the extra-Δ identity
+    (Δ = a·(Σnb − 4u) − fc = (ω/4)h²·r on unfrozen cells) — the same
+    in-pass fusion as the per-level fused_jacobi_err_padded, closing the
+    post-hoc-recompute caveat (ADVICE r3 item 4). Requires
+    post_steps[0] ≥ 1 (the metric is defined after the finest smoothing)."""
     c = len(sizes) - 1
     u_ins = rest[:c]
     f_ins = rest[c:2 * c]
     out_hbm = rest[2 * c]
-    u_bufs = rest[2 * c + 1:3 * c + 1]
-    f_bufs = rest[3 * c + 1:4 * c + 1]
-    child_buf = rest[4 * c + 1]          # coarse child solution (max shape)
-    work0 = rest[4 * c + 2]
-    sem = rest[4 * c + 3]
+    off = 2 * c + 1
+    if err_mode is not None:
+        err_smem = rest[off]
+        off += 1
+    u_bufs = rest[off:off + c]
+    f_bufs = rest[off + c:off + 2 * c]
+    child_buf = rest[off + 2 * c]        # coarse child solution (max shape)
+    work0 = rest[off + 2 * c + 1]
+    sem = rest[off + 2 * c + 2]
     dtype = uc_hbm.dtype
 
     def dma(src, dst):
@@ -344,6 +356,18 @@ def _ascend_chain_kernel(uc_hbm, *rest, sizes, pshapes, h2s, post_steps,
                         rp, cp)
         if k > 0:
             child_buf[0:rp, 0:cp] = u_bufs[k][:]
+        elif err_mode is not None:
+            # finest error, fused: one extra in-VMEM Δ of the final iterate
+            fin = u_bufs[0][:]
+            delta = a * (_nb_sum(fin, rp, cp) - 4.0 * fin) - fc
+            sel = ok
+            if err_mode == "cpu":
+                rows = jax.lax.broadcasted_iota(jnp.int32, (rp, cp), 0)
+                cols = jax.lax.broadcasted_iota(jnp.int32, (rp, cp), 1)
+                sel = sel & ((rows + cols) % 2 == 0)
+            val = jnp.abs(delta).astype(jnp.float32)
+            err_smem[0, 0] = jnp.sum(jnp.where(sel, val,
+                                               jnp.zeros_like(val)))
 
     dma(u_bufs[0], out_hbm)
 
@@ -399,11 +423,17 @@ def fused_chain_descend(u0, f0, sizes: tuple, h0: float, pre_steps: tuple,
 
 
 @partial(jax.jit, static_argnames=("sizes", "h0", "post_steps", "omega",
-                                   "interpret", "lane_form"))
+                                   "interpret", "lane_form", "compat"))
 def fused_chain_ascend(u_list, f_list, uc, sizes: tuple, h0: float,
                        post_steps: tuple, omega: float,
-                       interpret: bool = False, lane_form: str = None):
-    """Run the whole ascend chain in one kernel; returns the new finest u.
+                       interpret: bool = False, lane_form: str = None,
+                       compat=None):
+    """Run the whole ascend chain in one kernel; returns the new finest u —
+    or (u, err) when ``compat`` is set (True/"cpu" or False/"clean"): the
+    finest level's smoothing error after its post-sweeps, fused in-kernel
+    via the extra-Δ identity and scaled exactly like
+    fused_jacobi_err_padded (requires post_steps[0] ≥ 1; the gpu metric's
+    ping-pong pair is not recoverable here).
 
     ``u_list``/``f_list`` are fused_chain_descend's outputs with
     f_list[k] = RHS at sizes[k+1]; internally the kernel wants the RHS AT
@@ -416,26 +446,43 @@ def fused_chain_ascend(u_list, f_list, uc, sizes: tuple, h0: float,
     dtype = uc.dtype
     maxr = max(p[0] for p in pshapes[1:])
     maxc = max(p[1] for p in pshapes[1:])
+    err_mode = None
+    if compat is not None:
+        assert compat != "gpu" and post_steps[0] >= 1
+        err_mode = "cpu" if compat is True or compat == "cpu" else "clean"
 
     kernel = partial(_ascend_chain_kernel, sizes=sizes, pshapes=pshapes,
                      h2s=_h2s(h0, c + 1), post_steps=post_steps, omega=omega,
-                     lane_form=lane_form or _LANE_FORM)
+                     lane_form=lane_form or _LANE_FORM, err_mode=err_mode)
+
+    out_shape = jax.ShapeDtypeStruct(pshapes[0], dtype)
+    out_spec = pl.BlockSpec(memory_space=pl.ANY)
+    if err_mode is not None:
+        out_shape = (out_shape, jax.ShapeDtypeStruct((1, 1), jnp.float32))
+        out_spec = (out_spec, pl.BlockSpec(memory_space=pltpu.SMEM))
 
     scratch = ([pltpu.VMEM(pshapes[k], dtype) for k in range(c)]      # u
                + [pltpu.VMEM(pshapes[k], dtype) for k in range(c)]    # f
                + [pltpu.VMEM((maxr, maxc), dtype)]                    # child
                + [pltpu.VMEM(pshapes[0], dtype)]                      # work
                + [pltpu.SemaphoreType.DMA])
-    return pl.pallas_call(
+    result = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct(pshapes[0], dtype),
+        out_shape=out_shape,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (1 + 2 * c),
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_specs=out_spec,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(CHAIN_VMEM_BUDGET * 1.2)),
         interpret=interpret,
     )(uc, *u_list, *f_list)
+    if err_mode is None:
+        return result
+    u_new, raw = result
+    n0 = sizes[0]
+    scale = (4.0 / (omega * h0 * h0) / (n0 * n0)
+             * (2.0 if err_mode == "cpu" else 1.0))
+    return u_new, (raw[0, 0] * jnp.float32(scale)).astype(dtype)
 
 
 # --- in-VMEM error-trigger smoothing -------------------------------------------

@@ -520,3 +520,27 @@ def test_compiled_trigger_routes_through_stream_kernel(monkeypatch):
     # ulp-level u differences (CPU-interpret FMA contraction, see above)
     # amplify to ~1e-4 relative there
     assert abs(got_err - base_err) <= 1e-3 * abs(base_err) + 1e-12
+
+
+@pytest.mark.parametrize("compat", [True, False])
+def test_ascend_chain_fused_err_matches_metric(compat):
+    """The ascend chain's in-kernel finest error (round 4, ADVICE r3 item 4)
+    matches the separate metric pass on its own output to fp32
+    reassociation tolerance, and u is unchanged by requesting it."""
+    n0 = 65
+    sizes = pc.chain_sizes(n0, n_min=5)
+    c = len(sizes) - 1
+    h0 = 1.0 / (n0 - 1)
+    u0, f0 = _fields(n0)
+    du, df = pc.fused_chain_descend(u0, f0, sizes, h0, tuple([2] * c), 0.8,
+                                    interpret=True)
+    uc = jnp.zeros(layout.padded_shape(sizes[-1]), jnp.float32)
+    plain = pc.fused_chain_ascend(du, [f0] + df[:-1], uc, sizes, h0,
+                                  tuple([2] * c), 0.8, interpret=True)
+    got, err = pc.fused_chain_ascend(du, [f0] + df[:-1], uc, sizes, h0,
+                                     tuple([2] * c), 0.8, interpret=True,
+                                     compat=compat)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(plain))
+    from multigrid_poisson_solver_tpu.ops import padded as P
+    ref = float(P.smoothing_error_p(plain, f0, h0, n0, compat=compat))
+    assert abs(float(err) - ref) <= 1e-5 * abs(ref)
