@@ -140,6 +140,16 @@ def _trace_program3(u, f, *, program: CycleProgram, problem: Problem3D,
                 effective_trigger_cap(cfg.max_trigger_sweeps, n, dim=3),
                 interpret=interp)
 
+        if p3k.trigger3_stream_fits(n):
+            # next size class (257³): only the ITERATE fits VMEM — keep u
+            # resident across the whole loop and stream f in plane blocks
+            # once per sweep (one HBM pass + zero dispatch per sweep vs the
+            # per-pass path's ~3 + 1; the 2-D stream kernel one dim up)
+            return p3k.fused_trigger3_stream(
+                lu, lf, n, h, cfg.trigger, cfg.omega, compat,
+                effective_trigger_cap(cfg.max_trigger_sweeps, n, dim=3),
+                interpret=interp)
+
         if cfg.trigger_batch > 1:
             B = min(cfg.trigger_batch, p3k.errs3_sweep_cap(compat))
 

@@ -1883,6 +1883,202 @@ def _trigger3_vmem_kernel(u_hbm, f_hbm, out_hbm, stat_smem, A, B, FC, sem, *,
     cp_out.wait()
 
 
+# --- u-resident / f-streamed 3-D trigger (the 257³ size class) -----------------
+#
+# The pure in-VMEM trigger above holds THREE volumes (u, ping-pong, FC) —
+# ~129³ max. One class up (257³: one padded volume is 104 MB of the
+# 128 MiB VMEM) only the ITERATE can stay resident: this kernel updates u
+# in place (a one-plane edge buffer carries the pre-update plane t−1 — the
+# 2-D pallas_chain stream kernel's wavefront, one dimension up, with
+# z-plane blocks as the strips) and streams f in triple-buffered
+# ZB3-plane blocks once per sweep. Per-sweep HBM traffic: ONE f read and
+# zero dispatch, vs the per-pass path's u read + u write + f read + a
+# dispatch. The clean metric of the new iterate (extra-Δ identity) runs
+# one BLOCK behind the commits, where all committed neighbors exist and
+# the previous block's f slot is still live; gpu falls out of the commit
+# Δ directly. Reference: the trigger loops, MG_solver_CPU.cpp:194-240.
+
+TRIGGER3_STREAM_BUDGET = int(os.environ.get(
+    "MG_TRIGGER3_STREAM_BUDGET", 116 * 1024 * 1024))
+ZB3 = 8                        # f planes per streamed block
+
+
+def trigger3_stream_fits(n: int, itemsize: int = 4) -> bool:
+    nz, rp, cp = padded_shape3(n)
+    plane = rp * cp * itemsize
+    if nz < 2 * ZB3:
+        return False           # block machinery assumes ≥2 blocks' worth
+    total = nz * plane + 3 * ZB3 * plane + 10 * plane
+    return total <= TRIGGER3_STREAM_BUDGET
+
+
+def _trigger3_stream_kernel(u_hbm, f_hbm, out_hbm, stat_smem, U, fblk, edge,
+                            sem, fsems, *, n: int, nz: int, rp: int,
+                            cp: int, h2: float, omega: float,
+                            trigger: float, compat, max_sweeps: int):
+    dtype = u_hbm.dtype
+    nb_blocks = -(-nz // ZB3)
+
+    cp_u = pltpu.make_async_copy(u_hbm, U, sem)
+    cp_u.start()
+    cp_u.wait()
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (rp, cp), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (rp, cp), 1)
+    ok2d = ((rows >= 1) & (rows <= n - 2) & (cols >= 1) & (cols <= n - 2))
+    w = jnp.asarray(omega / 6.0, dtype)
+    a2d = jnp.where(ok2d, w, jnp.zeros((rp, cp), dtype))
+    h2c = jnp.asarray(h2, dtype)
+
+    def ap(t):
+        gate = jnp.where((t >= 1) & (t <= n - 2),
+                         jnp.asarray(1.0, dtype), jnp.asarray(0.0, dtype))
+        return a2d * gate
+
+    if compat == "gpu":
+        scale = 6.0 / h2 / (n ** 3)
+    else:
+        scale = 6.0 / (omega * h2) / (n ** 3)
+
+    def masked_plane_sum(t, val):
+        gate = jnp.where((t >= 1) & (t <= n - 2),
+                         jnp.float32(1.0), jnp.float32(0.0))
+        v = jnp.abs(val).astype(jnp.float32)
+        return gate * jnp.sum(jnp.where(ok2d, v, jnp.zeros_like(v)))
+
+    def blk_lo(b):
+        # clamped DMA window: the last block re-reads a few planes so every
+        # transfer is a full ZB3 planes in range
+        return jnp.minimum(_i32(b) * _i32(ZB3), _i32(nz - ZB3))
+
+    def f_dma(b, slot):
+        return pltpu.make_async_copy(
+            f_hbm.at[pl.ds(blk_lo(b), ZB3)], fblk.at[slot],
+            fsems.at[slot])
+
+    def fc_at(b, slot, t):
+        return ap(t) * (h2c * fblk[slot, t - blk_lo(b)])
+
+    def commit_block(b, slot, raw):
+        """In-place update of block b's interior planes; returns raw + the
+        gpu-metric partial (0 for clean — that lags one block)."""
+        lo = jnp.maximum(_i32(1), _i32(b) * _i32(ZB3))
+        hi = jnp.minimum(_i32(nz - 1), (_i32(b) + 1) * _i32(ZB3))
+
+        def plane(t, acc):
+            um = edge[:]
+            u = U[t]
+            up = U[t + 1]
+            nb = _nb_sum(u, rp, cp) + um + up - 6.0 * u
+            unew = u + ap(t) * nb - fc_at(b, slot, t)
+            edge[:] = u
+            U[t] = unew
+            if compat == "gpu":
+                acc = acc + masked_plane_sum(t, unew - u)
+            return acc
+
+        return jax.lax.fori_loop(lo, hi, plane, raw, unroll=False)
+
+    def err_block(b, slot, raw):
+        """Clean-metric partial of block b's planes via the extra-Δ
+        identity, on fully-committed neighbors."""
+        lo = jnp.maximum(_i32(1), _i32(b) * _i32(ZB3))
+        hi = jnp.minimum(_i32(nz - 1), (_i32(b) + 1) * _i32(ZB3))
+
+        def plane(t, acc):
+            u = U[t]
+            nb = _nb_sum(u, rp, cp) + U[t - 1] + U[t + 1] - 6.0 * u
+            d = ap(t) * nb - fc_at(b, slot, t)
+            return acc + masked_plane_sum(t, d)
+
+        return jax.lax.fori_loop(lo, hi, plane, raw, unroll=False)
+
+    def sweep_once():
+        edge[:] = U[0]                 # old plane 0 (frozen, never written)
+        f_dma(0, _i32(0)).start()
+        if nb_blocks > 1:
+            f_dma(1, _i32(1)).start()
+
+        def body(b, raw):
+            slot = jax.lax.rem(_i32(b), _i32(3))
+            f_dma(b, slot).wait()
+            raw = commit_block(b, slot, raw)
+            if compat != "gpu":
+                # err of block b−1 (all neighbors committed; its f slot is
+                # still live). At b = 0 the clamped evaluation reads valid
+                # planes and the z-gates zero every contribution of the
+                # out-of-range window.
+                pslot = jax.lax.rem(_i32(b) + _i32(2), _i32(3))
+                bm = jnp.maximum(_i32(0), _i32(b) - 1)
+                e = err_block(bm, pslot, jnp.float32(0.0))
+                raw = raw + jnp.where(b >= 1, e, jnp.float32(0.0))
+
+            @pl.when(_i32(b) + 2 < _i32(nb_blocks))
+            def _():
+                f_dma(b + 2, jax.lax.rem(_i32(b) + _i32(2), _i32(3))).start()
+            return raw
+
+        raw = jax.lax.fori_loop(_i32(0), _i32(nb_blocks), body,
+                                jnp.zeros((), jnp.float32), unroll=False)
+        if compat != "gpu":
+            lslot = jax.lax.rem(_i32(nb_blocks - 1), _i32(3))
+            raw = err_block(nb_blocks - 1, lslot, raw)
+        return raw * jnp.float32(scale)
+
+    err0 = sweep_once()
+
+    def cond(carry):
+        _, slope, k = carry
+        return jnp.logical_and(slope > trigger, k < max_sweeps)
+
+    def body(carry):
+        prev, _, k = carry
+        err = sweep_once()
+        return err, jnp.abs(err - prev), k + 1
+
+    err, _, k = jax.lax.while_loop(
+        cond, body, (err0, jnp.float32(trigger + 1.0), jnp.int32(1)))
+    stat_smem[0, 0] = err
+    stat_smem[0, 1] = k.astype(jnp.float32)
+
+    cp_out = pltpu.make_async_copy(U, out_hbm, sem)
+    cp_out.start()
+    cp_out.wait()
+
+
+@partial(jax.jit, static_argnames=("n", "h", "trigger", "omega", "compat",
+                                   "max_sweeps", "interpret"))
+def fused_trigger3_stream(u, f, n: int, h: float, trigger: float,
+                          omega: float, compat, max_sweeps: int,
+                          interpret: bool = False):
+    """3-D error-triggered smoothing with the iterate resident and f
+    streamed in plane blocks (the 257³ class — see the module note above);
+    returns (u_new, err) like fused_trigger3_vmem (err normalized by n³)."""
+    nz, rp, cp = padded_shape3(n)
+    assert u.shape == (nz, rp, cp) and trigger3_stream_fits(n)
+    kernel = partial(_trigger3_stream_kernel, n=n, nz=nz, rp=rp, cp=cp,
+                     h2=h * h, omega=omega, trigger=trigger, compat=compat,
+                     max_sweeps=max_sweeps)
+    out, stat = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((nz, rp, cp), u.dtype),
+                   jax.ShapeDtypeStruct((1, 2), jnp.float32)),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        scratch_shapes=[pltpu.VMEM((nz, rp, cp), u.dtype),      # resident u
+                        pltpu.VMEM((3, ZB3, rp, cp), u.dtype),  # f blocks
+                        pltpu.VMEM((rp, cp), u.dtype),          # edge plane
+                        pltpu.SemaphoreType.DMA,
+                        pltpu.SemaphoreType.DMA((3,))],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(TRIGGER3_STREAM_BUDGET + 8 * 1024 * 1024,
+                                 126 * 1024 * 1024)),
+        interpret=interpret,
+    )(u, f)
+    return out, stat[0, 0].astype(u.dtype)
+
+
 @partial(jax.jit, static_argnames=("n", "h", "trigger", "omega", "compat",
                                    "max_sweeps", "interpret"))
 def fused_trigger3_vmem(u, f, n: int, h: float, trigger: float, omega: float,

@@ -403,8 +403,90 @@ def test_compiled3_trigger_routes_through_vmem_kernel():
                           donate=False)
     u, f = cc.init()
     u1, _ = cc(u, f)
-    with mock.patch.object(p3k, "trigger3_fits", lambda *a, **k: False):
+    with mock.patch.object(p3k, "trigger3_fits", lambda *a, **k: False), \
+            mock.patch.object(p3k, "trigger3_stream_fits",
+                              lambda *a, **k: False):
+        # disable BOTH whole-loop kernels so the reference run really is
+        # the per-pass path (round 4 added the streamed tier)
         cc2 = compile_program3(program, p3.REFERENCE_PROBLEM_3D, cfg,
                                donate=False)
         u2, _ = cc2(u, f)
     np.testing.assert_array_equal(np.asarray(u1), np.asarray(u2))
+
+
+def _per_pass_trigger3(u, f, n, h, trig, omega, compat, cap):
+    prev = None
+    k = 0
+    while True:
+        u, raw = p3k.fused_jacobi3_padded(u, f, n, h, 1, omega=omega,
+                                         interpret=True, err_mode=compat)
+        err = float(raw) / n ** 3
+        k += 1
+        if prev is not None and abs(err - prev) <= trig:
+            break
+        if k >= cap:
+            break
+        prev = err
+    return u, err, k
+
+
+@pytest.mark.parametrize("compat", ["clean", "gpu"])
+def test_trigger3_stream_matches_per_pass(compat):
+    """The u-resident / f-streamed 3-D trigger (the 257³ class) replays the
+    per-pass loop: same sweep counts, iterate to fp32-contraction tolerance
+    (CPU-interpret XLA makes chunk-dependent FMA choices; hardware pins
+    bit-identity — examples/exp_trigger3_stream_tpu.py)."""
+    n = 33
+    nz, rp, cp = p3k.padded_shape3(n)
+    rng = np.random.default_rng(4)
+    u = jnp.zeros((nz, rp, cp), jnp.float32).at[:n, :n, :n].set(
+        jnp.asarray(rng.standard_normal((n, n, n)), jnp.float32))
+    f = jnp.zeros((nz, rp, cp), jnp.float32).at[:n, :n, :n].set(
+        jnp.asarray(10 * rng.standard_normal((n, n, n)), jnp.float32))
+    h = 1.0 / (n - 1)
+    assert p3k.trigger3_stream_fits(n)
+    got, err = p3k.fused_trigger3_stream(u, f, n, h, 5.0, 6 / 7, compat, 60,
+                                        interpret=True)
+    want, werr, k = _per_pass_trigger3(u, f, n, h, 5.0, 6 / 7, compat, 60)
+    assert k < 60
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=1e-6)
+    assert abs(float(err) - werr) <= 1e-5 * abs(werr)
+
+
+def test_compiled3_trigger_routes_through_stream_kernel(monkeypatch):
+    """compiled3 picks the streamed kernel for trigger levels past the
+    in-VMEM bound and matches the per-pass fallback engine."""
+    import jax as _jax
+
+    import multigrid_poisson_solver_tpu as mg
+    from multigrid_poisson_solver_tpu import compiled3 as C3
+
+    # the padded fast path (and with it the whole-loop trigger kernels)
+    # engages at n >= 65; cap the sweeps so the CPU-interpret loop is cheap
+    program = mg.v_cycle(65, n_min=8, steps=-1, coarse_option=0, coarsen=3)
+    cfg = mg.SolverConfig(omega=6 / 7, kernels="pallas",
+                          collect_node_stats=False, max_trigger_sweeps=20)
+
+    def run():
+        cc = C3.compile_program3(program, p3.REFERENCE_PROBLEM_3D, cfg,
+                                 donate=False)
+        u, f = cc.init()
+        u, err = cc(u, f)
+        return np.asarray(u), float(err)
+
+    base_u, base_err = run()           # in-VMEM kernel path (33 fits)
+    monkeypatch.setattr(p3k, "trigger3_fits", lambda n, **kw: False)
+    calls = []
+    orig = p3k.fused_trigger3_stream
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(p3k, "fused_trigger3_stream", spy)
+    _jax.clear_caches()
+    got_u, got_err = run()
+    assert calls, "3-D stream kernel was not routed"
+    np.testing.assert_allclose(got_u, base_u, rtol=0, atol=1e-6)
+    assert abs(got_err - base_err) <= 1e-3 * abs(base_err) + 1e-12
