@@ -68,6 +68,42 @@ def main():
     print(f"RDMA kernel Mosaic-compiled and ran on {dev.device_kind}; "
           f"bit-match vs fused_jacobi_padded at n={n}, steps={steps}: OK")
 
+    # --- the round-4 whole-loop RDMA trigger: same 1-device Mosaic check --
+    from multigrid_poisson_solver_tpu.ops.pallas_rdma import (
+        _rdma_trigger_shard_call,
+    )
+
+    def tbody(u_loc, f_loc):
+        meta = jnp.asarray([0, 0], jnp.int32)
+        return _rdma_trigger_shard_call(
+            meta, u_loc, f_loc, n, h, 0.01, 0.8, True, 40, ndev=1,
+            interpret=False, axis_name="rows")
+
+    trun = jax.jit(shard_map(tbody, mesh=mesh,
+                             in_specs=(P("rows", None), P("rows", None)),
+                             out_specs=(P("rows", None), P()),
+                             check_vma=False))
+    tu, terr = trun(u, f)
+
+    # reference: the per-pass loop on the same chip
+    v, prev, k = u, None, 0
+    while True:
+        v, e = pk.fused_jacobi_err_padded(v, f, n, h, 1, omega=0.8,
+                                          compat=True)
+        k += 1
+        if prev is not None and abs(float(jax.device_get(e)) - prev) <= 0.01:
+            break
+        if k >= 40:
+            break
+        prev = float(jax.device_get(e))
+    gt = np.asarray(jax.device_get(tu))
+    wv = np.asarray(jax.device_get(v))
+    md = float(np.abs(gt - wv).max())
+    print(f"RDMA TRIGGER kernel Mosaic-compiled and ran; u maxdiff {md:.3e} "
+          f"vs per-pass ({k} sweeps), err {float(jax.device_get(terr)):.6e} "
+          f"vs {float(jax.device_get(e)):.6e}")
+    assert md == 0.0
+
 
 if __name__ == "__main__":
     main()

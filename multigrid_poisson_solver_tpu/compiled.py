@@ -395,6 +395,24 @@ def _trigger_smooth_traced(u, f, h, n: int, cfg: SolverConfig, policy=None):
             cond, body, (u, last, found, err, jnp.asarray(B, jnp.int32)))
         return u, err
 
+    if (fuse_err and sharded and cfg.smoother == "jacobi"
+            and cfg.halo == "rdma"):
+        spec = policy.spec(n)
+        if spec[0] is not None and (len(spec) < 2 or spec[1] is None):
+            from .ops.pallas_rdma import rdma_trigger_fits
+            from .parallel.pallas_shard import rdma_fused_trigger
+            rows_loc = policy.padded_shape(n)[0] // policy.mesh.shape[spec[0]]
+            if rdma_trigger_fits(rows_loc, policy.padded_shape(n)[1]):
+                # the WHOLE trigger loop in ONE kernel per chip: per-shard
+                # u/fc VMEM-resident, remote-DMA halos + in-kernel scalar
+                # all-reduce per sweep — zero dispatch and zero XLA
+                # collectives per sweep (parallel.pallas_shard
+                # .rdma_fused_trigger; bit-matches the per-pass path)
+                return rdma_fused_trigger(u, f, n, h, cfg.trigger,
+                                          cfg.omega, cfg.compat_error,
+                                          max_sweeps, policy,
+                                          interpret=_pallas_interpret())
+
     if fuse_err and sharded:
         from .parallel.pallas_shard import sharded_fused_jacobi_err
 

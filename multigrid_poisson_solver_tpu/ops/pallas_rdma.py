@@ -306,6 +306,317 @@ def _rdma_jacobi_kernel(meta_smem, u_hbm, f_hbm, out_hbm,
             sd.wait_send()
 
 
+def _rdma_trigger_kernel(meta_smem, u_hbm, f_hbm, out_hbm, stat_smem,
+                         U, FC, A, SEL, errbuf, errtile,
+                         sem, usend, urecv, esend, erecv, rsem,
+                         *, n: int, rows: int, cp: int, h2: float,
+                         omega: float, trigger: float, compat,
+                         max_sweeps: int, ndev: int, axis_name: str):
+    """The WHOLE error-trigger loop (MG_solver_CPU.cpp:194-240) across a
+    ring of chips in ONE kernel per chip: the shard's iterate (halo-extended
+    by HALO rows each side) and folded source stay VMEM-resident for the
+    entire `|err_k − err_{k−1}| > trigger` loop; each sweep exchanges the
+    fresh edge rows with ring neighbors via remote DMAs and all-to-alls the
+    scalar metric partial, which doubles as the inter-sweep barrier — zero
+    kernel launches and zero XLA collectives per sweep.
+
+    Race-freedom of the per-sweep protocol:
+      * the sweep updates the FULL extended block in place, but A (and FC)
+        are zero on every non-owned or non-interior row, so halo rows are
+        left untouched by sweeps and carry exactly the neighbors' values;
+      * a READY handshake precedes every halo send: each device signals its
+        neighbors' regular semaphore right after committing its sweep (its
+        own halo reads are done), and a sender blocks on that signal before
+        writing — so fresh halos never land while the receiver still reads
+        the previous ones (rsem[0] accumulates the UP neighbor's readiness,
+        rsem[1] the DOWN's; I signal up's slot 1 and down's slot 0);
+      * the metric tiles are PARITY double-buffered (errbuf[k % 2]): a
+        device one sweep ahead writes the other slot, and it cannot be TWO
+        ahead without having received this device's partials — which are
+        only posted after the previous slot's read completed.
+    The all-to-all waits make every device take the same stop decision on
+    the same global err. Stop rule, metrics and scaling mirror the
+    per-pass engine path exactly."""
+    row0 = meta_smem[0]
+    col0 = meta_smem[1]
+    my = jax.lax.axis_index(axis_name).astype(jnp.int32)
+    erows = rows + 2 * HALO
+
+    has_up = my > 0
+    has_dn = my < ndev - 1
+    up = jnp.maximum(my - 1, 0)
+    dn = jnp.minimum(my + 1, ndev - 1)
+
+    if ndev > 1:
+        bsem = pltpu.get_barrier_semaphore()
+
+        @pl.when(has_up)
+        def _():
+            pltpu.semaphore_signal(bsem, 1, device_id=(up,),
+                                   device_id_type=pltpu.DeviceIdType.MESH)
+
+        @pl.when(has_dn)
+        def _():
+            pltpu.semaphore_signal(bsem, 1, device_id=(dn,),
+                                   device_id_type=pltpu.DeviceIdType.MESH)
+
+        cnt = has_up.astype(jnp.int32) + has_dn.astype(jnp.int32)
+        pltpu.semaphore_wait(bsem, cnt)
+
+    def remote(src, dst, ss, rs, dev):
+        return pltpu.make_async_remote_copy(
+            src_ref=src, dst_ref=dst, send_sem=ss, recv_sem=rs,
+            device_id=(dev,), device_id_type=pltpu.DeviceIdType.MESH)
+
+    dtype = u_hbm.dtype
+    # park the shard into the extended buffers. U's halo rings are zeroed
+    # ONLY on neighborless sides: sides with a neighbor receive their rows
+    # from the initial exchange, and writing them here would RACE the
+    # neighbor's (post-barrier) remote writes — the interpreter's race
+    # detector catches exactly that. A is local-only, so its halo staging
+    # rows are zeroed unconditionally (0·h²·0 keeps FC's halos NaN-free).
+    @pl.when(jnp.logical_not(has_up))
+    def _():
+        U[0:HALO] = jnp.zeros((HALO, cp), dtype)
+
+    @pl.when(jnp.logical_not(has_dn))
+    def _():
+        U[erows - HALO:erows] = jnp.zeros((HALO, cp), dtype)
+
+    A[0:HALO] = jnp.zeros((HALO, cp), dtype)
+    A[erows - HALO:erows] = jnp.zeros((HALO, cp), dtype)
+    cp_u = pltpu.make_async_copy(u_hbm, U.at[pl.ds(HALO, rows)], sem)
+    cp_u.start()
+    cp_u.wait()
+    # stage f through A (overwritten below) to keep one buffer
+    cp_f = pltpu.make_async_copy(f_hbm, A.at[pl.ds(HALO, rows)], sem)
+    cp_f.start()
+    cp_f.wait()
+
+    # masks on the EXTENDED block: a is zero on halo rows (sweeps then
+    # leave them carrying exactly the neighbors' values), on the global
+    # Dirichlet ring and on padding; FC inherits the zeros. The metric
+    # mask restricts to owned interior (+ the even color for "cpu").
+    riota = jax.lax.broadcasted_iota(jnp.int32, (erows, cp), 0)
+    ciota = jax.lax.broadcasted_iota(jnp.int32, (erows, cp), 1)
+    g = riota - HALO + row0
+    gc = ciota + col0
+    owned = (riota >= HALO) & (riota < HALO + rows)
+    ok = (owned & (g >= 1) & (g <= n - 2) & (gc >= 1) & (gc <= n - 2))
+    A_full = jnp.where(ok, jnp.float32(0.25 * omega),
+                       jnp.float32(0.0)).astype(dtype)
+    fraw = A[:]
+    FC[:] = A_full * (jnp.asarray(h2, dtype) * fraw)
+    A[:] = A_full
+    if compat == "cpu":
+        selv = ok & ((g + gc) % 2 == 0)
+    else:
+        selv = ok
+    SEL[:] = jnp.where(selv, jnp.float32(1.0), jnp.float32(0.0)
+                       ).astype(dtype)
+
+    if compat == "gpu":
+        scale = 4.0 / h2 / (n * n)
+    else:
+        scale = (4.0 / (omega * h2) / (n * n)
+                 * (2.0 if compat == "cpu" else 1.0))
+
+    def exchange_u(handshake: bool):
+        """Send my fresh edge rows to the neighbors' halo rings and wait
+        for theirs. With ``handshake``, block each send on the receiver's
+        READY signal (see the docstring)."""
+        if handshake:
+            @pl.when(has_up)
+            def _():
+                pltpu.semaphore_signal(
+                    rsem.at[1], 1, device_id=(up,),
+                    device_id_type=pltpu.DeviceIdType.MESH)
+
+            @pl.when(has_dn)
+            def _():
+                pltpu.semaphore_signal(
+                    rsem.at[0], 1, device_id=(dn,),
+                    device_id_type=pltpu.DeviceIdType.MESH)
+
+            @pl.when(has_up)
+            def _():
+                pltpu.semaphore_wait(rsem.at[0], 1)
+
+            @pl.when(has_dn)
+            def _():
+                pltpu.semaphore_wait(rsem.at[1], 1)
+
+        su = remote(U.at[pl.ds(HALO, HALO)],
+                    U.at[pl.ds(erows - HALO, HALO)],
+                    usend.at[0], urecv.at[0], up)
+        sd = remote(U.at[pl.ds(rows, HALO)], U.at[pl.ds(0, HALO)],
+                    usend.at[1], urecv.at[1], dn)
+
+        @pl.when(has_up)
+        def _():
+            su.start()
+
+        @pl.when(has_dn)
+        def _():
+            sd.start()
+
+        @pl.when(has_up)
+        def _():
+            # my top halo arrives from the UP neighbor's sd channel
+            remote(U.at[pl.ds(rows, HALO)], U.at[pl.ds(0, HALO)],
+                   usend.at[1], urecv.at[1], dn).wait_recv()
+
+        @pl.when(has_dn)
+        def _():
+            remote(U.at[pl.ds(HALO, HALO)],
+                   U.at[pl.ds(erows - HALO, HALO)],
+                   usend.at[0], urecv.at[0], up).wait_recv()
+
+        @pl.when(has_up)
+        def _():
+            su.wait_send()
+
+        @pl.when(has_dn)
+        def _():
+            sd.wait_send()
+
+    if ndev > 1:
+        exchange_u(handshake=False)    # initial: nobody reads halos yet
+
+    def sweep_val(u):
+        return u + A[:] * (_nb_sum(u, erows, cp) - 4.0 * u) - FC[:]
+
+    def msum(v):
+        v = jnp.abs(v).astype(jnp.float32)
+        s = SEL[:].astype(jnp.float32)
+        return jnp.sum(s * v)
+
+    def allreduce(part, slot):
+        """All-to-all the scalar partial (one nonzero element in an (8,128)
+        tile, parity slot per sweep) and return the exact global sum."""
+        if ndev == 1:
+            return part
+        zi = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        zj = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        errtile[:] = jnp.where((zi == 0) & (zj == 0), part,
+                               jnp.float32(0.0))
+        errbuf[slot, my] = errtile[:]
+        for d in range(ndev):
+            @pl.when(my != _i32(d))
+            def _(d=d):
+                remote(errtile.at[:], errbuf.at[slot, my], esend.at[0],
+                       erecv.at[0], _i32(d)).start()
+        for _d in range(ndev - 1):
+            remote(errtile.at[:], errbuf.at[slot, my], esend.at[0],
+                   erecv.at[0], _i32(0)).wait_recv()
+        for _d in range(ndev - 1):
+            remote(errtile.at[:], errbuf.at[slot, my], esend.at[0],
+                   erecv.at[0], _i32(0)).wait_send()
+        tot = jnp.float32(0.0)
+        for d in range(ndev):
+            # exactly one nonzero per tile → the sum is the posted scalar
+            tot = tot + jnp.sum(errbuf[slot, _i32(d)])
+        return tot
+
+    def step(k):
+        u_old = U[:]
+        u_new = sweep_val(u_old)
+        # commit OWNED rows only: sweeps never touch the halo rings, which
+        # belong exclusively to the neighbors' remote writes (writing the
+        # full buffer would be a same-value but still racing write)
+        U[pl.ds(HALO, rows)] = u_new[HALO:HALO + rows, :]
+        if ndev > 1:
+            exchange_u(handshake=True)
+        if compat == "gpu":
+            part = msum(u_new - u_old)
+        else:
+            # extra in-VMEM Δ of the NEW iterate (fresh halos just arrived)
+            fin = U[:]
+            part = msum(A[:] * (_nb_sum(fin, erows, cp) - 4.0 * fin)
+                        - FC[:])
+        return allreduce(part, jax.lax.rem(k, _i32(2))) \
+            * jnp.float32(scale)
+
+    err0 = step(_i32(1))
+
+    def cond(carry):
+        _, slope, k = carry
+        return jnp.logical_and(slope > trigger, k < max_sweeps)
+
+    def body(carry):
+        prev, _, k = carry
+        err = step(k + 1)
+        return err, jnp.abs(err - prev), k + 1
+
+    err, _, k = jax.lax.while_loop(
+        cond, body, (err0, jnp.float32(trigger + 1.0), jnp.int32(1)))
+    stat_smem[0, 0] = err
+    stat_smem[0, 1] = k.astype(jnp.float32)
+
+    cp_out = pltpu.make_async_copy(U.at[pl.ds(HALO, rows)], out_hbm, sem)
+    cp_out.start()
+    cp_out.wait()
+
+
+def rdma_trigger_fits(rows: int, cp: int, itemsize: int = 4) -> bool:
+    """Per-shard residency bound: U + FC + A + SEL extended buffers plus
+    sweep temporaries inside ~112 MiB."""
+    erows = rows + 2 * HALO
+    return 7 * erows * cp * itemsize <= 112 * 1024 * 1024
+
+
+def _rdma_trigger_shard_call(meta, u, f, n: int, h: float, trigger: float,
+                             omega: float, compat, max_sweeps: int,
+                             ndev: int, interpret,
+                             axis_name: str = "rows"):
+    """The whole trigger loop on a LOCAL (rows, cp) shard block (see
+    _rdma_trigger_kernel); returns (u_new, err)."""
+    rows, cp = u.shape
+    erows = rows + 2 * HALO
+    assert rdma_trigger_fits(rows, cp, jnp.dtype(u.dtype).itemsize)
+    # normalize the engine's compat flag (True/False/"gpu") to the kernel's
+    # err-mode strings — True must select the cpu color-bug mask, not fall
+    # through to clean-with-cpu-scale
+    mode = ("gpu" if compat == "gpu"
+            else "cpu" if (compat is True or compat == "cpu") else "clean")
+    kernel = partial(_rdma_trigger_kernel, n=n, rows=rows, cp=cp, h2=h * h,
+                     omega=omega, trigger=trigger, compat=mode,
+                     max_sweeps=max_sweeps, ndev=ndev, axis_name=axis_name)
+
+    if interpret is True:
+        interpret = pltpu.InterpretParams(detect_races=True)
+
+    out, stat = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((rows, cp), u.dtype),
+                   jax.ShapeDtypeStruct((1, 2), jnp.float32)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        scratch_shapes=[
+            pltpu.VMEM((erows, cp), u.dtype),       # U (extended iterate)
+            pltpu.VMEM((erows, cp), u.dtype),       # FC
+            pltpu.VMEM((erows, cp), u.dtype),       # A (stages f first)
+            pltpu.VMEM((erows, cp), u.dtype),       # SEL metric mask
+            pltpu.VMEM((2, ndev, 8, 128), jnp.float32),  # err tiles (parity)
+            pltpu.VMEM((8, 128), jnp.float32),      # my posted tile
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),          # u send up/down
+            pltpu.SemaphoreType.DMA((2,)),          # u recv up/down
+            pltpu.SemaphoreType.DMA((1,)),          # err send
+            pltpu.SemaphoreType.DMA((1,)),          # err recv
+            pltpu.SemaphoreType.REGULAR((2,)),      # READY handshake up/dn
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024,
+            collective_id=9 if ndev > 1 else None),
+        interpret=interpret,
+    )(meta, u, f)
+    return out, stat[0, 0].astype(u.dtype)
+
+
 def _rdma_jacobi_shard_call(meta, u, f, n: int, h: float, steps: int,
                             omega: float, from_zero: bool, ndev: int,
                             interpret, axis_name: str = "rows"):

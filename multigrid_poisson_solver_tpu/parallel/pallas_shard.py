@@ -453,7 +453,47 @@ def rdma_fused_jacobi(u, f, n: int, h: float, steps: int, omega: float,
                      out_specs=spec, check_vma=False)(u, f)
 
 
+@partial(jax.jit, static_argnames=("n", "h", "trigger", "omega", "compat",
+                                   "max_sweeps", "policy", "interpret"))
+def rdma_fused_trigger(u, f, n: int, h: float, trigger: float, omega: float,
+                       compat, max_sweeps: int, policy,
+                       interpret: bool = False):
+    """The WHOLE error-trigger loop across the ring in ONE kernel per chip
+    (ops.pallas_rdma._rdma_trigger_kernel): each shard's iterate + folded
+    source stay VMEM-resident for the entire loop; per sweep, fresh edge
+    rows move by remote DMA (READY-handshaked) and the scalar metric by an
+    in-kernel all-to-all that doubles as the inter-sweep barrier — zero
+    kernel launches and zero XLA collectives per sweep. Returns (u, err)
+    like the per-pass sharded trigger path.
+
+    1-D row policies only; select with ``SolverConfig(halo="rdma")``.
+    Validation mirrors the round-3 RDMA smoother: bit-match + race
+    detection on the interpreter mesh, Mosaic compile-check on hardware
+    (tests/test_rdma.py; real multi-chip wall-clock needs real rings)."""
+    row_axis, col_axis = _axes_of(policy, n)
+    assert col_axis is None, (
+        "rdma_fused_trigger supports 1-D row partitions")
+    _check_alignment(u.shape, policy, row_axis, None)
+    ndev = policy.mesh.shape[row_axis]
+
+    from ..ops.pallas_rdma import _rdma_trigger_shard_call
+
+    def body(u_loc, f_loc):
+        r_loc, _ = u_loc.shape
+        my = lax.axis_index(row_axis)
+        meta = jnp.stack([my * r_loc, jnp.int32(0)]).astype(jnp.int32)
+        out, stat = _rdma_trigger_shard_call(
+            meta, u_loc, f_loc, n, h, trigger, omega, compat, max_sweeps,
+            ndev=ndev, interpret=interpret, axis_name=row_axis)
+        return out, stat
+
+    spec = policy.spec(n)
+    u_new, err = shard_map(body, mesh=policy.mesh, in_specs=(spec, spec),
+                           out_specs=(spec, P()), check_vma=False)(u, f)
+    return u_new, err
+
+
 __all__ = ["sharded_fused_jacobi", "sharded_residual_pallas",
            "sharded_fused_descend", "sharded_fused_ascend",
            "sharded_fused_jacobi_err", "sharded_fused_jacobi_errs",
-           "rdma_fused_jacobi"]
+           "rdma_fused_jacobi", "rdma_fused_trigger"]

@@ -135,3 +135,77 @@ def test_compiled_engine_rdma_halo_matches():
     u_rdma = run(mg.SolverConfig(kernels="pallas", halo="rdma"))
     u_ppermute = run(mg.SolverConfig(kernels="pallas"))
     np.testing.assert_array_equal(u_rdma, u_ppermute)
+
+
+@pytest.mark.parametrize("compat", [True, False, "gpu"])
+def test_rdma_trigger_bitmatches_per_pass(compat):
+    """The whole-loop RDMA trigger (round 4: per-shard u/fc resident for
+    the entire |Δerr| > trigger loop, READY-handshaked remote-DMA halos +
+    in-kernel scalar all-to-all per sweep) BIT-matches the per-pass sharded
+    trigger loop on the race-detecting interpreter mesh — same sweep
+    counts, same iterate, same metric, all three compat modes."""
+    from multigrid_poisson_solver_tpu.parallel.pallas_shard import (
+        rdma_fused_trigger, sharded_fused_jacobi_err)
+
+    policy = _policy()
+    n, h = 129, 1.0 / 128
+    rng = np.random.default_rng(11)
+    rp, cp = policy.padded_shape(n)
+    u = jnp.zeros((rp, cp), jnp.float32).at[:n, :n].set(
+        jnp.asarray(rng.random((n, n)), jnp.float32))
+    f = jnp.zeros((rp, cp), jnp.float32).at[:n, :n].set(
+        jnp.asarray(10 * rng.random((n, n)), jnp.float32))
+    sh = NamedSharding(policy.mesh, policy.spec(n))
+    us, fs = jax.device_put(u, sh), jax.device_put(f, sh)
+
+    got, err = rdma_fused_trigger(us, fs, n, h, 30.0, 0.8, compat, 50,
+                                  policy, interpret=True)
+
+    v, prev, k = us, None, 0
+    while True:
+        v, e = sharded_fused_jacobi_err(v, fs, n, h, 1, 0.8, compat,
+                                        policy, interpret=True)
+        k += 1
+        if prev is not None and abs(float(e) - prev) <= 30.0:
+            break
+        if k >= 50:
+            break
+        prev = float(e)
+    assert k < 50
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(v))
+    assert float(err) == pytest.approx(float(e), rel=1e-6)
+
+
+def test_compiled_engine_rdma_trigger_routes():
+    """SolverConfig(halo='rdma') routes sharded trigger levels through the
+    whole-loop RDMA kernel and matches the ppermute per-pass engine."""
+    import unittest.mock as mock
+
+    from multigrid_poisson_solver_tpu.parallel import pallas_shard as ps
+
+    policy = _policy()
+    program = mg.v_cycle(129, n_min=8, steps=-1, coarse_option=0, coarsen=3)
+
+    def run(halo):
+        cfg = mg.SolverConfig(omega=0.8, kernels="pallas", halo=halo,
+                              collect_node_stats=False,
+                              max_trigger_sweeps=30)
+        cc = compile_program(program, PROBLEM, cfg, policy=policy,
+                             donate=False)
+        u, f = cc.init()
+        u1, err = cc(u, f)
+        return np.asarray(u1), float(err)
+
+    calls = []
+    orig = ps.rdma_fused_trigger
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    with mock.patch.object(ps, "rdma_fused_trigger", spy):
+        u_rdma, err_rdma = run("rdma")
+    assert calls, "RDMA trigger kernel was not routed"
+    u_pp, err_pp = run("ppermute")
+    np.testing.assert_allclose(u_rdma, u_pp, rtol=0, atol=1e-6)
+    assert err_rdma == pytest.approx(err_pp, rel=1e-4, abs=1e-10)
