@@ -39,7 +39,7 @@ _PALLAS3_MIN_N = 65  # below this the brick kernels don't pay for themselves
 
 
 def _trace_program3(u, f, *, program: CycleProgram, problem: Problem3D,
-                    config: SolverConfig, warm: bool):
+                    config: SolverConfig, policy=None, warm: bool):
     """The traced instruction walk. ``u``/``f`` are the finest-level arrays;
     returns (u_final, last_smoothing_error).
 
@@ -52,7 +52,16 @@ def _trace_program3(u, f, *, program: CycleProgram, problem: Problem3D,
     padded operators (ops.padded3), on levels with n ≥ 65; small levels,
     non-jacobi smoothers, non-2:1 transfers and coarse solves hop through
     the plain-jnp ops (cheap at those sizes). This mirrors the 2-D compiled
-    engine's kernel routing (compiled.py) one dimension up."""
+    engine's kernel routing (compiled.py) one dimension up.
+
+    ``policy`` (parallel.pallas_shard3.ZShardingPolicy3) makes the SAME
+    instruction walk multi-chip: levels the policy shards keep their state
+    z-plane-partitioned (depth padded to ×2·n_devices — even planes per
+    device, the fused legs' parity contract) and run the per-shard brick
+    kernels (sharded smoothing/error/trigger, sharded fused descend/ascend
+    legs, one plane-halo ppermute per pass); coarser levels replicate (the
+    agglomeration strategy). Without the pallas path the policy degrades to
+    GSPMD sharding constraints on the plain-jnp ops."""
     cfg = config
     compat = "gpu" if cfg.compat_error == "gpu" else "clean"
     use_pallas = _use_pallas3(cfg)
@@ -62,11 +71,41 @@ def _trace_program3(u, f, *, program: CycleProgram, problem: Problem3D,
         from .ops import padded3 as pd3
         from .ops import pallas3d as p3k
         interp = jax.default_backend() != "tpu"
+    if policy is not None:
+        from .parallel import pallas_shard3 as ps3
+
+    def sharded(n: int) -> bool:
+        return (policy is not None and use_pallas
+                and cfg.smoother == "jacobi" and policy.is_sharded(n))
+
+    def cz(a, n):
+        """Constrain a level-n array to its policy sharding (identity
+        single-chip). Replicated-under-policy levels pin P()."""
+        if policy is None:
+            return a
+        return jax.lax.with_sharding_constraint(
+            a, policy.sharding(n) if sharded(n)
+            else jax.sharding.NamedSharding(
+                policy.mesh, jax.sharding.PartitionSpec()))
+
+    def zp_of(n: int) -> int:
+        """Stored plane count of level n (policy depth when sharded)."""
+        return policy.padded_depth(n) if sharded(n) else n
+
+    def conform_z(a, zp: int):
+        """Slice/zero-pad the z depth to ``zp`` (all crossed planes are
+        frozen zero padding at gz ≥ n)."""
+        if a.shape[0] == zp:
+            return a
+        if a.shape[0] > zp:
+            return a[:zp]
+        return jnp.concatenate(
+            [a, jnp.zeros((zp - a.shape[0],) + a.shape[1:], a.dtype)], 0)
 
     # padded-layout helpers (identity when the pallas path is off: state is
     # then kept unpadded and these are never called)
-    def to_p(a):
-        return p3k.pad_grid3(a)
+    def to_p(a, n):
+        return cz(conform_z(p3k.pad_grid3(a), zp_of(n)), n)
 
     def from_p(a, n):
         return p3k.unpad_grid3(a, n)
@@ -87,16 +126,28 @@ def _trace_program3(u, f, *, program: CycleProgram, problem: Problem3D,
         """State-layout-polymorphic smoothing: padded under pallas. The
         error metric (clean OR gpu) is fused into the final kernel pass —
         no separate residual sweep over HBM (the 2-D compiled engine's
-        ker_Smoothing_GPU-style fusion, one dimension up)."""
+        ker_Smoothing_GPU-style fusion, one dimension up). Sharded levels
+        run the per-shard kernels with the error psum-reduced over the
+        mesh (parallel.pallas_shard3.sharded_fused_jacobi3_err)."""
         if not use_pallas:
+            if policy is not None:
+                lu = cz(lu, n)
+                lf = cz(lf, n)
             return smooth_xla(lu, lf, h, steps)
+        if sharded(n):
+            if steps == -1:
+                return trigger_p(lu, lf, n, h)
+            u2, raw = ps3.sharded_fused_jacobi3_err(
+                lu, lf, n, h, steps, cfg.omega, compat, policy.mesh,
+                policy.axis_name, interpret=interp)
+            return cz(u2, n), (raw / (n ** 3)).astype(cfg.dtype)
         fast = n >= _PALLAS3_MIN_N and cfg.smoother == "jacobi"
         if steps == -1 and fast:
             return trigger_p(lu, lf, n, h)
         fast = fast and steps >= 1
         if not fast:
             u, err = smooth_xla(from_p(lu, n), from_p(lf, n), h, steps)
-            return to_p(u), err
+            return to_p(u, n), err
         k, err = steps, None
         while k > 0:
             kk = min(k, p3k.MAX_FUSED_SWEEPS_3D)
@@ -130,6 +181,36 @@ def _trace_program3(u, f, *, program: CycleProgram, problem: Problem3D,
         iterate overshoots the exact stop point by up to batch − 1 sweeps
         (extra smoothing, never less; flag-gated, as in the 2-D engine)."""
         mode = compat              # already normalized to "clean" | "gpu"
+
+        if sharded(n):
+            # per-pass sharded loop: ONE fused per-shard kernel pass (sweep
+            # + psum'd metric partial) per trigger sweep — the in-VMEM /
+            # streamed tiers below are single-chip-resident by design
+            def one_sharded(v):
+                v2, raw = ps3.sharded_fused_jacobi3_err(
+                    v, lf, n, h, 1, cfg.omega, compat, policy.mesh,
+                    policy.axis_name, interpret=interp)
+                return cz(v2, n), (raw / (n ** 3)).astype(cfg.dtype)
+
+            u1, err0 = one_sharded(lu)
+
+            def scond(state):
+                _, _, slope, k = state
+                return jnp.logical_and(
+                    slope > cfg.trigger,
+                    k < effective_trigger_cap(cfg.max_trigger_sweeps, n,
+                                              dim=3))
+
+            def sbody(state):
+                v, prev, _, k = state
+                v2, err = one_sharded(v)
+                return v2, err, jnp.abs(err - prev), k + 1
+
+            u_out, err, _, _ = jax.lax.while_loop(
+                scond, sbody, (u1, err0,
+                               jnp.asarray(cfg.trigger + 1.0, err0.dtype),
+                               jnp.asarray(1, jnp.int32)))
+            return u_out, err
 
         if p3k.trigger3_fits(n):
             # the WHOLE trigger loop as one VMEM-resident kernel (volumes
@@ -208,8 +289,9 @@ def _trace_program3(u, f, *, program: CycleProgram, problem: Problem3D,
 
     def zeros_level(n):
         if use_pallas:
-            return jnp.zeros(p3k.padded_shape3(n), cfg.dtype)
-        return jnp.zeros((n,) * 3, cfg.dtype)
+            nz, rp, cp = p3k.padded_shape3(n)
+            return cz(jnp.zeros((zp_of(n), rp, cp), cfg.dtype), n)
+        return cz(jnp.zeros((n,) * 3, cfg.dtype), n)
 
     def zero_interior(lu, n):
         """Re-zero the correction interior, keeping the Dirichlet border."""
@@ -227,7 +309,9 @@ def _trace_program3(u, f, *, program: CycleProgram, problem: Problem3D,
 
     # stack of (spec, u, f, is_fmg); mirrors Solver3D.run
     if use_pallas:
-        u, f = to_p(u), to_p(f)
+        u, f = to_p(u, spec0.n), to_p(f, spec0.n)
+    elif policy is not None:
+        u, f = cz(u, spec0.n), cz(f, spec0.n)
     levels = [(spec0, u, f, False)]
     first_descend_done = warm
     last_err = jnp.zeros((), cfg.dtype)
@@ -253,10 +337,51 @@ def _trace_program3(u, f, *, program: CycleProgram, problem: Problem3D,
                 f_c = zoom3(lf_raw, ins.next_n, zero_boundary=True)
                 f_c = f_c + problem.boundary_grid(next_spec.n, cfg.dtype)
                 if use_pallas:
-                    f_c = to_p(f_c)
+                    f_c = to_p(f_c, next_spec.n)
+                else:
+                    f_c = cz(f_c, next_spec.n)
                 levels[-1] = (spec, lu, lf, is_fmg)
                 levels.append((next_spec, zeros_level(next_spec.n), f_c,
                                True))
+                continue
+
+            # sharded level: per-shard descend leg (one kernel + one
+            # plane-halo exchange per shard) when the shard geometry
+            # admits it, else per-shard smooth+residual + the depth-aware
+            # einsum restriction
+            if sharded(n):
+                m = ins.next_n
+                fz_s = (not finest) and (not is_fmg)
+                k_nb = ins.steps - (1 if fz_s else 0)
+                nl = zp_of(n) // policy.n_devices
+                fw = cfg.restriction == "full_weighting"
+                cap = (p3k.MAX_DESCEND3_SWEEPS_FW if fw
+                       else p3k.MAX_DESCEND3_SWEEPS_SAMPLING)
+                z_halo = k_nb + (2 if fw else 1)
+                if (aligned and ins.steps >= 1 and compat == "clean"
+                        and 0 <= k_nb <= cap and z_halo <= nl):
+                    lu, dw, err_raw = ps3.sharded_fused_descend3(
+                        lu, lf, n, h, ins.steps, cfg.omega, policy.mesh,
+                        policy.axis_name, from_zero=fz_s,
+                        restriction=cfg.restriction, interpret=interp)
+                    f_c = cz(conform_z(pd3.restrict3_lanes_p(dw, n, m),
+                                       zp_of(m)), m)
+                    last_err = (err_raw / (n ** 3)).astype(cfg.dtype)
+                else:
+                    lu, last_err = smooth(lu, lf, n, h, ins.steps)
+                    if aligned:
+                        rneg = ps3.sharded_residual3_pallas(
+                            lu, lf, n, h, policy.mesh, policy.axis_name,
+                            negate=True, interpret=interp)
+                        f_c = cz(pd3.restrict3_p(rneg, n, m,
+                                                 mode=cfg.restriction,
+                                                 zp_out=zp_of(m)), m)
+                    else:
+                        f_c = to_p(_restrict_residual3(
+                            from_p(lu, n), from_p(lf, n), h, m,
+                            restriction=cfg.restriction), m)
+                levels[-1] = (spec, cz(lu, n), lf, is_fmg)
+                levels.append((next_spec, zeros_level(m), f_c, False))
                 continue
 
             # ONE-kernel descend leg: sweeps + residual + z/row restriction
@@ -275,7 +400,8 @@ def _trace_program3(u, f, *, program: CycleProgram, problem: Problem3D,
                 lu, dw, err_raw = p3k.fused_descend3_padded(
                     lu, lf, n, h, ins.steps, omega=cfg.omega, from_zero=fz,
                     restriction=cfg.restriction, interpret=interp)
-                f_c = pd3.restrict3_lanes_p(dw, n, ins.next_n)
+                f_c = cz(pd3.restrict3_lanes_p(dw, n, ins.next_n),
+                         ins.next_n)
                 last_err = (err_raw[0, 0] / (n ** 3)).astype(cfg.dtype)
                 levels[-1] = (spec, lu, lf, is_fmg)
                 levels.append((next_spec, zeros_level(next_spec.n), f_c,
@@ -286,15 +412,16 @@ def _trace_program3(u, f, *, program: CycleProgram, problem: Problem3D,
             if use_pallas and aligned and n >= _PALLAS3_MIN_N:
                 rpad = p3k.residual3_pallas(lu, lf, n, h, negate=True,
                                             interpret=interp)
-                f_c = pd3.restrict3_p(rpad, n, ins.next_n,
-                                      mode=cfg.restriction)
+                f_c = cz(pd3.restrict3_p(rpad, n, ins.next_n,
+                                         mode=cfg.restriction), ins.next_n)
             elif use_pallas:
                 f_c = to_p(_restrict_residual3(
                     from_p(lu, n), from_p(lf, n), h, ins.next_n,
-                    restriction=cfg.restriction))
+                    restriction=cfg.restriction), ins.next_n)
             else:
-                f_c = _restrict_residual3(lu, lf, h, ins.next_n,
-                                          restriction=cfg.restriction)
+                f_c = cz(_restrict_residual3(lu, lf, h, ins.next_n,
+                                             restriction=cfg.restriction),
+                         ins.next_n)
             levels[-1] = (spec, lu, lf, is_fmg)
             levels.append((next_spec, zeros_level(next_spec.n), f_c, False))
 
@@ -314,7 +441,9 @@ def _trace_program3(u, f, *, program: CycleProgram, problem: Problem3D,
                     norm=cfg.coarse_gs_norm)
                 lu = us.astype(cfg.dtype)
             if use_pallas:
-                lu = to_p(lu)
+                lu = to_p(lu, n)
+            else:
+                lu = cz(lu, n)
             levels[-1] = (spec, lu, lf, is_fmg)
 
         elif isinstance(ins, Ascend):
@@ -323,6 +452,61 @@ def _trace_program3(u, f, *, program: CycleProgram, problem: Problem3D,
             n, h = spec.n, spec.h
             m = child_spec.n
             aligned = n == 2 * m - 1
+            # sharded level: per-shard ascend leg (lane-expand einsum +
+            # one kernel + two plane-halo exchanges per shard) when the
+            # shard geometry admits it; the coarse correction is conformed
+            # to EXACTLY half the fine depth (the leg's parity contract)
+            if sharded(n):
+                nl = zp_of(n) // policy.n_devices
+                ext_z = ins.steps + (ins.steps % 2)
+                if (aligned and 1 <= ins.steps <= p3k.MAX_FUSED_SWEEPS_3D
+                        and compat == "clean"
+                        and ext_z <= nl and ext_z // 2 + 1 <= nl // 2):
+                    zsh = policy.sharding(n)
+                    ec = jax.lax.with_sharding_constraint(
+                        conform_z(cu, zp_of(n) // 2), zsh)
+                    cw = jax.lax.with_sharding_constraint(
+                        pd3.prolong3_lanes_p(ec, n, m), zsh)
+                    # last-node error fuses into the ascend kernel itself
+                    # when the +1 err halo ring still fits the shard depth
+                    zh = ins.steps + 1
+                    ze = zh + (zh % 2)
+                    want_err = (ins is program.instructions[-1]
+                                and ins.steps <= 7 and ze <= nl
+                                and ze // 2 + 1 <= nl // 2)
+                    if want_err:
+                        lu, raw = ps3.sharded_fused_ascend3(
+                            lu, lf, cw, n, h, ins.steps, cfg.omega,
+                            policy.mesh, policy.axis_name,
+                            err_mode="clean", interpret=interp)
+                        lu = cz(lu, n)
+                        last_err = (raw / (n ** 3)).astype(cfg.dtype)
+                    else:
+                        lu = cz(ps3.sharded_fused_ascend3(
+                            lu, lf, cw, n, h, ins.steps, cfg.omega,
+                            policy.mesh, policy.axis_name,
+                            interpret=interp), n)
+                        if ins is program.instructions[-1]:
+                            # one per-shard residual pass (GSPMD reduces
+                            # the z-sharded |r| sum)
+                            r = ps3.sharded_residual3_pallas(
+                                lu, lf, n, h, policy.mesh, policy.axis_name,
+                                interpret=interp)
+                            last_err = (jnp.sum(jnp.abs(r))
+                                        / (n ** 3)).astype(cfg.dtype)
+                else:
+                    if aligned:
+                        lu = cz(pd3.prolong3_add_p(lu, cu, n, m,
+                                                   interior_only=True), n)
+                    else:
+                        lu = to_p(_prolong_add3(from_p(cu, m),
+                                                from_p(lu, n), n), n)
+                    if ins.steps != 0:
+                        lu, last_err = smooth(lu, lf, n, h, ins.steps)
+                if len(levels) == 1:
+                    first_descend_done = True
+                levels[-1] = (spec, lu, lf, is_fmg)
+                continue
             # ONE-kernel ascend leg: prolong + add + post-sweeps in a single
             # HBM pass (2-D analog: compiled._fuse_ascend_ok). The error
             # metric is only materialized when this node's err is the
@@ -356,7 +540,8 @@ def _trace_program3(u, f, *, program: CycleProgram, problem: Problem3D,
                 if use_pallas and aligned and n >= _PALLAS3_MIN_N:
                     lu = pd3.prolong3_add_p(lu, cu, n, m, interior_only=True)
                 elif use_pallas:
-                    lu = to_p(_prolong_add3(from_p(cu, m), from_p(lu, n), n))
+                    lu = to_p(_prolong_add3(from_p(cu, m), from_p(lu, n), n),
+                              n)
                 else:
                     lu = _prolong_add3(cu, lu, n)
                 if ins.steps != 0:
@@ -382,6 +567,7 @@ class CompiledCycle3:
     config: SolverConfig
     _fn: object
     _fn_warm: object
+    policy: Optional[object] = None
 
     @property
     def finest_spec(self) -> GridSpec:
@@ -394,6 +580,8 @@ class CompiledCycle3:
         f = (self.problem.source_grid(n, dtype)
              + self.problem.boundary_grid(n, dtype))
         u = self.problem.boundary_grid(n, dtype)
+        # no device_put here: the finest depth (n, odd) is not
+        # device-divisible — the traced walk pads and constrains instead
         return u, f
 
     def __call__(self, u, f, warm: bool = False):
@@ -402,13 +590,19 @@ class CompiledCycle3:
 
 def compile_program3(program: CycleProgram, problem: Problem3D,
                      config: SolverConfig = SolverConfig(),
-                     donate: bool = False) -> CompiledCycle3:
-    """Build the one-XLA-program 3-D executable for ``program``."""
+                     policy=None, donate: bool = False) -> CompiledCycle3:
+    """Build the one-XLA-program 3-D executable for ``program``.
+
+    ``policy`` (parallel.pallas_shard3.ZShardingPolicy3) runs the program
+    multi-chip under a z-plane decomposition: sharded levels keep their
+    state partitioned and run the per-shard brick kernels/fused legs,
+    coarser levels replicate (see _trace_program3)."""
     program.validate()
 
     def make(warm: bool):
         fn = partial(_trace_program3, program=program, problem=problem,
-                     config=config, warm=warm)
+                     config=config, policy=policy, warm=warm)
         return jax.jit(fn, donate_argnums=(0,) if donate else ())
 
-    return CompiledCycle3(program, problem, config, make(False), make(True))
+    return CompiledCycle3(program, problem, config, make(False), make(True),
+                          policy)

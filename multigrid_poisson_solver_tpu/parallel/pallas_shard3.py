@@ -31,6 +31,7 @@ No reference counterpart (single GPU, strictly 2-D)."""
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 
 import jax
@@ -85,6 +86,59 @@ def pad_planes3(a: jnp.ndarray, n_devices: int) -> jnp.ndarray:
         return a
     return jnp.concatenate(
         [a, jnp.zeros((nzp - nz,) + a.shape[1:], a.dtype)], axis=0)
+
+
+@dataclasses.dataclass(frozen=True)
+class ZShardingPolicy3:
+    """Per-level z-plane sharding decisions for the 3-D compiled engine —
+    the cubic-hierarchy analog of ``parallel.mesh.ShardingPolicy``.
+
+    Levels with at least ``threshold_planes`` planes per device (and big
+    enough for the brick kernels, n ≥ 65) are partitioned into contiguous
+    z-plane blocks; coarser levels are replicated (the standard multigrid
+    coarse-level agglomeration). Sharded levels pad their depth to a
+    multiple of 2·n_devices so every shard owns an EVEN plane count — the
+    parity contract that lets the fused descend/ascend legs run per shard
+    (see sharded_fused_descend3). Padding planes sit at gz ≥ n and are
+    frozen zero by every kernel's global Dirichlet gates.
+
+    Reference analog: none (single GPU, 2-D); this is SURVEY §2's
+    "parallelism strategies" layer applied to the 3-D engine."""
+
+    mesh: Mesh
+    axis_name: str = Z_AXIS
+    threshold_planes: int = 8
+
+    @property
+    def n_devices(self) -> int:
+        import numpy as np
+        return int(np.prod(list(self.mesh.shape.values())))
+
+    def is_sharded(self, n: int) -> bool:
+        ndev = self.n_devices
+        return (ndev > 1 and n >= 65
+                and self.padded_depth(n) // ndev >= self.threshold_planes)
+
+    def padded_depth(self, n: int) -> int:
+        """Stored plane count for level n: ×(2·n_devices) when the level
+        would shard, exactly n otherwise (the plain padded_shape3 depth)."""
+        ndev = self.n_devices
+        if ndev > 1 and n >= 65:
+            zp = padded_depth3(n, 2 * ndev)
+            if zp // ndev >= self.threshold_planes:
+                return zp
+        return n
+
+    def spec(self, n: int) -> P:
+        return (P(self.axis_name, None, None) if self.is_sharded(n)
+                else P())
+
+    def sharding(self, n: int) -> NamedSharding:
+        return NamedSharding(self.mesh, self.spec(n))
+
+    def padded_shape3(self, n: int) -> tuple[int, int, int]:
+        _, rp, cp = padded_shape3(n)
+        return (self.padded_depth(n), rp, cp)
 
 
 def _ring_perms(ndev: int):
@@ -160,6 +214,76 @@ def sharded_fused_jacobi3(u, f, n: int, h: float, steps: int,
     spec = P(axis_name, None, None)
     return shard_map(body, mesh=mesh, in_specs=(spec, spec),
                      out_specs=spec, check_vma=False)(u, f)
+
+
+@partial(jax.jit, static_argnames=("n", "h", "steps", "omega", "compat",
+                                   "mesh", "axis_name", "from_zero",
+                                   "interpret"))
+def sharded_fused_jacobi3_err(u, f, n: int, h: float, steps: int,
+                              omega: float, compat, mesh: Mesh,
+                              axis_name: str = Z_AXIS,
+                              from_zero: bool = False,
+                              interpret: bool = False):
+    """``steps`` z-sharded fused sweeps WITH the smoothing-error metric
+    fused into the final pass — the 3-D twin of
+    parallel.pallas_shard.sharded_fused_jacobi_err. Returns (u, raw) with
+    ``raw`` the metric-scaled error partial psum-reduced over the z axis
+    (the kernel's ownership mask restricts each shard's partial to owned
+    interior planes, so the psum is exact); divide by n³ for the mean.
+
+    ``compat`` ∈ {"clean", "gpu"} (the 3-D engine's two metrics). The
+    clean metric's extra in-VMEM residual sweep burns one halo ring, so
+    the final pass carries ≤7 effective sweeps."""
+    _check_shape(u, n, mesh, axis_name)
+    err_mode = "gpu" if compat == "gpu" else "clean"
+    assert steps >= 1
+
+    def body(u_loc, f_loc):
+        nz_loc = u_loc.shape[0]
+        zi = lax.axis_index(axis_name)
+        kmax = min(MAX_FUSED_SWEEPS_3D, nz_loc)
+        # the final pass carries the error reduction; clean's extra
+        # in-VMEM residual sweep needs k_eff ≤ 7 AND one more halo plane
+        # (z_halo = k_eff + 1 ≤ nz_loc: one-neighbor ppermute bound)
+        if err_mode == "gpu":
+            last_cap = kmax
+        else:
+            assert nz_loc >= 2, "clean metric needs ≥2 planes per device"
+            last_cap = min(7, nz_loc - 1)
+        last = min(steps, last_cap)
+        out, remaining, first = u_loc, steps - last, True
+        while remaining > 0:
+            k = min(remaining, kmax)
+            zoff = (zi * nz_loc - k).astype(jnp.int32).reshape(1)
+            f_e = _extend_planes(f_loc, axis_name, k)
+            if from_zero and first:
+                u_e = jnp.zeros_like(f_e)
+            else:
+                u_e = _extend_planes(out, axis_name, k)
+            out = _fused_jacobi3_shard_call(
+                zoff, u_e, f_e, n, h, k, omega, ext_z=k,
+                from_zero=from_zero and first, interpret=interpret)
+            remaining -= k
+            first = False
+        fz = from_zero and first
+        k_eff = last - (1 if fz else 0)
+        z_halo = last if err_mode == "gpu" else k_eff + 1
+        ext = min(max(z_halo, 1), nz_loc)
+        assert z_halo <= ext, (steps, last, nz_loc)
+        zoff = (zi * nz_loc - ext).astype(jnp.int32).reshape(1)
+        f_e = _extend_planes(f_loc, axis_name, ext)
+        if fz:
+            u_e = jnp.zeros_like(f_e)
+        else:
+            u_e = _extend_planes(out, axis_name, ext)
+        out, raw = _fused_jacobi3_shard_call(
+            zoff, u_e, f_e, n, h, last, omega, ext_z=ext, from_zero=fz,
+            interpret=interpret, err_mode=err_mode)
+        return out, lax.psum(raw, axis_name)
+
+    spec = P(axis_name, None, None)
+    return shard_map(body, mesh=mesh, in_specs=(spec, spec),
+                     out_specs=(spec, P()), check_vma=False)(u, f)
 
 
 @partial(jax.jit, static_argnames=("n", "h", "steps", "omega", "mesh",
@@ -279,10 +403,10 @@ def sharded_fused_descend3(u, f, n: int, h: float, steps: int, omega: float,
 
 
 @partial(jax.jit, static_argnames=("n", "h", "steps", "omega", "mesh",
-                                   "axis_name", "interpret"))
+                                   "axis_name", "err_mode", "interpret"))
 def sharded_fused_ascend3(u, f, cwide, n: int, h: float, steps: int,
                           omega: float, mesh: Mesh,
-                          axis_name: str = Z_AXIS,
+                          axis_name: str = Z_AXIS, err_mode=None,
                           interpret: bool = False):
     """The WHOLE ascend leg per shard: trilinear prolongation + correction
     add + post-sweeps in one kernel pass per z-shard.
@@ -291,7 +415,12 @@ def sharded_fused_ascend3(u, f, cwide, n: int, h: float, steps: int,
     (ops.padded3.prolong3_lanes_p), z-sharded with EXACTLY half the fine
     depth (so shard-local coarse planes line up with shard-local fine
     planes — the nl-even parity contract again). One fine + one coarse
-    plane-halo exchange per call."""
+    plane-halo exchange per call.
+
+    ``err_mode="clean"`` also returns the raw Σ|r(u_final)| partial
+    psum-reduced over the z axis (the kernel's ownership mask makes the
+    psum exact; divide by n³ for the mean) — its extra in-VMEM residual
+    sweep consumes one halo ring, so steps ≤ 7."""
     _check_shape(u, n, mesh, axis_name)
     ndev = mesh.shape[axis_name]
     nl = u.shape[0] // ndev
@@ -299,7 +428,9 @@ def sharded_fused_ascend3(u, f, cwide, n: int, h: float, steps: int,
         f"sharded ascend needs an even plane count per device, got {nl}")
     assert cwide.shape[0] * 2 == u.shape[0], (cwide.shape, u.shape)
     assert 1 <= steps <= MAX_FUSED_SWEEPS_3D
-    ext_z = steps + (steps % 2)          # even halo >= steps
+    z_halo = steps if err_mode is None else steps + 1
+    assert err_mode in (None, "clean") and z_halo <= MAX_FUSED_SWEEPS_3D
+    ext_z = z_halo + (z_halo % 2)        # even halo >= z_halo
     ext_c = ext_z // 2
     assert ext_z <= nl and ext_c + 1 <= nl // 2, (steps, nl)
 
@@ -314,11 +445,18 @@ def sharded_fused_ascend3(u, f, cwide, n: int, h: float, steps: int,
         above = lax.ppermute(cw_loc[-ext_c:], axis_name, fwd)
         below = lax.ppermute(cw_loc[:ext_c + 1], axis_name, bwd)
         cw_e = jnp.concatenate([above, cw_loc, below], axis=0)
-        return _fused_ascend3_shard_call(
+        out = _fused_ascend3_shard_call(
             zoff, u_e, f_e, cw_e, n, h, steps, omega, ext_z=ext_z,
-            interpret=interpret)
+            interpret=interpret, err_mode=err_mode)
+        if err_mode is not None:
+            u_new, raw = out
+            return u_new, lax.psum(raw, axis_name)
+        return out
 
     spec = P(axis_name, None, None)
+    if err_mode is not None:
+        return shard_map(body, mesh=mesh, in_specs=(spec, spec, spec),
+                         out_specs=(spec, P()), check_vma=False)(u, f, cwide)
     return shard_map(body, mesh=mesh, in_specs=(spec, spec, spec),
                      out_specs=spec, check_vma=False)(u, f, cwide)
 
@@ -436,7 +574,8 @@ def v_cycle3_sharded(u, f, n: int, h: float, mesh: Mesh,
 
 
 __all__ = ["make_mesh_z", "z_sharding", "padded_depth3", "sharded_shape3",
-           "pad_planes3", "sharded_fused_jacobi3",
+           "pad_planes3", "ZShardingPolicy3", "sharded_fused_jacobi3",
+           "sharded_fused_jacobi3_err",
            "sharded_fused_ascend3", "sharded_fused_descend3",
            "sharded_residual3_pallas", "sharded_smooth_residual3",
            "v_cycle3_sharded", "Z_AXIS"]
