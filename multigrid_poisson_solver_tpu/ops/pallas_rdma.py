@@ -315,10 +315,11 @@ def _rdma_trigger_kernel(meta_smem, u_hbm, f_hbm, out_hbm, stat_smem,
     """The WHOLE error-trigger loop (MG_solver_CPU.cpp:194-240) across a
     ring of chips in ONE kernel per chip: the shard's iterate (halo-extended
     by HALO rows each side) and folded source stay VMEM-resident for the
-    entire `|err_k − err_{k−1}| > trigger` loop; each sweep exchanges the
-    fresh edge rows with ring neighbors via remote DMAs and all-to-alls the
-    scalar metric partial, which doubles as the inter-sweep barrier — zero
-    kernel launches and zero XLA collectives per sweep.
+    entire `|err_k − err_{k−1}| > trigger` loop; each sweep exchanges ONE
+    fresh edge row with each ring neighbor via remote DMAs (a single
+    Jacobi update only ever reads the innermost halo row) and all-to-alls
+    the scalar metric partial, which doubles as the inter-sweep barrier —
+    zero kernel launches and zero XLA collectives per sweep.
 
     Race-freedom of the per-sweep protocol:
       * the sweep updates the FULL extended block in place, but A (and FC)
@@ -330,10 +331,12 @@ def _rdma_trigger_kernel(meta_smem, u_hbm, f_hbm, out_hbm, stat_smem,
         writing — so fresh halos never land while the receiver still reads
         the previous ones (rsem[0] accumulates the UP neighbor's readiness,
         rsem[1] the DOWN's; I signal up's slot 1 and down's slot 0);
-      * the metric tiles are PARITY double-buffered (errbuf[k % 2]): a
-        device one sweep ahead writes the other slot, and it cannot be TWO
-        ahead without having received this device's partials — which are
-        only posted after the previous slot's read completed.
+      * the metric tiles are PARITY double-buffered (errbuf[k % 2]) and
+        their arrivals counted on PER-SENDER recv semaphores (see
+        allreduce): a device one sweep ahead writes the other slot, it
+        cannot be TWO ahead without having received this device's partials
+        (posted only after the previous slot's read completed), and no
+        peer's signal can stand in for another's still-in-flight tile.
     The all-to-all waits make every device take the same stop decision on
     the same global err. Stop rule, metrics and scaling mirror the
     per-pass engine path exactly."""
@@ -346,6 +349,16 @@ def _rdma_trigger_kernel(meta_smem, u_hbm, f_hbm, out_hbm, stat_smem,
     has_dn = my < ndev - 1
     up = jnp.maximum(my - 1, 0)
     dn = jnp.minimum(my + 1, ndev - 1)
+    dtype = u_hbm.dtype
+
+    # zero BOTH halo rings BEFORE the barrier: only the innermost halo row
+    # ever feeds the sweeps/metric, but uninitialized outer rows would leak
+    # NaN through the masked metric (0·NaN). Pre-barrier is what makes the
+    # unconditional (tile-aligned) store race-free — a neighbor's remote
+    # write into the innermost row can only start after it passes ITS
+    # barrier, which needs this device's signal below.
+    U[0:HALO] = jnp.zeros((HALO, cp), dtype)
+    U[erows - HALO:erows] = jnp.zeros((HALO, cp), dtype)
 
     if ndev > 1:
         bsem = pltpu.get_barrier_semaphore()
@@ -368,21 +381,9 @@ def _rdma_trigger_kernel(meta_smem, u_hbm, f_hbm, out_hbm, stat_smem,
             src_ref=src, dst_ref=dst, send_sem=ss, recv_sem=rs,
             device_id=(dev,), device_id_type=pltpu.DeviceIdType.MESH)
 
-    dtype = u_hbm.dtype
-    # park the shard into the extended buffers. U's halo rings are zeroed
-    # ONLY on neighborless sides: sides with a neighbor receive their rows
-    # from the initial exchange, and writing them here would RACE the
-    # neighbor's (post-barrier) remote writes — the interpreter's race
-    # detector catches exactly that. A is local-only, so its halo staging
-    # rows are zeroed unconditionally (0·h²·0 keeps FC's halos NaN-free).
-    @pl.when(jnp.logical_not(has_up))
-    def _():
-        U[0:HALO] = jnp.zeros((HALO, cp), dtype)
-
-    @pl.when(jnp.logical_not(has_dn))
-    def _():
-        U[erows - HALO:erows] = jnp.zeros((HALO, cp), dtype)
-
+    # park the shard into the extended buffers. A is local-only, so its
+    # halo staging rows are zeroed unconditionally (0·h²·0 keeps FC's
+    # halos NaN-free).
     A[0:HALO] = jnp.zeros((HALO, cp), dtype)
     A[erows - HALO:erows] = jnp.zeros((HALO, cp), dtype)
     cp_u = pltpu.make_async_copy(u_hbm, U.at[pl.ds(HALO, rows)], sem)
@@ -422,9 +423,13 @@ def _rdma_trigger_kernel(meta_smem, u_hbm, f_hbm, out_hbm, stat_smem,
                  * (2.0 if compat == "cpu" else 1.0))
 
     def exchange_u(handshake: bool):
-        """Send my fresh edge rows to the neighbors' halo rings and wait
-        for theirs. With ``handshake``, block each send on the receiver's
-        READY signal (see the docstring)."""
+        """Send my fresh edge row to the neighbors' INNERMOST halo row and
+        wait for theirs. One row, not HALO: each sweep performs a single
+        Jacobi update, so only the innermost halo row is ever read (A and
+        FC are zero on all halo rows and the metric masks to owned) — the
+        multi-sweep smoother kernel's 8-row exchange would be 8× the wire
+        traffic for no semantic difference. With ``handshake``, block each
+        send on the receiver's READY signal (see the docstring)."""
         if handshake:
             @pl.when(has_up)
             def _():
@@ -446,10 +451,11 @@ def _rdma_trigger_kernel(meta_smem, u_hbm, f_hbm, out_hbm, stat_smem,
             def _():
                 pltpu.semaphore_wait(rsem.at[1], 1)
 
-        su = remote(U.at[pl.ds(HALO, HALO)],
-                    U.at[pl.ds(erows - HALO, HALO)],
+        su = remote(U.at[pl.ds(HALO, 1)],
+                    U.at[pl.ds(erows - HALO, 1)],
                     usend.at[0], urecv.at[0], up)
-        sd = remote(U.at[pl.ds(rows, HALO)], U.at[pl.ds(0, HALO)],
+        sd = remote(U.at[pl.ds(rows + HALO - 1, 1)],
+                    U.at[pl.ds(HALO - 1, 1)],
                     usend.at[1], urecv.at[1], dn)
 
         @pl.when(has_up)
@@ -463,13 +469,14 @@ def _rdma_trigger_kernel(meta_smem, u_hbm, f_hbm, out_hbm, stat_smem,
         @pl.when(has_up)
         def _():
             # my top halo arrives from the UP neighbor's sd channel
-            remote(U.at[pl.ds(rows, HALO)], U.at[pl.ds(0, HALO)],
+            remote(U.at[pl.ds(rows + HALO - 1, 1)],
+                   U.at[pl.ds(HALO - 1, 1)],
                    usend.at[1], urecv.at[1], dn).wait_recv()
 
         @pl.when(has_dn)
         def _():
-            remote(U.at[pl.ds(HALO, HALO)],
-                   U.at[pl.ds(erows - HALO, HALO)],
+            remote(U.at[pl.ds(HALO, 1)],
+                   U.at[pl.ds(erows - HALO, 1)],
                    usend.at[0], urecv.at[0], up).wait_recv()
 
         @pl.when(has_up)
@@ -493,24 +500,39 @@ def _rdma_trigger_kernel(meta_smem, u_hbm, f_hbm, out_hbm, stat_smem,
 
     def allreduce(part, slot):
         """All-to-all the scalar partial (one nonzero element in an (8,128)
-        tile, parity slot per sweep) and return the exact global sum."""
+        tile, parity slot per sweep) and return the exact global sum.
+
+        The recv semaphores are PER SENDER (``erecv[s]``): each device
+        waits for ONE arrival from EVERY peer. With a single shared
+        semaphore the ndev−1 counts are fungible across senders, and on a
+        ≥3-chip ring a fast peer's next-sweep signal can stand in for a
+        slow peer's still-in-flight tile (a peer's multicast arrives at
+        different times at different receivers), letting the wait pass
+        with one slot stale or uninitialized. Per-sender counting plus
+        per-channel DMA ordering makes the k-th arrival from a sender
+        exactly its sweep-k tile; the parity slot keeps a one-ahead
+        sender's write out of the slot being read."""
         if ndev == 1:
             return part
         zi = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
         zj = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
         errtile[:] = jnp.where((zi == 0) & (zj == 0), part,
                                jnp.float32(0.0))
-        errbuf[slot, my] = errtile[:]
-        for d in range(ndev):
-            @pl.when(my != _i32(d))
-            def _(d=d):
-                remote(errtile.at[:], errbuf.at[slot, my], esend.at[0],
-                       erecv.at[0], _i32(d)).start()
+        for s in range(ndev):
+            @pl.when(my == _i32(s))
+            def _(s=s):
+                errbuf[slot, _i32(s)] = errtile[:]
+                for d in range(ndev):
+                    if d != s:
+                        remote(errtile.at[:], errbuf.at[slot, _i32(s)],
+                               esend.at[0], erecv.at[s], _i32(d)).start()
+        for s in range(ndev):
+            @pl.when(my != _i32(s))
+            def _(s=s):
+                remote(errtile.at[:], errbuf.at[slot, _i32(s)],
+                       esend.at[0], erecv.at[s], _i32(0)).wait_recv()
         for _d in range(ndev - 1):
-            remote(errtile.at[:], errbuf.at[slot, my], esend.at[0],
-                   erecv.at[0], _i32(0)).wait_recv()
-        for _d in range(ndev - 1):
-            remote(errtile.at[:], errbuf.at[slot, my], esend.at[0],
+            remote(errtile.at[:], errbuf.at[slot, _i32(0)], esend.at[0],
                    erecv.at[0], _i32(0)).wait_send()
         tot = jnp.float32(0.0)
         for d in range(ndev):
@@ -606,7 +628,7 @@ def _rdma_trigger_shard_call(meta, u, f, n: int, h: float, trigger: float,
             pltpu.SemaphoreType.DMA((2,)),          # u send up/down
             pltpu.SemaphoreType.DMA((2,)),          # u recv up/down
             pltpu.SemaphoreType.DMA((1,)),          # err send
-            pltpu.SemaphoreType.DMA((1,)),          # err recv
+            pltpu.SemaphoreType.DMA((ndev,)),       # err recv, PER SENDER
             pltpu.SemaphoreType.REGULAR((2,)),      # READY handshake up/dn
         ],
         compiler_params=pltpu.CompilerParams(

@@ -215,24 +215,32 @@ def _rdma_trigger3_kernel(u_hbm, f_hbm, out_hbm, stat_smem,
     def allreduce(part, slot):
         """All-to-all the scalar partial (one nonzero element in an
         (8, 128) tile, parity slot per sweep) and return the exact global
-        sum — doubles as the inter-sweep barrier."""
+        sum — doubles as the inter-sweep barrier. Recv semaphores are PER
+        SENDER (``erecv[s]``, the 2-D kernel's fix): with one shared
+        semaphore the ndev−1 counts are fungible across senders and a
+        fast peer's next-sweep signal could stand in for a slow peer's
+        still-in-flight tile on a ≥3-chip ring."""
         if ndev == 1:
             return part
         zi = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
         zj = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
         errtile[:] = jnp.where((zi == 0) & (zj == 0), part,
                                jnp.float32(0.0))
-        errbuf[slot, my] = errtile[:]
-        for d in range(ndev):
-            @pl.when(my != _i32(d))
-            def _(d=d):
-                remote(errtile.at[:], errbuf.at[slot, my], esend.at[0],
-                       erecv.at[0], _i32(d)).start()
+        for s in range(ndev):
+            @pl.when(my == _i32(s))
+            def _(s=s):
+                errbuf[slot, _i32(s)] = errtile[:]
+                for d in range(ndev):
+                    if d != s:
+                        remote(errtile.at[:], errbuf.at[slot, _i32(s)],
+                               esend.at[0], erecv.at[s], _i32(d)).start()
+        for s in range(ndev):
+            @pl.when(my != _i32(s))
+            def _(s=s):
+                remote(errtile.at[:], errbuf.at[slot, _i32(s)],
+                       esend.at[0], erecv.at[s], _i32(0)).wait_recv()
         for _d in range(ndev - 1):
-            remote(errtile.at[:], errbuf.at[slot, my], esend.at[0],
-                   erecv.at[0], _i32(0)).wait_recv()
-        for _d in range(ndev - 1):
-            remote(errtile.at[:], errbuf.at[slot, my], esend.at[0],
+            remote(errtile.at[:], errbuf.at[slot, _i32(0)], esend.at[0],
                    erecv.at[0], _i32(0)).wait_send()
         tot = jnp.float32(0.0)
         for d in range(ndev):
@@ -331,7 +339,7 @@ def _rdma_trigger3_shard_call(u, f, n: int, h: float, trigger: float,
             pltpu.SemaphoreType.DMA((2,)),           # u send up/down
             pltpu.SemaphoreType.DMA((2,)),           # u recv up/down
             pltpu.SemaphoreType.DMA((1,)),           # err send
-            pltpu.SemaphoreType.DMA((1,)),           # err recv
+            pltpu.SemaphoreType.DMA((ndev,)),        # err recv, PER SENDER
             pltpu.SemaphoreType.REGULAR((2,)),       # READY handshake up/dn
         ],
         compiler_params=pltpu.CompilerParams(
