@@ -181,8 +181,27 @@ def _trace_program3(u, f, *, program: CycleProgram, problem: Problem3D,
         iterate overshoots the exact stop point by up to batch − 1 sweeps
         (extra smoothing, never less; flag-gated, as in the 2-D engine)."""
         mode = compat              # already normalized to "clean" | "gpu"
+        # hoisted once like the 2-D engine: the cap (and its binding-cap
+        # warning) must not be re-evaluated inside every traced cond
+        max_sweeps = effective_trigger_cap(cfg.max_trigger_sweeps, n, dim=3)
 
         if sharded(n):
+            if cfg.halo == "rdma":
+                from .ops.pallas_rdma3 import rdma_trigger3_fits
+                nl = policy.padded_depth(n) // policy.n_devices
+                _, rp, cp = p3k.padded_shape3(n)
+                if rdma_trigger3_fits(nl, rp, cp):
+                    # the WHOLE trigger loop in ONE kernel per chip:
+                    # per-shard plane block + folded source VMEM-resident,
+                    # remote-DMA plane halos + in-kernel scalar all-reduce
+                    # per sweep — zero dispatch and zero XLA collectives
+                    # per sweep (parallel.pallas_shard3.rdma_fused_trigger3)
+                    u_out, err = ps3.rdma_fused_trigger3(
+                        lu, lf, n, h, cfg.trigger, cfg.omega, compat,
+                        max_sweeps,
+                        policy.mesh, policy.axis_name, interpret=interp)
+                    return cz(u_out, n), err
+
             # per-pass sharded loop: ONE fused per-shard kernel pass (sweep
             # + psum'd metric partial) per trigger sweep — the in-VMEM /
             # streamed tiers below are single-chip-resident by design
@@ -198,8 +217,7 @@ def _trace_program3(u, f, *, program: CycleProgram, problem: Problem3D,
                 _, _, slope, k = state
                 return jnp.logical_and(
                     slope > cfg.trigger,
-                    k < effective_trigger_cap(cfg.max_trigger_sweeps, n,
-                                              dim=3))
+                    k < max_sweeps)
 
             def sbody(state):
                 v, prev, _, k = state
@@ -218,8 +236,7 @@ def _trace_program3(u, f, *, program: CycleProgram, problem: Problem3D,
             # rule and metrics. Supersedes trigger_batch at these sizes.
             return p3k.fused_trigger3_vmem(
                 lu, lf, n, h, cfg.trigger, cfg.omega, compat,
-                effective_trigger_cap(cfg.max_trigger_sweeps, n, dim=3),
-                interpret=interp)
+                max_sweeps, interpret=interp)
 
         if p3k.trigger3_stream_fits(n):
             # next size class (257³): only the ITERATE fits VMEM — keep u
@@ -228,8 +245,7 @@ def _trace_program3(u, f, *, program: CycleProgram, problem: Problem3D,
             # per-pass path's ~3 + 1; the 2-D stream kernel one dim up)
             return p3k.fused_trigger3_stream(
                 lu, lf, n, h, cfg.trigger, cfg.omega, compat,
-                effective_trigger_cap(cfg.max_trigger_sweeps, n, dim=3),
-                interpret=interp)
+                max_sweeps, interpret=interp)
 
         if cfg.trigger_batch > 1:
             B = min(cfg.trigger_batch, p3k.errs3_sweep_cap(compat))
@@ -251,7 +267,7 @@ def _trace_program3(u, f, *, program: CycleProgram, problem: Problem3D,
             def bcond(state):
                 _, _, found, _, k = state
                 return jnp.logical_and(jnp.logical_not(found),
-                                       k < effective_trigger_cap(cfg.max_trigger_sweeps, n, dim=3))
+                                       k < max_sweeps)
 
             def bbody(state):
                 v, last, _, _, k = state
@@ -274,8 +290,7 @@ def _trace_program3(u, f, *, program: CycleProgram, problem: Problem3D,
 
         def cond(state):
             _, _, slope, k = state
-            return jnp.logical_and(slope > cfg.trigger,
-                                   k < effective_trigger_cap(cfg.max_trigger_sweeps, n, dim=3))
+            return jnp.logical_and(slope > cfg.trigger, k < max_sweeps)
 
         def body(state):
             u, prev, _, k = state

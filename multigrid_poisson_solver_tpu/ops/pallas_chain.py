@@ -626,9 +626,9 @@ def trigger_stream_fits(n: int, itemsize: int = 4) -> bool:
     strip working set inside the budget). The engine prefers the pure
     in-VMEM kernel where trigger_fits(n) — this is the next class up."""
     rp, cp = padded_shape(n)
+    # _stream_strip_rows clamps to >= 32, so oversized grids are rejected
+    # by the total-budget check below, never by a zero strip height
     s = _stream_strip_rows(rp, cp, itemsize)
-    if s <= 0:
-        return False
     total = ((rp + 16) * cp + 3 * s * cp + 5 * (s + 16) * cp) * itemsize
     return total <= STREAM_VMEM_BUDGET
 

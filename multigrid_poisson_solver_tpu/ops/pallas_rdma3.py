@@ -30,11 +30,12 @@ is needed and the folded source is stored for OWNED planes alone: residency
 is ~2 volumes/shard ((nl+2) + nl planes), admitting ~50 planes/shard of the
 385³ class on 8 chips (``rdma_trigger3_fits``).
 
-Validation standard (the round-3/4 RDMA acceptance bar): BIT-match vs the
-per-pass sharded loop on the race-detecting 8-device interpreter mesh for
-both 3-D metrics, engine routing via SolverConfig(halo="rdma") under a
-ZShardingPolicy3, Mosaic compile + bit-match on real hardware with a
-1-device ring. Multi-chip wall-clock gains need a real ring."""
+Validation (the round-3/4 RDMA acceptance bar, tests/test_rdma.py):
+BIT-match vs the per-pass sharded loop on the race-detecting 8-device
+interpreter mesh for both 3-D metrics, and engine routing via
+SolverConfig(halo="rdma") under a ZShardingPolicy3 (compiled3.trigger_p).
+No real-ring Mosaic execution has happened (multi-chip hardware
+unavailable); wall-clock gains need a real ring."""
 
 from __future__ import annotations
 

@@ -461,6 +461,43 @@ def sharded_fused_ascend3(u, f, cwide, n: int, h: float, steps: int,
                      out_specs=spec, check_vma=False)(u, f, cwide)
 
 
+@partial(jax.jit, static_argnames=("n", "h", "trigger", "omega", "compat",
+                                   "max_sweeps", "mesh", "axis_name",
+                                   "interpret"))
+def rdma_fused_trigger3(u, f, n: int, h: float, trigger: float,
+                        omega: float, compat, max_sweeps: int, mesh: Mesh,
+                        axis_name: str = Z_AXIS, interpret: bool = False):
+    """The WHOLE 3-D error-trigger loop across the z-plane ring in ONE
+    kernel per chip (ops.pallas_rdma3._rdma_trigger3_kernel): each shard's
+    plane block + folded source stay VMEM-resident for the entire loop;
+    per sweep, ONE fresh edge plane moves to each ring neighbor by remote
+    DMA (READY-handshaked) and the scalar metric by an in-kernel
+    per-sender-semaphore all-to-all that doubles as the inter-sweep
+    barrier — zero kernel launches and zero XLA collectives per sweep (the
+    per-pass sharded path above pays a dispatch + plane ppermutes + a psum
+    each sweep). Returns (u, err), err normalized by n³ like
+    pallas3d.fused_trigger3_vmem. Select with ``SolverConfig(halo="rdma")``
+    under a ZShardingPolicy3; admission by ops.pallas_rdma3
+    .rdma_trigger3_fits. Validation mirrors the 2-D whole-loop kernel:
+    bit-match + race detection vs the per-pass sharded loop on the
+    interpreter mesh (tests/test_rdma.py); real multi-chip wall-clock
+    needs real rings."""
+    _check_shape(u, n, mesh, axis_name)
+    ndev = mesh.shape[axis_name]
+
+    from ..ops.pallas_rdma3 import _rdma_trigger3_shard_call
+
+    def body(u_loc, f_loc):
+        return _rdma_trigger3_shard_call(
+            u_loc, f_loc, n, h, trigger, omega, compat, max_sweeps,
+            ndev=ndev, interpret=interpret, axis_name=axis_name)
+
+    spec = P(axis_name, None, None)
+    u_new, err = shard_map(body, mesh=mesh, in_specs=(spec, spec),
+                           out_specs=(spec, P()), check_vma=False)(u, f)
+    return u_new, err
+
+
 @partial(jax.jit, static_argnames=("n", "h", "mesh", "axis_name", "n_min",
                                    "pre", "post", "coarse_sweeps", "omega",
                                    "threshold_planes", "interpret"))
@@ -578,4 +615,4 @@ __all__ = ["make_mesh_z", "z_sharding", "padded_depth3", "sharded_shape3",
            "sharded_fused_jacobi3_err",
            "sharded_fused_ascend3", "sharded_fused_descend3",
            "sharded_residual3_pallas", "sharded_smooth_residual3",
-           "v_cycle3_sharded", "Z_AXIS"]
+           "rdma_fused_trigger3", "v_cycle3_sharded", "Z_AXIS"]

@@ -90,11 +90,17 @@ class SolverConfig:
                                       # with interior compute; 1-D row
                                       # policies, parallel.pallas_shard.
                                       # rdma_fused_jacobi). Applies to plain
-                                      # smoothing passes; the fused legs and
-                                      # error/trigger paths keep ppermute
-                                      # (their psum is a barrier anyway —
-                                      # modeled gain ~1.5% at 8 chips,
-                                      # utils/scaling_model.py)
+                                      # smoothing passes AND to sharded
+                                      # trigger levels, which run the WHOLE
+                                      # |Δerr|>trigger loop as one kernel
+                                      # per chip when the shard fits
+                                      # (pallas_shard.rdma_fused_trigger,
+                                      # 2-D rows; pallas_shard3.
+                                      # rdma_fused_trigger3, 3-D z-planes).
+                                      # The fused legs and fixed-step error
+                                      # paths keep ppermute (their psum is
+                                      # a barrier anyway — modeled gain
+                                      # ~1.5% at 8 chips, scaling_model.py)
 
 
 # A device-side trigger while_loop that runs for minutes gets the TPU worker

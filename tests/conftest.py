@@ -48,6 +48,7 @@ _SLOW_FUNCS = frozenset({
     "test_pallas_chain.py::test_compiled_engine_chains_and_bitmatches",
     "test_pallas_chain.py::test_compiled_engine_chain_err_semantics",
     "test_pallas_shard.py::test_sharded_trigger_batch_matches_unbatched",
+    "test_rdma.py::test_compiled3_engine_rdma_trigger_routes",
 })
 
 # single parametrizations (their siblings are fast and stay default)
@@ -69,6 +70,8 @@ _SLOW_IDS = frozenset({
     "test_pallas.py::test_fused_error_matches_separate_metric[gpu-1030-8]",
     "test_compiled.py::test_compiled_matches_interpreted[<lambda>2]",
     "test_padded3.py::test_prolong3_add_p_matches_oracle[9]",
+    # [gpu] stays: the 3-D whole-loop RDMA family's fast bit-match rep
+    "test_rdma.py::test_rdma_trigger3_bitmatches_per_pass[clean]",
 })
 
 

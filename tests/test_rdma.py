@@ -209,3 +209,102 @@ def test_compiled_engine_rdma_trigger_routes():
     u_pp, err_pp = run("ppermute")
     np.testing.assert_allclose(u_rdma, u_pp, rtol=0, atol=1e-6)
     assert err_rdma == pytest.approx(err_pp, rel=1e-4, abs=1e-10)
+
+
+# ---------------------------------------------------------------------------
+# 3-D whole-loop RDMA trigger (ops.pallas_rdma3 / parallel.pallas_shard3)
+# ---------------------------------------------------------------------------
+
+def _fields3(n, ndev=4, seed=13):
+    # 4-device ring: an 8-device interpreter run deadlocks in
+    # _allocate_buffer io_callbacks at kernel entry (the documented
+    # interpreter artifact of test_rdma_multi_strip_shards — cpu:0 blocked
+    # while every callback device_puts onto it); 4 devices still exercise
+    # the ≥3-ring all-to-all per-sender-semaphore scenario with races
+    # detected.
+    from multigrid_poisson_solver_tpu.ops import pallas3d as pk3
+    from multigrid_poisson_solver_tpu.parallel import pallas_shard3 as ps3
+
+    rng = np.random.default_rng(seed)
+    u = jnp.asarray(rng.random((n, n, n)), jnp.float32)
+    f = jnp.asarray(10 * rng.random((n, n, n)), jnp.float32)
+    mesh = ps3.make_mesh_z(jax.devices()[:ndev])
+    sh = ps3.z_sharding(mesh)
+    up = jax.device_put(ps3.pad_planes3(pk3.pad_grid3(u), ndev), sh)
+    fp = jax.device_put(ps3.pad_planes3(pk3.pad_grid3(f), ndev), sh)
+    return mesh, up, fp
+
+
+@pytest.mark.parametrize("compat", ["clean", "gpu"])
+def test_rdma_trigger3_bitmatches_per_pass(compat):
+    """The 3-D whole-loop RDMA trigger (per-shard plane block + folded
+    source resident for the entire |Δerr| > trigger loop, one-plane
+    remote-DMA halos + per-sender-semaphore scalar all-to-all per sweep)
+    BIT-matches the per-pass sharded trigger loop on the race-detecting
+    interpreter mesh — same sweep counts, same iterate, same metric."""
+    from multigrid_poisson_solver_tpu.parallel import pallas_shard3 as ps3
+
+    n, h = 65, 1.0 / 64
+    trig = 30.0
+    mesh, up, fp = _fields3(n)
+
+    got, err = ps3.rdma_fused_trigger3(up, fp, n, h, trig, 0.8, compat, 50,
+                                       mesh, interpret=True)
+
+    v, prev, k = up, None, 0
+    while True:
+        v, raw = ps3.sharded_fused_jacobi3_err(v, fp, n, h, 1, 0.8, compat,
+                                               mesh, interpret=True)
+        e = float(raw) / n ** 3
+        k += 1
+        if prev is not None and abs(e - prev) <= trig:
+            break
+        if k >= 50:
+            break
+        prev = e
+    assert k < 50
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(v))
+    assert float(err) == pytest.approx(e, rel=1e-6)
+
+
+def test_compiled3_engine_rdma_trigger_routes():
+    """SolverConfig(halo='rdma') under a ZShardingPolicy3 routes sharded
+    3-D trigger levels through the whole-loop RDMA kernel and matches the
+    ppermute per-pass engine."""
+    import unittest.mock as mock
+
+    from multigrid_poisson_solver_tpu.compiled3 import compile_program3
+    from multigrid_poisson_solver_tpu.models import poisson3d as p3
+    from multigrid_poisson_solver_tpu.parallel import pallas_shard3 as ps3
+
+    # 4-device ring (see _fields3's interpreter-deadlock note)
+    mesh = ps3.make_mesh_z(jax.devices()[:4])
+    policy = ps3.ZShardingPolicy3(mesh)
+    # 65 is the smallest level the policy shards; coarser trigger levels
+    # run the single-chip tiers
+    program = mg.v_cycle(65, n_min=5, steps=-1, coarse_option=0, coarsen=3)
+
+    def run(halo):
+        cfg = mg.SolverConfig(omega=6.0 / 7.0, kernels="pallas", halo=halo,
+                              collect_node_stats=False,
+                              max_trigger_sweeps=30)
+        with mesh:
+            cc = compile_program3(program, p3.REFERENCE_PROBLEM_3D, cfg,
+                                  policy=policy)
+            u, f = cc.init()
+            u1, err = cc(u, f)
+        return np.asarray(u1), float(err)
+
+    calls = []
+    orig = ps3.rdma_fused_trigger3
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    with mock.patch.object(ps3, "rdma_fused_trigger3", spy):
+        u_rdma, err_rdma = run("rdma")
+    assert calls, "3-D RDMA trigger kernel was not routed"
+    u_pp, err_pp = run("ppermute")
+    np.testing.assert_allclose(u_rdma, u_pp, rtol=0, atol=1e-6)
+    assert err_rdma == pytest.approx(err_pp, rel=1e-4, abs=1e-10)
