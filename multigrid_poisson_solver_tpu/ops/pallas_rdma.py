@@ -311,15 +311,17 @@ def _rdma_trigger_kernel(meta_smem, u_hbm, f_hbm, out_hbm, stat_smem,
                          sem, usend, urecv, esend, erecv, rsem,
                          *, n: int, rows: int, cp: int, h2: float,
                          omega: float, trigger: float, compat,
-                         max_sweeps: int, ndev: int, axis_name: str):
+                         max_sweeps: int, ndev: int, axis_name: str,
+                         loopback: bool = False):
     """The WHOLE error-trigger loop (MG_solver_CPU.cpp:194-240) across a
     ring of chips in ONE kernel per chip: the shard's iterate (halo-extended
     by HALO rows each side) and folded source stay VMEM-resident for the
-    entire `|err_k − err_{k−1}| > trigger` loop; each sweep exchanges ONE
-    fresh edge row with each ring neighbor via remote DMAs (a single
-    Jacobi update only ever reads the innermost halo row) and all-to-alls
-    the scalar metric partial, which doubles as the inter-sweep barrier —
-    zero kernel launches and zero XLA collectives per sweep.
+    entire `|err_k − err_{k−1}| > trigger` loop; each sweep exchanges the
+    fresh edge rows with ring neighbors via remote DMAs (8 rows — the
+    Mosaic DMA-granularity floor, see exchange_u; only the innermost is
+    read) and all-to-alls the scalar metric partial, which doubles as the
+    inter-sweep barrier — zero kernel launches and zero XLA collectives
+    per sweep.
 
     Race-freedom of the per-sweep protocol:
       * the sweep updates the FULL extended block in place, but A (and FC)
@@ -339,16 +341,30 @@ def _rdma_trigger_kernel(meta_smem, u_hbm, f_hbm, out_hbm, stat_smem,
         peer's signal can stand in for another's still-in-flight tile.
     The all-to-all waits make every device take the same stop decision on
     the same global err. Stop rule, metrics and scaling mirror the
-    per-pass engine path exactly."""
+    per-pass engine path exactly.
+
+    ``loopback`` (hardware-validation mode): pretend to sit on an
+    ndev-ring whose every neighbor is MYSELF — all remote device ids
+    become ``my`` and the all-to-all impersonates each phantom peer —
+    so ONE real chip Mosaic-compiles and EXECUTES the complete protocol
+    (barrier, READY handshake, sub-tile edge DMAs, per-sender-semaphore
+    all-to-all, parity buffers). Deterministic semantics: halos wrap my
+    own edges, the global err is ndev x my partial; the hardware result
+    must BIT-match the interpreter running the same loopback config
+    (examples/exp_rdma_loopback.py)."""
     row0 = meta_smem[0]
     col0 = meta_smem[1]
     my = jax.lax.axis_index(axis_name).astype(jnp.int32)
     erows = rows + 2 * HALO
 
-    has_up = my > 0
-    has_dn = my < ndev - 1
-    up = jnp.maximum(my - 1, 0)
-    dn = jnp.minimum(my + 1, ndev - 1)
+    if loopback:
+        has_up = has_dn = my >= 0
+        up = dn = my
+    else:
+        has_up = my > 0
+        has_dn = my < ndev - 1
+        up = jnp.maximum(my - 1, 0)
+        dn = jnp.minimum(my + 1, ndev - 1)
     dtype = u_hbm.dtype
 
     # zero BOTH halo rings BEFORE the barrier: only the innermost halo row
@@ -423,13 +439,18 @@ def _rdma_trigger_kernel(meta_smem, u_hbm, f_hbm, out_hbm, stat_smem,
                  * (2.0 if compat == "cpu" else 1.0))
 
     def exchange_u(handshake: bool):
-        """Send my fresh edge row to the neighbors' INNERMOST halo row and
-        wait for theirs. One row, not HALO: each sweep performs a single
-        Jacobi update, so only the innermost halo row is ever read (A and
-        FC are zero on all halo rows and the metric masks to owned) — the
-        multi-sweep smoother kernel's 8-row exchange would be 8× the wire
-        traffic for no semantic difference. With ``handshake``, block each
-        send on the receiver's READY signal (see the docstring)."""
+        """Send my HALO edge rows to the neighbors' halo rings and wait
+        for theirs. Only the INNERMOST halo row is ever read (one Jacobi
+        update per sweep; A and FC are zero on all halo rows and the
+        metric masks to owned), but HALO=8 rows is the MINIMUM
+        Mosaic-expressible transfer: VMEM DMA slices must be 8-row
+        aligned in offset AND size for (8,128)-tiled f32 refs — a (1, cp)
+        edge-row copy is rejected at lowering ("Slice shape along
+        dimension 0 must be aligned to tiling (8), but is 1"; probed on
+        hardware via the loopback mode, exp_rdma_loopback.py). The 3-D
+        twin ships single planes only because its leading z dim is
+        untiled. With ``handshake``, block each send on the receiver's
+        READY signal (see the docstring)."""
         if handshake:
             @pl.when(has_up)
             def _():
@@ -451,11 +472,10 @@ def _rdma_trigger_kernel(meta_smem, u_hbm, f_hbm, out_hbm, stat_smem,
             def _():
                 pltpu.semaphore_wait(rsem.at[1], 1)
 
-        su = remote(U.at[pl.ds(HALO, 1)],
-                    U.at[pl.ds(erows - HALO, 1)],
+        su = remote(U.at[pl.ds(HALO, HALO)],
+                    U.at[pl.ds(erows - HALO, HALO)],
                     usend.at[0], urecv.at[0], up)
-        sd = remote(U.at[pl.ds(rows + HALO - 1, 1)],
-                    U.at[pl.ds(HALO - 1, 1)],
+        sd = remote(U.at[pl.ds(rows, HALO)], U.at[pl.ds(0, HALO)],
                     usend.at[1], urecv.at[1], dn)
 
         @pl.when(has_up)
@@ -469,14 +489,13 @@ def _rdma_trigger_kernel(meta_smem, u_hbm, f_hbm, out_hbm, stat_smem,
         @pl.when(has_up)
         def _():
             # my top halo arrives from the UP neighbor's sd channel
-            remote(U.at[pl.ds(rows + HALO - 1, 1)],
-                   U.at[pl.ds(HALO - 1, 1)],
+            remote(U.at[pl.ds(rows, HALO)], U.at[pl.ds(0, HALO)],
                    usend.at[1], urecv.at[1], dn).wait_recv()
 
         @pl.when(has_dn)
         def _():
-            remote(U.at[pl.ds(HALO, 1)],
-                   U.at[pl.ds(erows - HALO, 1)],
+            remote(U.at[pl.ds(HALO, HALO)],
+                   U.at[pl.ds(erows - HALO, HALO)],
                    usend.at[0], urecv.at[0], up).wait_recv()
 
         @pl.when(has_up)
@@ -524,8 +543,12 @@ def _rdma_trigger_kernel(meta_smem, u_hbm, f_hbm, out_hbm, stat_smem,
                 errbuf[slot, _i32(s)] = errtile[:]
                 for d in range(ndev):
                     if d != s:
-                        remote(errtile.at[:], errbuf.at[slot, _i32(s)],
-                               esend.at[0], erecv.at[s], _i32(d)).start()
+                        # loopback: impersonate phantom sender d writing to
+                        # myself so receiver-side per-sender counts match
+                        si = d if loopback else s
+                        remote(errtile.at[:], errbuf.at[slot, _i32(si)],
+                               esend.at[0], erecv.at[si],
+                               my if loopback else _i32(d)).start()
         for s in range(ndev):
             @pl.when(my != _i32(s))
             def _(s=s):
@@ -590,7 +613,8 @@ def rdma_trigger_fits(rows: int, cp: int, itemsize: int = 4) -> bool:
 def _rdma_trigger_shard_call(meta, u, f, n: int, h: float, trigger: float,
                              omega: float, compat, max_sweeps: int,
                              ndev: int, interpret,
-                             axis_name: str = "rows"):
+                             axis_name: str = "rows",
+                             loopback: bool = False):
     """The whole trigger loop on a LOCAL (rows, cp) shard block (see
     _rdma_trigger_kernel); returns (u_new, err)."""
     rows, cp = u.shape
@@ -603,7 +627,8 @@ def _rdma_trigger_shard_call(meta, u, f, n: int, h: float, trigger: float,
             else "cpu" if (compat is True or compat == "cpu") else "clean")
     kernel = partial(_rdma_trigger_kernel, n=n, rows=rows, cp=cp, h2=h * h,
                      omega=omega, trigger=trigger, compat=mode,
-                     max_sweeps=max_sweeps, ndev=ndev, axis_name=axis_name)
+                     max_sweeps=max_sweeps, ndev=ndev, axis_name=axis_name,
+                     loopback=loopback)
 
     if interpret is True:
         interpret = pltpu.InterpretParams(detect_races=True)

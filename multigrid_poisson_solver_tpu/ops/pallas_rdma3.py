@@ -31,11 +31,15 @@ is ~2 volumes/shard ((nl+2) + nl planes), admitting ~50 planes/shard of the
 385³ class on 8 chips (``rdma_trigger3_fits``).
 
 Validation (the round-3/4 RDMA acceptance bar, tests/test_rdma.py):
-BIT-match vs the per-pass sharded loop on the race-detecting 8-device
-interpreter mesh for both 3-D metrics, and engine routing via
-SolverConfig(halo="rdma") under a ZShardingPolicy3 (compiled3.trigger_p).
-No real-ring Mosaic execution has happened (multi-chip hardware
-unavailable); wall-clock gains need a real ring."""
+BIT-match vs the per-pass sharded loop on the race-detecting 4-device
+interpreter mesh for both 3-D metrics (8-device interpreter runs hit the
+documented _allocate_buffer io_callback deadlock — an interpreter
+artifact), engine routing via SolverConfig(halo="rdma") under a
+ZShardingPolicy3 (compiled3.trigger_p), and the COMPLETE protocol
+Mosaic-compiled + executed on real hardware in loopback mode
+(examples/exp_rdma_loopback.py: interpreter agreement to 1.2e-7, re-runs
+bit-identical). No real multi-chip ring exists here; wall-clock gains
+need one."""
 
 from __future__ import annotations
 
@@ -63,17 +67,26 @@ def _rdma_trigger3_kernel(u_hbm, f_hbm, out_hbm, stat_smem,
                           sem, usend, urecv, esend, erecv, rsem,
                           *, n: int, nl: int, rp: int, cp: int, h2: float,
                           omega: float, trigger: float, compat,
-                          max_sweeps: int, ndev: int, axis_name: str):
+                          max_sweeps: int, ndev: int, axis_name: str,
+                          loopback: bool = False):
     """See the module docstring. U holds (nl + 2, rp, cp): plane 0 = top
     halo (global z0 − 1), planes 1..nl owned (z0 = my·nl), plane nl + 1 =
-    bottom halo. FC[t−1] is the owned plane t's folded source."""
+    bottom halo. FC[t−1] is the owned plane t's folded source.
+
+    ``loopback``: the 2-D kernel's hardware-validation mode one dimension
+    up — every neighbor is MYSELF, so one real chip executes the complete
+    protocol; bit-compare against the interpreter on the same config."""
     my = jax.lax.axis_index(axis_name).astype(jnp.int32)
     z0 = my * nl
 
-    has_up = my > 0
-    has_dn = my < ndev - 1
-    up = jnp.maximum(my - 1, 0)
-    dn = jnp.minimum(my + 1, ndev - 1)
+    if loopback:
+        has_up = has_dn = my >= 0
+        up = dn = my
+    else:
+        has_up = my > 0
+        has_dn = my < ndev - 1
+        up = jnp.maximum(my - 1, 0)
+        dn = jnp.minimum(my + 1, ndev - 1)
     dtype = u_hbm.dtype
 
     # --- neighbor barrier: nobody writes into a neighbor's halo planes
@@ -233,8 +246,12 @@ def _rdma_trigger3_kernel(u_hbm, f_hbm, out_hbm, stat_smem,
                 errbuf[slot, _i32(s)] = errtile[:]
                 for d in range(ndev):
                     if d != s:
-                        remote(errtile.at[:], errbuf.at[slot, _i32(s)],
-                               esend.at[0], erecv.at[s], _i32(d)).start()
+                        # loopback: impersonate phantom sender d writing to
+                        # myself so receiver-side per-sender counts match
+                        si = d if loopback else s
+                        remote(errtile.at[:], errbuf.at[slot, _i32(si)],
+                               esend.at[0], erecv.at[si],
+                               my if loopback else _i32(d)).start()
         for s in range(ndev):
             @pl.when(my != _i32(s))
             def _(s=s):
@@ -309,7 +326,7 @@ def _rdma_trigger3_kernel(u_hbm, f_hbm, out_hbm, stat_smem,
 def _rdma_trigger3_shard_call(u, f, n: int, h: float, trigger: float,
                               omega: float, compat, max_sweeps: int,
                               ndev: int, interpret,
-                              axis_name: str = "z"):
+                              axis_name: str = "z", loopback: bool = False):
     """The whole 3-D trigger loop on a LOCAL (nl, rp, cp) z-plane shard
     block (see _rdma_trigger3_kernel); returns (u_new, err)."""
     nl, rp, cp = u.shape
@@ -317,7 +334,8 @@ def _rdma_trigger3_shard_call(u, f, n: int, h: float, trigger: float,
     mode = "gpu" if compat == "gpu" else "clean"
     kernel = partial(_rdma_trigger3_kernel, n=n, nl=nl, rp=rp, cp=cp,
                      h2=h * h, omega=omega, trigger=trigger, compat=mode,
-                     max_sweeps=max_sweeps, ndev=ndev, axis_name=axis_name)
+                     max_sweeps=max_sweeps, ndev=ndev, axis_name=axis_name,
+                     loopback=loopback)
 
     if interpret is True:
         interpret = pltpu.InterpretParams(detect_races=True)
