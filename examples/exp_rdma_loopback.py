@@ -53,7 +53,7 @@ def _run(interpret: bool):
     from jax.sharding import Mesh, PartitionSpec as P
 
     from multigrid_poisson_solver_tpu.ops.pallas_rdma import (
-        _rdma_trigger_shard_call)
+        HALO, _rdma_jacobi_shard_call, _rdma_trigger_shard_call)
     from multigrid_poisson_solver_tpu.ops.pallas_rdma3 import (
         _rdma_trigger3_shard_call)
 
@@ -73,6 +73,20 @@ def _run(interpret: bool):
                                out_specs=(P(), P()),
                                check_vma=False)(u2, f2)
 
+    # the halo-overlap SMOOTHER kernel (fixed 8-sweep pass): its virtual
+    # extended block starts at row0 = my*rows - HALO
+    meta_s = jnp.asarray([8 - HALO, 0], jnp.int32)
+
+    def body2s(u_loc, f_loc):
+        return _rdma_jacobi_shard_call(
+            meta_s, u_loc, f_loc, n2, 1.0 / (n2 - 1), 8, 0.8,
+            from_zero=False, ndev=NDEV, interpret=interpret,
+            axis_name="rows", loopback=True)
+
+    with mesh2:
+        out2s = shard_map(body2s, mesh=mesh2, in_specs=(P(), P()),
+                          out_specs=P(), check_vma=False)(u2, f2)
+
     mesh3 = Mesh(np.asarray(jax.devices()[:1]), ("z",))
 
     def body3(u_loc, f_loc):
@@ -85,7 +99,8 @@ def _run(interpret: bool):
                                out_specs=(P(), P()),
                                check_vma=False)(u3, f3)
 
-    return (np.asarray(out2), float(err2), np.asarray(out3), float(err3))
+    return (np.asarray(out2), float(err2), np.asarray(out3), float(err3),
+            np.asarray(out2s))
 
 
 def main():
@@ -93,32 +108,36 @@ def main():
     import jax
     if phase == "cpu":
         jax.config.update("jax_platforms", "cpu")
-    out2, err2, out3, err3 = _run(interpret=(phase == "cpu"))
+    out2, err2, out3, err3, out2s = _run(interpret=(phase == "cpu"))
     import numpy as np
     if phase == "cpu":
-        np.savez(REF, out2=out2, err2=err2, out3=out3, err3=err3)
+        np.savez(REF, out2=out2, err2=err2, out3=out3, err3=err3,
+                 out2s=out2s)
         print(f"[cpu] interpreter loopback reference saved: "
               f"err2={err2:.7e} err3={err3:.7e}")
         return
     ref = np.load(REF)
     d2 = np.abs(out2 - ref["out2"]).max()
     d3 = np.abs(out3 - ref["out3"]).max()
+    d2s = np.abs(out2s - ref["out2s"]).max()
     print(f"[tpu] 2-D loopback: maxdiff {d2:.3e}  err {err2:.7e} "
           f"vs {float(ref['err2']):.7e}")
     print(f"[tpu] 3-D loopback: maxdiff {d3:.3e}  err {err3:.7e} "
           f"vs {float(ref['err3']):.7e}")
+    print(f"[tpu] smoother loopback: maxdiff {d2s:.3e}")
     # cross-PLATFORM comparison: XLA:CPU (interpreter) makes graph-
     # dependent FMA-contraction choices, so hardware agrees to ~1 ulp/op,
     # not bitwise (the repo's documented law: pin bit-identity on TPU,
     # tolerances on CPU). Measured 1.2e-7 on O(1) data.
-    tol_ok = (d2 <= 1e-5 and d3 <= 1e-5
+    tol_ok = (d2 <= 1e-5 and d3 <= 1e-5 and d2s <= 1e-5
               and abs(err2 - float(ref["err2"])) <= 1e-4 * abs(err2)
               and abs(err3 - float(ref["err3"])) <= 1e-4 * abs(err3))
     # hardware-internal determinism: the full protocol re-run must be
     # BIT-identical (a halo/all-to-all race would show as run-to-run
     # nondeterminism here)
-    out2b, err2b, out3b, err3b = _run(interpret=False)
+    out2b, err2b, out3b, err3b, out2sb = _run(interpret=False)
     det_ok = (np.array_equal(out2, out2b) and np.array_equal(out3, out3b)
+              and np.array_equal(out2s, out2sb)
               and err2 == err2b and err3 == err3b)
     print(f"[tpu] re-run determinism: "
           f"{'BIT-IDENTICAL' if det_ok else 'NONDETERMINISTIC'}")

@@ -73,9 +73,15 @@ def _rdma_jacobi_kernel(meta_smem, u_hbm, f_hbm, out_hbm,
                         *, n: int, rows: int, cp: int, steps: int,
                         num_strips: int, strip: int, owned: int,
                         h2: float, omega: float, from_zero: bool,
-                        ndev: int, axis_name: str):
+                        ndev: int, axis_name: str,
+                        loopback: bool = False):
     """One fused ≤8-sweep damped-Jacobi pass on a LOCAL (rows, cp) block,
     exchanging 8-row u/f halos with ring neighbors in-kernel.
+
+    ``loopback``: the trigger kernels' hardware-validation mode — every
+    ring neighbor is MYSELF, so one real chip EXECUTES the barrier, the
+    halo sends and the recv-gated strip schedule (the plain ndev=1 ring
+    lowers but never runs them); halos wrap my own edge rows.
 
     meta_smem = (row0, col0) int32: global grid coordinates of the VIRTUAL
     extended block's [0, 0] (row0 = my·rows − HALO). The mesh position comes
@@ -91,10 +97,14 @@ def _rdma_jacobi_kernel(meta_smem, u_hbm, f_hbm, out_hbm,
     my = jax.lax.axis_index(axis_name).astype(jnp.int32)
     erows = rows + 2 * HALO
 
-    has_up = my > 0
-    has_dn = my < ndev - 1
-    up = jnp.maximum(my - 1, 0)
-    dn = jnp.minimum(my + 1, ndev - 1)
+    if loopback:
+        has_up = has_dn = my >= 0
+        up = dn = my
+    else:
+        has_up = my > 0
+        has_dn = my < ndev - 1
+        up = jnp.maximum(my - 1, 0)
+        dn = jnp.minimum(my + 1, ndev - 1)
 
     # --- neighbor barrier: don't write into a buffer whose owner hasn't
     # --- entered this kernel instance yet -------------------------------
@@ -666,7 +676,8 @@ def _rdma_trigger_shard_call(meta, u, f, n: int, h: float, trigger: float,
 
 def _rdma_jacobi_shard_call(meta, u, f, n: int, h: float, steps: int,
                             omega: float, from_zero: bool, ndev: int,
-                            interpret, axis_name: str = "rows"):
+                            interpret, axis_name: str = "rows",
+                            loopback: bool = False):
     """One fused ≤8-sweep RDMA pass on a LOCAL (rows, cp) shard block."""
     rows, cp = u.shape
     itemsize = jnp.dtype(u.dtype).itemsize
@@ -681,7 +692,7 @@ def _rdma_jacobi_shard_call(meta, u, f, n: int, h: float, steps: int,
     kernel = partial(_rdma_jacobi_kernel, n=n, rows=rows, cp=cp, steps=steps,
                      num_strips=num_strips, strip=strip, owned=owned,
                      h2=h * h, omega=omega, from_zero=from_zero, ndev=ndev,
-                     axis_name=axis_name)
+                     axis_name=axis_name, loopback=loopback)
 
     if interpret is True:
         # the legacy boolean interpreter has no inter-device simulation;
