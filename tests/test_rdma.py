@@ -5,8 +5,12 @@ validation claims true. These tests run the kernel on the virtual 8-device
 CPU mesh under the FULL TPU interpreter (``pltpu.InterpretParams`` with
 ``detect_races=True`` — remote DMAs and semaphores simulated, data races
 detected) and assert BIT-equality against both the ppermute shard path and
-the unsharded fused kernel. Hardware Mosaic lowering is compile-checked
-separately (examples/exp_rdma_tpu.py; a 1-device mesh run on the real chip).
+the unsharded fused kernel. Hardware validation is separate: the plain
+1-device ring (examples/exp_rdma_tpu.py) plus LOOPBACK mode
+(examples/exp_rdma_loopback.py — every ring/all-to-all peer mapped to the
+one real chip, so the complete remote-DMA/semaphore protocol executes on
+hardware; matches the interpreter to the cross-platform FMA tolerance and
+re-runs bit-identically).
 """
 
 import jax
@@ -308,3 +312,53 @@ def test_compiled3_engine_rdma_trigger_routes():
     u_pp, err_pp = run("ppermute")
     np.testing.assert_allclose(u_rdma, u_pp, rtol=0, atol=1e-6)
     assert err_rdma == pytest.approx(err_pp, rel=1e-4, abs=1e-10)
+
+
+def test_loopback_mode_runs_and_is_deterministic():
+    """The kernels' loopback mode (every ring/all-to-all peer = MYSELF —
+    the one-chip hardware-validation configuration of
+    examples/exp_rdma_loopback.py) keeps working under the interpreter:
+    emits the full protocol with a phantom ndev=4 ring on a single device,
+    produces finite results, and repeats bit-identically."""
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax import shard_map
+    from multigrid_poisson_solver_tpu.ops.pallas_rdma import (
+        _rdma_trigger_shard_call)
+    from multigrid_poisson_solver_tpu.ops.pallas_rdma3 import (
+        _rdma_trigger3_shard_call)
+
+    rng = np.random.default_rng(5)
+    rows, cp, n2 = 32, 256, 48
+    meta = jnp.asarray([8, 0], jnp.int32)
+    u2 = jnp.asarray(rng.random((rows, cp)), jnp.float32)
+    f2 = jnp.asarray(rng.random((rows, cp)), jnp.float32)
+    mesh2 = Mesh(np.asarray(jax.devices()[:1]), ("rows",))
+
+    def body2(u_loc, f_loc):
+        return _rdma_trigger_shard_call(
+            meta, u_loc, f_loc, n2, 1.0 / (n2 - 1), 10.0, 0.8, "clean", 6,
+            ndev=4, interpret=True, axis_name="rows", loopback=True)
+
+    with mesh2:
+        run2 = shard_map(body2, mesh=mesh2, in_specs=(P(), P()),
+                         out_specs=(P(), P()), check_vma=False)
+        o2a, e2a = run2(u2, f2)
+        o2b, e2b = run2(u2, f2)
+    assert np.isfinite(np.asarray(o2a)).all() and np.isfinite(float(e2a))
+    np.testing.assert_array_equal(np.asarray(o2a), np.asarray(o2b))
+    assert float(e2a) == float(e2b)
+
+    nl, rp3, cp3, n3 = 8, 48, 128, 16
+    u3 = jnp.asarray(rng.random((nl, rp3, cp3)), jnp.float32)
+    f3 = jnp.asarray(rng.random((nl, rp3, cp3)), jnp.float32)
+    mesh3 = Mesh(np.asarray(jax.devices()[:1]), ("z",))
+
+    def body3(u_loc, f_loc):
+        return _rdma_trigger3_shard_call(
+            u_loc, f_loc, n3, 1.0 / (n3 - 1), 10.0, 0.8, "clean", 6,
+            ndev=4, interpret=True, axis_name="z", loopback=True)
+
+    with mesh3:
+        o3a, e3a = shard_map(body3, mesh=mesh3, in_specs=(P(), P()),
+                             out_specs=(P(), P()), check_vma=False)(u3, f3)
+    assert np.isfinite(np.asarray(o3a)).all() and np.isfinite(float(e3a))
