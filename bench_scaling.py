@@ -192,6 +192,21 @@ def main():
                   f"{r['efficiency_rdma_bound']:.1%} (RDMA overlap bound)",
                   file=sys.stderr)
 
+    # whole-loop RDMA trigger prediction (round 4): per-sweep cost of the
+    # per-pass sharded trigger vs the one-kernel-per-chip loop — a
+    # latency/dispatch-deletion gain, decisive on cheap per-shard sweeps
+    model_trigger = []
+    if dim == 2:
+        model_trigger = [smod.trigger_loop_model(nn, 8)
+                         for nn in (1025, 4097, 8193)]
+        for r in model_trigger:
+            print(f"[scaling/model-trigger] N={r['n']} x8 chips: "
+                  f"{r['t_sweep_per_pass_us']:.1f} us/sweep per-pass vs "
+                  f"{r['t_sweep_rdma_us']:.1f} RDMA "
+                  f"({r['t_sweep_rdma_overlap_us']:.1f} overlapped) -> "
+                  f"predicted {r['predicted_gain']:.2f}x "
+                  f"({r['predicted_gain_overlap']:.2f}x)", file=sys.stderr)
+
     tuned_json = []
     if dim == 2 and t1 is not None:
         tuned_json = [{"hosts": h, **res["best"]}
@@ -200,6 +215,7 @@ def main():
                       "backend": jax.default_backend(),
                       "results": results, "model": model_rows,
                       "model_multihost": model_multihost,
+                      "model_trigger_loop": model_trigger,
                       "model_dcn_threshold": tuned_json}))
 
 

@@ -439,3 +439,44 @@ def multihost_scaling_table(n: int = 16385, t1_s: float = 46.9e-3,
                    schedule=schedule, mode=mode)
         rows.append(row)
     return rows
+
+
+def trigger_loop_model(n: int, ndev: int, chip: str = "v5e",
+                       t1_sweep_s: float | None = None,
+                       dispatch_s: float = 2e-6) -> dict:
+    """Predicted PER-SWEEP cost of a sharded ``|Δerr| > trigger`` loop:
+    the per-pass engine vs the whole-loop RDMA kernel
+    (parallel.pallas_shard.rdma_fused_trigger / pallas_shard3 twin).
+
+    Per sweep, the per-pass path pays one kernel dispatch, a HALO-row
+    ppermute exchange (wire + latency, serialized in front of the kernel)
+    and a scalar psum barrier; the RDMA loop pays only the in-kernel edge
+    DMA round trip and the all-to-all's handshake latencies (wire ~4 KB
+    tiles, negligible) — zero dispatch, zero XLA collectives. The gain is
+    therefore a LATENCY/DISPATCH deletion, ~(dispatch + 2·ICI latency)
+    per sweep: decisive where per-shard sweeps are cheap (coarse levels,
+    many-sweep reference triggers), marginal when the sweep itself is
+    HBM-bound milliseconds — the same structure the single-chip in-VMEM
+    trigger A/Bs measured (BASELINE "In-VMEM trigger loop").
+
+    ``dispatch_s`` is an ESTIMATE (~2 µs XLA launch; the single-chip A/Bs
+    bound it below the HBM terms) — pass a measured value when one
+    exists. ``t1_sweep_s`` defaults to the HBM roofline of one fused
+    k=1 sweep on the shard (3 array transits)."""
+    rp, cp = padded_shape(n)
+    rows = max(rp // ndev, 1)
+    if t1_sweep_s is None:
+        t1_sweep_s = 3 * rows * cp * DTYPE_BYTES / HBM_BW[chip]
+    halo_bytes = 2 * HALO * cp * DTYPE_BYTES          # 8 rows each way
+    bw = ICI_BW[chip]
+    # per-pass: exchange (2 directed ppermutes, serialized) + psum + launch
+    t_pp = (t1_sweep_s + dispatch_s + halo_bytes / bw + 3 * ICI_LATENCY_S)
+    # whole-loop RDMA: handshake + edge DMA round trip + all-to-all barrier
+    t_rdma = t1_sweep_s + halo_bytes / bw + 3 * ICI_LATENCY_S
+    t_rdma_overlap = t1_sweep_s + 3 * ICI_LATENCY_S   # wire under compute
+    return {"n": n, "ndev": ndev, "rows_per_device": rows,
+            "t_sweep_per_pass_us": t_pp * 1e6,
+            "t_sweep_rdma_us": t_rdma * 1e6,
+            "t_sweep_rdma_overlap_us": t_rdma_overlap * 1e6,
+            "predicted_gain": t_pp / t_rdma,
+            "predicted_gain_overlap": t_pp / t_rdma_overlap}
