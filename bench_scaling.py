@@ -197,7 +197,11 @@ def main():
     # latency/dispatch-deletion gain, decisive on cheap per-shard sweeps
     model_trigger = []
     if dim == 2:
-        model_trigger = [smod.trigger_loop_model(nn, 8)
+        from multigrid_poisson_solver_tpu.utils import scaling_model as smod
+
+        chip = "v5p" if "v5p" in getattr(
+            all_devices[0], "device_kind", "") else "v5e"
+        model_trigger = [smod.trigger_loop_model(nn, 8, chip=chip)
                          for nn in (1025, 4097, 8193)]
         for r in model_trigger:
             print(f"[scaling/model-trigger] N={r['n']} x8 chips: "

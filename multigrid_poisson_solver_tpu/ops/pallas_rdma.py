@@ -67,6 +67,73 @@ from .pallas_kernels import (
 MAX_RDMA_STRIPS = 32
 
 
+def _remote_copy(src, dst, ss, rs, dev):
+    """A ring remote-DMA descriptor (MESH device ids)."""
+    return pltpu.make_async_remote_copy(
+        src_ref=src, dst_ref=dst, send_sem=ss, recv_sem=rs,
+        device_id=(dev,), device_id_type=pltpu.DeviceIdType.MESH)
+
+
+def _ring_neighbors(my, ndev: int, loopback: bool):
+    """(has_up, has_dn, up, dn) on the linear ring — or the loopback
+    pseudo-ring where every neighbor is MYSELF (the one-chip
+    hardware-validation mode, examples/exp_rdma_loopback.py)."""
+    if loopback:
+        t = my >= 0
+        return t, t, my, my
+    return (my > 0, my < ndev - 1,
+            jnp.maximum(my - 1, 0), jnp.minimum(my + 1, ndev - 1))
+
+
+def _allreduce_scalar(part, slot, errbuf, errtile, esend, erecv, my,
+                      ndev: int, loopback: bool):
+    """All-to-all a scalar partial (one nonzero element in an (8, 128)
+    tile, parity ``slot`` per sweep) and return the exact global sum —
+    the whole-loop trigger kernels' inter-sweep barrier (2-D and 3-D
+    share this one implementation).
+
+    The recv semaphores are PER SENDER (``erecv[s]``): each device waits
+    for ONE arrival from EVERY peer. With a single shared semaphore the
+    ndev−1 counts are fungible across senders, and on a ≥3-chip ring a
+    fast peer's next-sweep signal can stand in for a slow peer's
+    still-in-flight tile (a peer's multicast arrives at different times
+    at different receivers), letting the wait pass with one slot stale or
+    uninitialized. Per-sender counting plus per-channel DMA ordering
+    makes the k-th arrival from a sender exactly its sweep-k tile; the
+    parity slot keeps a one-ahead sender's write out of the slot being
+    read. In ``loopback`` the sender impersonates each phantom peer d
+    (writing errbuf[slot, d] / signaling erecv[d] on ITSELF) so the
+    receiver-side counts match."""
+    if ndev == 1:
+        return part
+    zi = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    zj = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    errtile[:] = jnp.where((zi == 0) & (zj == 0), part, jnp.float32(0.0))
+    for s in range(ndev):
+        @pl.when(my == _i32(s))
+        def _(s=s):
+            errbuf[slot, _i32(s)] = errtile[:]
+            for d in range(ndev):
+                if d != s:
+                    si = d if loopback else s
+                    _remote_copy(errtile.at[:], errbuf.at[slot, _i32(si)],
+                                 esend.at[0], erecv.at[si],
+                                 my if loopback else _i32(d)).start()
+    for s in range(ndev):
+        @pl.when(my != _i32(s))
+        def _(s=s):
+            _remote_copy(errtile.at[:], errbuf.at[slot, _i32(s)],
+                         esend.at[0], erecv.at[s], _i32(0)).wait_recv()
+    for _d in range(ndev - 1):
+        _remote_copy(errtile.at[:], errbuf.at[slot, _i32(0)], esend.at[0],
+                     erecv.at[0], _i32(0)).wait_send()
+    tot = jnp.float32(0.0)
+    for d in range(ndev):
+        # exactly one nonzero per tile → the sum is the posted scalar
+        tot = tot + jnp.sum(errbuf[slot, _i32(d)])
+    return tot
+
+
 def _rdma_jacobi_kernel(meta_smem, u_hbm, f_hbm, out_hbm,
                         hu, hf, u_slots, fc_slots, work, a_buf,
                         load_sems, out_sems, usend, urecv, fsend, frecv,
@@ -97,14 +164,7 @@ def _rdma_jacobi_kernel(meta_smem, u_hbm, f_hbm, out_hbm,
     my = jax.lax.axis_index(axis_name).astype(jnp.int32)
     erows = rows + 2 * HALO
 
-    if loopback:
-        has_up = has_dn = my >= 0
-        up = dn = my
-    else:
-        has_up = my > 0
-        has_dn = my < ndev - 1
-        up = jnp.maximum(my - 1, 0)
-        dn = jnp.minimum(my + 1, ndev - 1)
+    has_up, has_dn, up, dn = _ring_neighbors(my, ndev, loopback)
 
     # --- neighbor barrier: don't write into a buffer whose owner hasn't
     # --- entered this kernel instance yet -------------------------------
@@ -129,10 +189,7 @@ def _rdma_jacobi_kernel(meta_smem, u_hbm, f_hbm, out_hbm,
     # (its hu[1]); my rows [rows−H, rows) are the DOWN neighbor's TOP halo
     # (its hu[0]). Each channel owns a send/recv semaphore pair, so the
     # matching wait_recv on the receiving side counts the right bytes.
-    def remote(src, dst, ss, rs, dev):
-        return pltpu.make_async_remote_copy(
-            src_ref=src, dst_ref=dst, send_sem=ss, recv_sem=rs,
-            device_id=(dev,), device_id_type=pltpu.DeviceIdType.MESH)
+    remote = _remote_copy
 
     su = remote(u_hbm.at[pl.ds(0, HALO)], hu.at[1], usend.at[0],
                 urecv.at[0], up)
@@ -367,14 +424,7 @@ def _rdma_trigger_kernel(meta_smem, u_hbm, f_hbm, out_hbm, stat_smem,
     my = jax.lax.axis_index(axis_name).astype(jnp.int32)
     erows = rows + 2 * HALO
 
-    if loopback:
-        has_up = has_dn = my >= 0
-        up = dn = my
-    else:
-        has_up = my > 0
-        has_dn = my < ndev - 1
-        up = jnp.maximum(my - 1, 0)
-        dn = jnp.minimum(my + 1, ndev - 1)
+    has_up, has_dn, up, dn = _ring_neighbors(my, ndev, loopback)
     dtype = u_hbm.dtype
 
     # zero BOTH halo rings BEFORE the barrier: only the innermost halo row
@@ -402,10 +452,7 @@ def _rdma_trigger_kernel(meta_smem, u_hbm, f_hbm, out_hbm, stat_smem,
         cnt = has_up.astype(jnp.int32) + has_dn.astype(jnp.int32)
         pltpu.semaphore_wait(bsem, cnt)
 
-    def remote(src, dst, ss, rs, dev):
-        return pltpu.make_async_remote_copy(
-            src_ref=src, dst_ref=dst, send_sem=ss, recv_sem=rs,
-            device_id=(dev,), device_id_type=pltpu.DeviceIdType.MESH)
+    remote = _remote_copy
 
     # park the shard into the extended buffers. A is local-only, so its
     # halo staging rows are zeroed unconditionally (0·h²·0 keeps FC's
@@ -528,50 +575,10 @@ def _rdma_trigger_kernel(meta_smem, u_hbm, f_hbm, out_hbm, stat_smem,
         return jnp.sum(s * v)
 
     def allreduce(part, slot):
-        """All-to-all the scalar partial (one nonzero element in an (8,128)
-        tile, parity slot per sweep) and return the exact global sum.
-
-        The recv semaphores are PER SENDER (``erecv[s]``): each device
-        waits for ONE arrival from EVERY peer. With a single shared
-        semaphore the ndev−1 counts are fungible across senders, and on a
-        ≥3-chip ring a fast peer's next-sweep signal can stand in for a
-        slow peer's still-in-flight tile (a peer's multicast arrives at
-        different times at different receivers), letting the wait pass
-        with one slot stale or uninitialized. Per-sender counting plus
-        per-channel DMA ordering makes the k-th arrival from a sender
-        exactly its sweep-k tile; the parity slot keeps a one-ahead
-        sender's write out of the slot being read."""
-        if ndev == 1:
-            return part
-        zi = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-        zj = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-        errtile[:] = jnp.where((zi == 0) & (zj == 0), part,
-                               jnp.float32(0.0))
-        for s in range(ndev):
-            @pl.when(my == _i32(s))
-            def _(s=s):
-                errbuf[slot, _i32(s)] = errtile[:]
-                for d in range(ndev):
-                    if d != s:
-                        # loopback: impersonate phantom sender d writing to
-                        # myself so receiver-side per-sender counts match
-                        si = d if loopback else s
-                        remote(errtile.at[:], errbuf.at[slot, _i32(si)],
-                               esend.at[0], erecv.at[si],
-                               my if loopback else _i32(d)).start()
-        for s in range(ndev):
-            @pl.when(my != _i32(s))
-            def _(s=s):
-                remote(errtile.at[:], errbuf.at[slot, _i32(s)],
-                       esend.at[0], erecv.at[s], _i32(0)).wait_recv()
-        for _d in range(ndev - 1):
-            remote(errtile.at[:], errbuf.at[slot, _i32(0)], esend.at[0],
-                   erecv.at[0], _i32(0)).wait_send()
-        tot = jnp.float32(0.0)
-        for d in range(ndev):
-            # exactly one nonzero per tile → the sum is the posted scalar
-            tot = tot + jnp.sum(errbuf[slot, _i32(d)])
-        return tot
+        """Per-sender-semaphore scalar all-to-all — see _allreduce_scalar
+        (shared with the 3-D kernel)."""
+        return _allreduce_scalar(part, slot, errbuf, errtile, esend,
+                                 erecv, my, ndev, loopback)
 
     def step(k):
         u_old = U[:]

@@ -51,6 +51,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_kernels import _i32
+from .pallas_rdma import _allreduce_scalar, _remote_copy, _ring_neighbors
 from .pallas3d import _nb_sum
 
 
@@ -79,14 +80,7 @@ def _rdma_trigger3_kernel(u_hbm, f_hbm, out_hbm, stat_smem,
     my = jax.lax.axis_index(axis_name).astype(jnp.int32)
     z0 = my * nl
 
-    if loopback:
-        has_up = has_dn = my >= 0
-        up = dn = my
-    else:
-        has_up = my > 0
-        has_dn = my < ndev - 1
-        up = jnp.maximum(my - 1, 0)
-        dn = jnp.minimum(my + 1, ndev - 1)
+    has_up, has_dn, up, dn = _ring_neighbors(my, ndev, loopback)
     dtype = u_hbm.dtype
 
     # --- neighbor barrier: nobody writes into a neighbor's halo planes
@@ -107,10 +101,7 @@ def _rdma_trigger3_kernel(u_hbm, f_hbm, out_hbm, stat_smem,
         cnt = has_up.astype(jnp.int32) + has_dn.astype(jnp.int32)
         pltpu.semaphore_wait(bsem, cnt)
 
-    def remote(src, dst, ss, rs, dev):
-        return pltpu.make_async_remote_copy(
-            src_ref=src, dst_ref=dst, send_sem=ss, recv_sem=rs,
-            device_id=(dev,), device_id_type=pltpu.DeviceIdType.MESH)
+    remote = _remote_copy
 
     # park the shard: owned planes into U[1..nl]; halo planes are zeroed
     # ONLY on neighborless sides (zero keeps 0·NaN out of the frozen
@@ -227,44 +218,11 @@ def _rdma_trigger3_kernel(u_hbm, f_hbm, out_hbm, stat_smem,
         exchange_u(handshake=False)     # initial: nobody reads halos yet
 
     def allreduce(part, slot):
-        """All-to-all the scalar partial (one nonzero element in an
-        (8, 128) tile, parity slot per sweep) and return the exact global
-        sum — doubles as the inter-sweep barrier. Recv semaphores are PER
-        SENDER (``erecv[s]``, the 2-D kernel's fix): with one shared
-        semaphore the ndev−1 counts are fungible across senders and a
-        fast peer's next-sweep signal could stand in for a slow peer's
-        still-in-flight tile on a ≥3-chip ring."""
-        if ndev == 1:
-            return part
-        zi = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-        zj = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-        errtile[:] = jnp.where((zi == 0) & (zj == 0), part,
-                               jnp.float32(0.0))
-        for s in range(ndev):
-            @pl.when(my == _i32(s))
-            def _(s=s):
-                errbuf[slot, _i32(s)] = errtile[:]
-                for d in range(ndev):
-                    if d != s:
-                        # loopback: impersonate phantom sender d writing to
-                        # myself so receiver-side per-sender counts match
-                        si = d if loopback else s
-                        remote(errtile.at[:], errbuf.at[slot, _i32(si)],
-                               esend.at[0], erecv.at[si],
-                               my if loopback else _i32(d)).start()
-        for s in range(ndev):
-            @pl.when(my != _i32(s))
-            def _(s=s):
-                remote(errtile.at[:], errbuf.at[slot, _i32(s)],
-                       esend.at[0], erecv.at[s], _i32(0)).wait_recv()
-        for _d in range(ndev - 1):
-            remote(errtile.at[:], errbuf.at[slot, _i32(0)], esend.at[0],
-                   erecv.at[0], _i32(0)).wait_send()
-        tot = jnp.float32(0.0)
-        for d in range(ndev):
-            # exactly one nonzero per tile → the sum is the posted scalar
-            tot = tot + jnp.sum(errbuf[slot, _i32(d)])
-        return tot
+        """Per-sender-semaphore scalar all-to-all — doubles as the
+        inter-sweep barrier; shared implementation with the 2-D kernel
+        (pallas_rdma._allreduce_scalar)."""
+        return _allreduce_scalar(part, slot, errbuf, errtile, esend,
+                                 erecv, my, ndev, loopback)
 
     def step(k):
         # --- in-place wavefront sweep of the OWNED planes (halo planes

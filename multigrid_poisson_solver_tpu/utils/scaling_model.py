@@ -448,16 +448,18 @@ def trigger_loop_model(n: int, ndev: int, chip: str = "v5e",
     the per-pass engine vs the whole-loop RDMA kernel
     (parallel.pallas_shard.rdma_fused_trigger / pallas_shard3 twin).
 
-    Per sweep, the per-pass path pays one kernel dispatch, a HALO-row
-    ppermute exchange (wire + latency, serialized in front of the kernel)
-    and a scalar psum barrier; the RDMA loop pays only the in-kernel edge
-    DMA round trip and the all-to-all's handshake latencies (wire ~4 KB
-    tiles, negligible) — zero dispatch, zero XLA collectives. The gain is
-    therefore a LATENCY/DISPATCH deletion, ~(dispatch + 2·ICI latency)
-    per sweep: decisive where per-shard sweeps are cheap (coarse levels,
-    many-sweep reference triggers), marginal when the sweep itself is
-    HBM-bound milliseconds — the same structure the single-chip in-VMEM
-    trigger A/Bs measured (BASELINE "In-VMEM trigger loop").
+    Per sweep, the per-pass path pays one kernel dispatch plus THREE
+    collective-latency events serialized in front of the kernel (the two
+    directed halo ppermutes and the scalar psum barrier); the RDMA loop
+    pays TWO in-kernel latency events (the READY-handshaked edge-DMA
+    round trip and the all-to-all, whose ~4 KB tiles are wire-negligible)
+    — zero dispatch, zero XLA collectives. The modeled gain is therefore
+    ~(dispatch + one collective latency) per sweep, plus the whole wire
+    term when overlap hides it: decisive where per-shard sweeps are cheap
+    (coarse levels, many-sweep reference triggers), marginal when the
+    sweep itself is HBM-bound milliseconds — the same structure the
+    single-chip in-VMEM trigger A/Bs measured (BASELINE "In-VMEM trigger
+    loop").
 
     ``dispatch_s`` is an ESTIMATE (~2 µs XLA launch; the single-chip A/Bs
     bound it below the HBM terms) — pass a measured value when one
@@ -471,9 +473,9 @@ def trigger_loop_model(n: int, ndev: int, chip: str = "v5e",
     bw = ICI_BW[chip]
     # per-pass: exchange (2 directed ppermutes, serialized) + psum + launch
     t_pp = (t1_sweep_s + dispatch_s + halo_bytes / bw + 3 * ICI_LATENCY_S)
-    # whole-loop RDMA: handshake + edge DMA round trip + all-to-all barrier
-    t_rdma = t1_sweep_s + halo_bytes / bw + 3 * ICI_LATENCY_S
-    t_rdma_overlap = t1_sweep_s + 3 * ICI_LATENCY_S   # wire under compute
+    # whole-loop RDMA: handshaked edge-DMA round trip + all-to-all barrier
+    t_rdma = t1_sweep_s + halo_bytes / bw + 2 * ICI_LATENCY_S
+    t_rdma_overlap = t1_sweep_s + 2 * ICI_LATENCY_S   # wire under compute
     return {"n": n, "ndev": ndev, "rows_per_device": rows,
             "t_sweep_per_pass_us": t_pp * 1e6,
             "t_sweep_rdma_us": t_rdma * 1e6,
