@@ -145,3 +145,21 @@ def test_hlo_counter_ignores_noise():
 """
     c = sm.hlo_collective_counts(txt)
     assert c["all-gather"] == 1 and c["collective-permute"] == 1
+
+
+def test_trigger_loop_model_structure():
+    """The whole-loop RDMA trigger prediction: gain > 1 everywhere (it
+    deletes dispatch + one collective latency per sweep, never adds
+    cost), decays toward 1 as the per-shard sweep grows HBM-bound, and
+    the overlap bound always dominates the serialized form."""
+    rows = [sm.trigger_loop_model(n, 8) for n in (1025, 4097, 8193)]
+    for r in rows:
+        assert r["predicted_gain"] > 1.0
+        assert r["predicted_gain_overlap"] > r["predicted_gain"]
+        assert r["t_sweep_rdma_overlap_us"] < r["t_sweep_rdma_us"] \
+            < r["t_sweep_per_pass_us"]
+    gains = [r["predicted_gain"] for r in rows]
+    assert gains[0] > gains[1] > gains[2]
+    # a measured per-sweep time overrides the HBM-roofline default
+    m = sm.trigger_loop_model(4097, 8, t1_sweep_s=100e-6)
+    assert abs(m["t_sweep_rdma_overlap_us"] - 103.0) < 0.5
