@@ -402,16 +402,19 @@ def _trigger_smooth_traced(u, f, h, n: int, cfg: SolverConfig, policy=None):
             from .ops.pallas_rdma import rdma_trigger_fits
             from .parallel.pallas_shard import rdma_fused_trigger
             rows_loc = policy.padded_shape(n)[0] // policy.mesh.shape[spec[0]]
-            if rdma_trigger_fits(rows_loc, policy.padded_shape(n)[1]):
+            if rdma_trigger_fits(rows_loc, policy.padded_shape(n)[1],
+                                 jnp.dtype(cfg.dtype).itemsize):
                 # the WHOLE trigger loop in ONE kernel per chip: per-shard
                 # u/fc VMEM-resident, remote-DMA halos + in-kernel scalar
                 # all-reduce per sweep — zero dispatch and zero XLA
                 # collectives per sweep (parallel.pallas_shard
                 # .rdma_fused_trigger; bit-matches the per-pass path)
-                return rdma_fused_trigger(u, f, n, h, cfg.trigger,
-                                          cfg.omega, cfg.compat_error,
-                                          max_sweeps, policy,
-                                          interpret=_pallas_interpret())
+                u_out, err = rdma_fused_trigger(
+                    u, f, n, h, cfg.trigger, cfg.omega, cfg.compat_error,
+                    max_sweeps, policy, interpret=_pallas_interpret())
+                # match the per-pass sharded path's level-error dtype
+                # under non-f32 configs (halo modes must agree)
+                return u_out, err.astype(cfg.dtype)
 
     if fuse_err and sharded:
         from .parallel.pallas_shard import sharded_fused_jacobi_err

@@ -190,7 +190,8 @@ def _trace_program3(u, f, *, program: CycleProgram, problem: Problem3D,
                 from .ops.pallas_rdma3 import rdma_trigger3_fits
                 nl = policy.padded_depth(n) // policy.n_devices
                 _, rp, cp = p3k.padded_shape3(n)
-                if rdma_trigger3_fits(nl, rp, cp):
+                if rdma_trigger3_fits(nl, rp, cp,
+                                      jnp.dtype(cfg.dtype).itemsize):
                     # the WHOLE trigger loop in ONE kernel per chip:
                     # per-shard plane block + folded source VMEM-resident,
                     # remote-DMA plane halos + in-kernel scalar all-reduce
@@ -200,7 +201,9 @@ def _trace_program3(u, f, *, program: CycleProgram, problem: Problem3D,
                         lu, lf, n, h, cfg.trigger, cfg.omega, compat,
                         max_sweeps,
                         policy.mesh, policy.axis_name, interpret=interp)
-                    return cz(u_out, n), err
+                    # match the per-pass sharded path's level-error dtype
+                    # under non-f32 configs (halo modes must agree)
+                    return cz(u_out, n), err.astype(cfg.dtype)
 
             # per-pass sharded loop: ONE fused per-shard kernel pass (sweep
             # + psum'd metric partial) per trigger sweep — the in-VMEM /
