@@ -81,14 +81,78 @@ def _vmem_limit(scratch_bytes: int) -> int:
 # MEASURED on hardware (2026-08-20, examples/exp_sweep3_carry.py, 513³
 # k=8 chained): carry 2.530 ms/sweep vs reread 2.217 — Mosaic
 # materializes the carry shuffles as plane copies, giving the read
-# saving back with interest (outputs maxdiff 0.0). reread stays default.
-_SWEEP3_FORM = os.environ.get("MG_SWEEP3_FORM", "reread")
+# saving back with interest (outputs maxdiff 0.0).
+#
+# MULTI-OUTPUT-PLANE BLOCKING ("pair"/"quad"/"oct"/"blkN"): update B
+# planes per fori iteration, loading planes t−1..t+B once — (B+2)/B loads
+# per update vs 3, no carry threading, per-plane expressions/order
+# identical to reread (bit-identical on HW). MEASURED 513³ k=8 chained
+# (2026-08-20, examples/exp_sweep3_block.py, maxdiff 0.0 all forms):
+#   reread 2.217 ms/sweep | pair 1.944 | quad 1.758 | oct 1.678 (1.32×)
+#   | blk16 1.643 (+2% over oct at 2× the compile time and a ≤15-plane
+#   statically-unrolled tail — not worth it; oct's tail is ≤7)
+# "oct" is the default: ~80 GDoF/s, closing most of the 3-VMEM-read gap
+# vs the 2-D kernel's VPU efficiency.
+_SWEEP3_FORM = os.environ.get("MG_SWEEP3_FORM", "oct")
 # Partial plane-loop unroll was probed (2026-08-20) and is NOT a lever:
 # Mosaic's for-loop lowering supports only unroll=1 or FULL unroll
 # ("Only unroll=num_steps and unroll=1 supported"), and full unroll is the
-# known compiler-killer past ~30 planes. The ~2× per-op cost of the 3-D
-# sweep vs 2-D is the 3 VMEM plane reads per updated plane (the carry form
-# that would reuse them lowers to plane copies — see _SWEEP3_FORM above).
+# known compiler-killer past ~30 planes.
+
+
+def _plane_sweep(rd, wr_, ab, fc, zs: int, rs: int, cp: int):
+    """One Jacobi sweep over the brick interior: u' = u + A·(Σnb − 6u) − C.
+
+    ``rd(t)``/``wr_(t, v)`` read/write plane t of the ping-pong pair;
+    ``ab(t)``/``fc(t)`` read the coefficient and folded-source planes.
+    Cut/face planes (0, zs−1) copy through so the destination buffer holds
+    valid halos for the next sweep. The interior loop form is selected by
+    ``_SWEEP3_FORM`` (module comment above) — every form produces
+    bit-identical planes (same expressions, same order)."""
+    wr_(_i32(0), rd(_i32(0)))
+    wr_(_i32(zs - 1), rd(_i32(zs - 1)))
+
+    def upd(t, u, um, up):
+        nb = (_nb_sum(u, rs, cp) + um + up - 6.0 * u)
+        wr_(t, u + ab(t) * nb - fc(t))
+
+    if _SWEEP3_FORM == "carry":
+        def plane(t, c):
+            um, u = c
+            up = rd(t + 1)
+            upd(t, u, um, up)
+            return (u, up)
+
+        jax.lax.fori_loop(_i32(1), _i32(zs - 1), plane,
+                          (rd(_i32(0)), rd(_i32(1))), unroll=False)
+    elif _SWEEP3_FORM != "reread":
+        blk = {"pair": 2, "quad": 4, "oct": 8}.get(_SWEEP3_FORM, None)
+        if blk is None:
+            assert _SWEEP3_FORM.startswith("blk"), _SWEEP3_FORM
+            blk = int(_SWEEP3_FORM[3:])
+        nblk = (zs - 2) // blk
+
+        def plane_blk(i, c):
+            t = _i32(1) + _i32(blk) * _i32(i)
+            us = [rd(t + _i32(d)) for d in range(-1, blk + 1)]
+            for d in range(blk):
+                upd(t + _i32(d), us[d + 1], us[d], us[d + 2])
+            return c
+
+        jax.lax.fori_loop(_i32(0), _i32(nblk), plane_blk, _i32(0),
+                          unroll=False)
+        # static tail: < blk leftover interior planes, reread form
+        for t_ in range(1 + nblk * blk, zs - 1):
+            t = _i32(t_)
+            upd(t, rd(t), rd(t - 1), rd(t + 1))
+    else:
+        def plane(t, c):
+            u = rd(t)
+            upd(t, u, rd(t - 1), rd(t + 1))
+            return c
+
+        jax.lax.fori_loop(_i32(1), _i32(zs - 1), plane, _i32(0),
+                          unroll=False)
 
 
 def padded_shape3(n: int) -> tuple[int, int, int]:
@@ -357,34 +421,8 @@ def _fused_jacobi3_kernel(offs_smem, u_hbm, f_hbm, *rest,
         accessors = [(read_u, write_u), (read_w, write_w)]
 
         def sweep(rd, wr):
-            # cut/face planes copy through so the ping-pong buffer holds
-            # valid halo planes for the next sweep
-            wr(_i32(0), rd(_i32(0)))
-            wr(_i32(zs - 1), rd(_i32(zs - 1)))
-
-            if _SWEEP3_FORM == "carry":
-                # each plane read ONCE per sweep: (u_{t−1}, u_t) ride the
-                # fori carry — identical expressions/order to the reread
-                # form, so bit-identical outputs
-                def plane(t, c):
-                    um, u = c
-                    up = rd(t + 1)
-                    nb = (_nb_sum(u, rs, cp) + um + up - 6.0 * u)
-                    wr(t, u + a_buf[t] * nb - fc_slots[slot, t])
-                    return (u, up)
-
-                jax.lax.fori_loop(_i32(1), _i32(zs - 1), plane,
-                                  (rd(_i32(0)), rd(_i32(1))), unroll=False)
-            else:
-                def plane(t, c):
-                    u = rd(t)
-                    nb = (_nb_sum(u, rs, cp) + rd(t - 1) + rd(t + 1)
-                          - 6.0 * u)
-                    wr(t, u + a_buf[t] * nb - fc_slots[slot, t])
-                    return c
-
-                jax.lax.fori_loop(_i32(1), _i32(zs - 1), plane, _i32(0),
-                                  unroll=False)
+            _plane_sweep(rd, wr, lambda t: a_buf[t],
+                         lambda t: fc_slots[slot, t], zs, rs, cp)
 
         if err_mode is not None:
             # exact (non-overlapping) ownership for the reduction, unlike
@@ -867,17 +905,8 @@ def _fused_descend3_kernel(offs_smem, u_hbm, f_hbm, out_hbm, dw_hbm,
         accessors = [(read_u, write_u), (read_w, write_w)]
 
         def sweep(rd, wr_):
-            wr_(_i32(0), rd(_i32(0)))
-            wr_(_i32(zs - 1), rd(_i32(zs - 1)))
-
-            def plane(t, c):
-                u = rd(t)
-                nb = (_nb_sum(u, rs, cp) + rd(t - 1) + rd(t + 1) - 6.0 * u)
-                wr_(t, u + a_buf[t] * nb - fc_slots[slot, t])
-                return c
-
-            jax.lax.fori_loop(_i32(1), _i32(zs - 1), plane, _i32(0),
-                              unroll=False)
+            _plane_sweep(rd, wr_, lambda t: a_buf[t],
+                         lambda t: fc_slots[slot, t], zs, rs, cp)
 
         for s in range(n_sweeps):
             sweep(accessors[s % 2][0], accessors[(s + 1) % 2][1])
@@ -1226,17 +1255,8 @@ def _fused_ascend3_kernel(offs_smem, u_hbm, f_hbm, cw_hbm, *rest,
         accessors = [(read_u, write_u), (read_w, write_w)]
 
         def sweep(rd, wr_):
-            wr_(_i32(0), rd(_i32(0)))
-            wr_(_i32(zs - 1), rd(_i32(zs - 1)))
-
-            def plane(t, c):
-                u = rd(t)
-                nb = (_nb_sum(u, rs, cp) + rd(t - 1) + rd(t + 1) - 6.0 * u)
-                wr_(t, u + a_buf[t] * nb - fc_slots[slot, t])
-                return c
-
-            jax.lax.fori_loop(_i32(1), _i32(zs - 1), plane, _i32(0),
-                              unroll=False)
+            _plane_sweep(rd, wr_, lambda t: a_buf[t],
+                         lambda t: fc_slots[slot, t], zs, rs, cp)
 
         for s in range(steps):
             sweep(accessors[s % 2][0], accessors[(s + 1) % 2][1])

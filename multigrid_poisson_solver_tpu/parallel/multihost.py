@@ -33,7 +33,13 @@ def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
                process_id: Optional[int] = None) -> None:
     """``jax.distributed.initialize`` with TPU-pod auto-detection defaults."""
-    if jax.process_count() > 1:
+    # the idempotence guard must NOT query jax.process_count(): that
+    # initializes the XLA backend, after which distributed.initialize
+    # refuses to run at all (caught by the real multi-process harness,
+    # examples/exp_multihost_cpu.py) — ask the distributed runtime itself
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
         return  # already initialized
     kwargs = {}
     if coordinator_address is not None:
@@ -55,8 +61,16 @@ def hybrid_block_mesh(rows_parallelism: Optional[int] = None) -> Mesh:
     if n_hosts > 1:
         from jax.experimental import mesh_utils
 
+        # TPU pods expose one slice_index per DCN granule; under the
+        # multi-process CPU/GPU runtime every device reports slice 0 — fall
+        # back to process-as-granule whenever the slice structure does not
+        # actually distinguish the hosts (exp_multihost_cpu.py exercises
+        # this for real: 2 local processes, gloo-coordinated)
+        slice_ids = {getattr(d, "slice_index", None) for d in jax.devices()}
+        granule_is_process = len(slice_ids) != n_hosts or None in slice_ids
         devices = mesh_utils.create_hybrid_device_mesh(
-            mesh_shape=(1, n_local), dcn_mesh_shape=(n_hosts, 1))
+            mesh_shape=(1, n_local), dcn_mesh_shape=(n_hosts, 1),
+            process_is_granule=granule_is_process)
         return Mesh(devices, (ROW_AXIS, COL_AXIS))
     total = len(jax.devices())
     rows = rows_parallelism or _near_square_factor(total)

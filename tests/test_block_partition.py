@@ -71,9 +71,10 @@ def test_hybrid_mesh_multihost_branch(monkeypatch):
 
     calls = {}
 
-    def fake_hybrid(mesh_shape, dcn_mesh_shape):
+    def fake_hybrid(mesh_shape, dcn_mesh_shape, process_is_granule=False):
         calls["mesh_shape"] = tuple(mesh_shape)
         calls["dcn_mesh_shape"] = tuple(dcn_mesh_shape)
+        calls["process_is_granule"] = process_is_granule
         return np.asarray(jax.devices()).reshape(2, 4)
 
     monkeypatch.setattr(jax, "process_count", lambda: 2)
@@ -81,7 +82,10 @@ def test_hybrid_mesh_multihost_branch(monkeypatch):
     monkeypatch.setattr(mesh_utils, "create_hybrid_device_mesh", fake_hybrid)
     mesh = multihost.hybrid_block_mesh()
     assert mesh.shape == {"rows": 2, "cols": 4}
-    assert calls == {"mesh_shape": (1, 4), "dcn_mesh_shape": (2, 1)}
+    # virtual CPU devices expose no slice structure -> process granules
+    # (the real 2-process run in test_multihost_proc.py takes this branch)
+    assert calls == {"mesh_shape": (1, 4), "dcn_mesh_shape": (2, 1),
+                     "process_is_granule": True}
     pol = multihost.block_policy(mesh, threshold_rows=8)
     assert pol.is_sharded(64)
 
@@ -91,15 +95,21 @@ def test_initialize_multihost_paths(monkeypatch):
     explicit coordinator kwargs to jax.distributed.initialize."""
     import jax
 
+    from jax._src import distributed as _dist
+
     calls = []
     monkeypatch.setattr(jax.distributed, "initialize",
                         lambda **kw: calls.append(kw))
 
-    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    # the guard must ask the distributed runtime, NOT jax.process_count()
+    # (which would initialize the backend and make a later real initialize
+    # impossible — found by the real 2-process run)
+    monkeypatch.setattr(_dist.global_state, "client", object(),
+                        raising=False)
     multihost.initialize()                  # already initialized -> no-op
     assert calls == []
 
-    monkeypatch.setattr(jax, "process_count", lambda: 1)
+    monkeypatch.setattr(_dist.global_state, "client", None, raising=False)
     multihost.initialize("10.0.0.1:8476", num_processes=4, process_id=2)
     assert calls == [dict(coordinator_address="10.0.0.1:8476",
                           num_processes=4, process_id=2)]
