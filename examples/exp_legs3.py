@@ -4,8 +4,12 @@ Correctness at n=129 (multi-brick on the real chip) against the already
 hardware-validated component ops, then 513^3 component timings and the full
 padded-resident V(3,3) cycle. Differential-timing protocol throughout
 (.claude/skills/verify/SKILL.md)."""
+import sys
 import time
 from functools import partial
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
