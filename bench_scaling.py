@@ -192,6 +192,42 @@ def main():
                   f"{r['efficiency_rdma_bound']:.1%} (RDMA overlap bound)",
                   file=sys.stderr)
 
+    # 3-D z-plane model (round 5, utils.scaling_model3): predicted
+    # strong-slicing table for the 513³ flagship + the weak ladder, seeded
+    # with the 1-device measured cycle time; plus the 3-D whole-loop RDMA
+    # trigger prediction — the hardware-free counterpart the first real
+    # multi-chip 3-D session compares against
+    model_rows3 = []
+    model_trigger3 = []
+    if dim == 3 and t1 is not None:
+        from multigrid_poisson_solver_tpu.utils import scaling_model3 as sm3
+
+        chip = "v5p" if "v5p" in getattr(
+            all_devices[0], "device_kind", "") else "v5e"
+        # seed with the measured single-device time at ITS grid (results[0])
+        n1 = results[0]["n"]
+        model_rows3 = (sm3.scaling_table3(n1, t1, ndevs=(2, 4, 8),
+                                          chip=chip, mode="strong")
+                       + sm3.scaling_table3(n1, t1, ndevs=(2, 4, 8),
+                                            chip=chip, mode="weak"))
+        for r in model_rows3:
+            print(f"[scaling/model3/{r['mode']}] {r['ndev']} chips "
+                  f"({chip} z-ring), N={r['n']}³: comm "
+                  f"{r['t_comm_ms']:.3f} ms/cycle vs compute "
+                  f"{r['t_compute_ms']:.2f} -> predicted eff "
+                  f"{r['efficiency_ppermute']:.1%} (ppermute) / "
+                  f"{r['efficiency_rdma_bound']:.1%} (RDMA overlap bound)",
+                  file=sys.stderr)
+        model_trigger3 = [sm3.trigger_loop_model3(nn, 8, chip=chip)
+                          for nn in (129, 257, 513)]
+        for r in model_trigger3:
+            print(f"[scaling/model3-trigger] N={r['n']}³ x8 chips: "
+                  f"{r['t_sweep_per_pass_us']:.1f} us/sweep per-pass vs "
+                  f"{r['t_sweep_rdma_us']:.1f} RDMA "
+                  f"({r['t_sweep_rdma_overlap_us']:.1f} overlapped) -> "
+                  f"predicted {r['predicted_gain']:.2f}x "
+                  f"({r['predicted_gain_overlap']:.2f}x)", file=sys.stderr)
+
     # whole-loop RDMA trigger prediction (round 4): per-sweep cost of the
     # per-pass sharded trigger vs the one-kernel-per-chip loop — a
     # latency/dispatch-deletion gain, decisive on cheap per-shard sweeps
@@ -218,8 +254,10 @@ def main():
     print(json.dumps({"mode": mode, "dim": dim,
                       "backend": jax.default_backend(),
                       "results": results, "model": model_rows,
+                      "model3": model_rows3,
                       "model_multihost": model_multihost,
                       "model_trigger_loop": model_trigger,
+                      "model3_trigger_loop": model_trigger3,
                       "model_dcn_threshold": tuned_json}))
 
 

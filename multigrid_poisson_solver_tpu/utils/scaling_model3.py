@@ -1,0 +1,389 @@
+"""Communication / weak-scaling model for the 3-D z-plane sharded cycle.
+
+The 3-D member of utils.scaling_model (VERDICT r4 missing item 3): a
+first-principles per-cycle communication model for
+``parallel.pallas_shard3.v_cycle3_sharded`` — the z-plane-decomposed
+multi-chip 3-D V-cycle — mirroring its EXACT decision tree:
+
+  * every per-shard fused pass is preceded by plane-halo ppermutes
+    (``_extend_planes``: one forward + one backward launch per array, each
+    moving ``ext`` full (rp, cp) planes);
+  * the fused descend leg (admitted when planes/device is even and the
+    k+2 halo ring fits) exchanges u and f once with a k_nb+2 ring and
+    psums the fused error partial; from_zero legs skip the u exchange;
+  * the fused ascend leg exchanges u, f (ext_z = post + post%2 planes)
+    and the half-depth lane-expanded coarse correction (ext_c/ext_c+1);
+  * the first unsharded child triggers the shard→replicated agglomeration
+    all-gather of the restricted RHS;
+  * fallback levels (odd planes/device) take the smooth+residual fused
+    pass plus a GSPMD einsum z-resampling whose cross-shard boundary
+    traffic is counted separately (``transfer_bytes`` — an estimate, NOT
+    part of the exact-count contract the HLO cross-check pins).
+
+Cross-check: ``tests/test_scaling_model3.py`` lowers the real
+``v_cycle3_sharded`` on the virtual 8-device mesh and pins the model's
+ppermute/all-gather/psum counts against the HLO (exact for a geometry
+where the fused legs engage at every sharded level).
+
+Reference analog: none — the reference is single-GPU (SURVEY.md §2); this
+is the planning table its multi-GPU port would have needed, extended to
+the repo's flagship beyond-reference axis (the sharded 3-D cycle).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from ..ops.pallas3d import (
+    MAX_DESCEND3_SWEEPS_FW,
+    MAX_FUSED_SWEEPS_3D,
+    padded_shape3,
+)
+
+DTYPE_BYTES = 4
+
+# interconnect figures shared with the 2-D model
+from .scaling_model import (  # noqa: E402
+    DCN_LATENCY_S,
+    HBM_BW,
+    ICI_BW,
+    ICI_LATENCY_S,
+)
+
+
+def _plane_bytes(n: int) -> int:
+    _, rp, cp = padded_shape3(n)
+    return rp * cp * DTYPE_BYTES
+
+
+def _sizes3(n: int, n_min: int) -> list[int]:
+    from ..models.poisson3d import _sizes
+
+    return _sizes(n, n_min)
+
+
+@dataclasses.dataclass
+class LevelComm3:
+    n: int
+    sharded: bool
+    ppermute_bytes: int      # per device per cycle (plane halos)
+    allgather_bytes: int     # per device received (agglomeration)
+    transfer_bytes: int      # GSPMD einsum z-resample boundary (estimate)
+    events_ppermute: int
+    events_psum: int
+    events_allgather: int
+    events_transfer: int     # estimated collective launches for transfers
+    fused_descend: bool = False
+    fused_ascend: bool = False
+    agg_shape: tuple | None = None   # (zp, rp, cp) of the agglomerated RHS
+    # descend's and ascend's f-halo exchanges are IDENTICAL ops when their
+    # rings coincide (f never changes within a level visit) — XLA CSEs one
+    # of the pairs away; these events are modeled but may not appear
+    events_cse_dup: int = 0
+
+    @property
+    def events(self) -> int:
+        return (self.events_ppermute + self.events_psum
+                + self.events_allgather + self.events_transfer)
+
+
+@dataclasses.dataclass
+class CommReport3:
+    ndev: int
+    n: int
+    levels: list[LevelComm3]
+
+    def _tot(self, attr: str) -> int:
+        return sum(getattr(l, attr) for l in self.levels)
+
+    @property
+    def ppermute_bytes(self) -> int:
+        return self._tot("ppermute_bytes")
+
+    @property
+    def allgather_bytes(self) -> int:
+        return self._tot("allgather_bytes")
+
+    @property
+    def transfer_bytes(self) -> int:
+        return self._tot("transfer_bytes")
+
+    @property
+    def events_ppermute(self) -> int:
+        return self._tot("events_ppermute")
+
+    @property
+    def events_psum(self) -> int:
+        return self._tot("events_psum")
+
+    @property
+    def events_allgather(self) -> int:
+        return self._tot("events_allgather")
+
+    @property
+    def events_transfer(self) -> int:
+        return self._tot("events_transfer")
+
+    @property
+    def events_cse_dup(self) -> int:
+        return self._tot("events_cse_dup")
+
+    @property
+    def events(self) -> int:
+        return self._tot("events")
+
+    def t_comm(self, ici_bw: float, latency: float = ICI_LATENCY_S) -> float:
+        """Serialized comm time per device per cycle (z halos ride the ICI
+        ring; the z axis never leaves the slice in the modeled layout)."""
+        wire = (self.ppermute_bytes + self.allgather_bytes
+                + self.transfer_bytes) / ici_bw
+        return wire + self.events * latency
+
+    def summary(self) -> str:
+        lines = [f"{'level n':>8}{'sharded':>9}{'ppermute MB':>13}"
+                 f"{'allgather MB':>14}{'events':>8}{'legs':>8}"]
+        for lc in self.levels:
+            legs = ("DV" if lc.fused_descend else "--") + \
+                   ("AV" if lc.fused_ascend else "--")
+            lines.append(f"{lc.n:>8}{str(lc.sharded):>9}"
+                         f"{lc.ppermute_bytes/1e6:>13.2f}"
+                         f"{lc.allgather_bytes/1e6:>14.2f}{lc.events:>8}"
+                         f"{legs:>8}")
+        lines.append(
+            f"total/device/cycle: {self.ppermute_bytes/1e6:.2f} MB "
+            f"ppermuted, {self.allgather_bytes/1e6:.2f} MB all-gathered, "
+            f"{self.events} collective launches")
+        return "\n".join(lines)
+
+
+def comm_report3(n: int, ndev: int, pre: int = 3, post: int = 3,
+                 n_min: int = 5, threshold_planes: int = 8) -> CommReport3:
+    """Per-device communication volume for ONE ``v_cycle3_sharded`` cycle.
+
+    Walks the same recursion as the real function
+    (parallel/pallas_shard3.py:504-610): per level it decides sharded vs
+    replicated, fused-leg vs fallback, and accumulates the plane-halo
+    ppermutes, the agglomeration all-gather, the error psums, and (for
+    fallback levels) the estimated GSPMD transfer boundary traffic."""
+    from ..parallel.pallas_shard3 import padded_depth3
+
+    assert pre <= 7 and post <= MAX_FUSED_SWEEPS_3D, (
+        "model covers single-pass legs (the practical regime)")
+    sizes = _sizes3(n, n_min)
+    levels: dict[int, LevelComm3] = {}
+
+    def is_sharded(s: int) -> bool:
+        return (ndev > 1 and s >= 65
+                and padded_depth3(s, ndev) // ndev >= threshold_planes)
+
+    def acc(nn: int, pp_b: int = 0, ev_pp: int = 0, ag_b: int = 0,
+            ev_ag: int = 0, ev_ps: int = 0, tr_b: int = 0, ev_tr: int = 0,
+            fd: bool = False, fa: bool = False):
+        lc = levels.setdefault(
+            nn, LevelComm3(nn, is_sharded(nn), 0, 0, 0, 0, 0, 0, 0))
+        lc.ppermute_bytes += pp_b
+        lc.events_ppermute += ev_pp
+        lc.allgather_bytes += ag_b
+        lc.events_allgather += ev_ag
+        lc.events_psum += ev_ps
+        lc.transfer_bytes += tr_b
+        lc.events_transfer += ev_tr
+        lc.fused_descend = lc.fused_descend or fd
+        lc.fused_ascend = lc.fused_ascend or fa
+
+    def exchange(nn: int, ext: int, arrays: int):
+        """arrays × (fwd + bwd) ppermutes of ext full planes each way."""
+        acc(nn, pp_b=arrays * 2 * ext * _plane_bytes(nn),
+            ev_pp=arrays * 2)
+
+    def run(nn: int, zp: int, depth: int, from_zero: bool):
+        if not is_sharded(nn):
+            return                              # replicated sub-cycle: local
+        nl = zp // ndev
+        m = sizes[depth + 1] if depth + 1 < len(sizes) else None
+        if m is None:
+            # sharded coarsest: per-pass smoothing (huge n_min only)
+            k = pre
+            exchange(nn, min(k, MAX_FUSED_SWEEPS_3D), 1)   # f once
+            if not from_zero:
+                exchange(nn, min(k, MAX_FUSED_SWEEPS_3D), 1)
+            return
+        child_sharded = is_sharded(m)
+        k_nb = pre - (1 if from_zero else 0)
+        fused_d = (nl % 2 == 0 and 1 <= k_nb <= MAX_DESCEND3_SWEEPS_FW
+                   and k_nb + 2 <= nl)
+        _, rpf, _ = padded_shape3(nn)
+        if fused_d:
+            z_halo = k_nb + 2
+            exchange(nn, z_halo, 1)             # f
+            if not from_zero:
+                exchange(nn, z_halo, 1)         # u
+            acc(nn, ev_ps=1, fd=True)           # fused err partial psum
+            zp_c = zp // 2                      # dw at half depth
+            rp_c = rpf // 2                     # in-kernel row decimation
+        else:
+            k_eff = pre - (1 if from_zero else 0)
+            ext = k_eff + 1                     # emit-residual ring
+            exchange(nn, ext, 1)                # f
+            if not from_zero:
+                exchange(nn, ext, 1)            # u
+            zp_c = padded_depth3(m, ndev) if child_sharded else m
+            _, rp_c, _ = padded_shape3(m)       # restrict3_p output rows
+            if child_sharded:
+                # GSPMD einsum z-resample crosses shard boundaries: ~one
+                # coarse boundary plane each way (estimate, not pinned)
+                acc(nn, tr_b=2 * _plane_bytes(m), ev_tr=2)
+        if not child_sharded:
+            # shard → replicated agglomeration all-gather of the coarse RHS
+            # (fused path: the kernel's row decimation leaves rp_fine/2
+            # rows; fallback: restrict3_p emits the padded coarse layout)
+            _, _, cpm = padded_shape3(m)
+            ag = (ndev - 1) * zp_c * rp_c * cpm * DTYPE_BYTES // ndev
+            acc(m, ag_b=ag, ev_ag=1)
+            levels[m].agg_shape = (zp_c, rp_c, cpm)
+
+        run(m, zp_c, depth + 1, True)
+
+        # ascend back at nn
+        z_halo_a = post
+        ext_z = z_halo_a + (z_halo_a % 2)
+        ext_c = ext_z // 2
+        fused_a = (nl % 2 == 0 and 1 <= post <= MAX_FUSED_SWEEPS_3D
+                   and 2 * zp_c == zp and ext_z <= nl
+                   and ext_c + 1 <= nl // 2)
+        ext_d = (k_nb + 2) if fused_d else (k_nb + 1)
+        if fused_a:
+            exchange(nn, ext_z, 2)                        # u and f
+            # coarse wide: ext_c planes fwd + ext_c+1 bwd (half-depth level)
+            acc(nn, pp_b=(2 * ext_c + 1) * _plane_bytes(nn), ev_pp=2,
+                fa=True)
+            ext_a = ext_z
+        else:
+            if child_sharded:
+                # prolong3_add_p einsum across shard boundaries (estimate)
+                acc(nn, tr_b=2 * _plane_bytes(m), ev_tr=2)
+            ext_a = min(post, MAX_FUSED_SWEEPS_3D)
+            exchange(nn, ext_a, 2)                        # u and f, one pass
+        if ext_d == ext_a:
+            levels[nn].events_cse_dup += 2                # duplicate f pair
+
+    zp0 = -(-n // (2 * ndev)) * (2 * ndev)    # pad_planes3(·, 2·ndev)
+    run(n, zp0, 0, False)
+    lv = sorted(levels.values(), key=lambda lc: -lc.n)
+    return CommReport3(ndev=ndev, n=n, levels=lv)
+
+
+def hlo_manual_collectives(hlo_text: str) -> dict:
+    """Collective creators in a lowered HLO, split by origin.
+
+    ``shard_map``'s manual-mode collectives (the model's plane-halo
+    ppermutes and error psums) lower with ``channel_id=1``; GSPMD's
+    partitioner assigns fresh channel ids to the collectives IT inserts
+    (agglomeration all-gathers, resharding artifacts). Returns
+    {"ppermute_manual", "ppermute_gspmd", "allgather_shapes"} where
+    allgather_shapes is the list of output-shape strings of every
+    all-gather creator — match the coarse padded volume against it to
+    identify the agglomeration gather irrespective of replication
+    artifacts."""
+    import re
+
+    pp_manual = pp_gspmd = 0
+    ag_shapes = []
+    for line in hlo_text.splitlines():
+        s = line.lstrip()
+        if "=" not in s:
+            continue
+        if "collective-permute(" in s or "collective-permute-start(" in s:
+            if "channel_id=1," in s:
+                pp_manual += 1
+            else:
+                pp_gspmd += 1
+        elif "all-gather(" in s or "all-gather-start(" in s:
+            m = re.search(r"=\s*\(?[a-z0-9]+\[([\d,]*)\]", s)
+            ag_shapes.append(m.group(1) if m else "")
+    return {"ppermute_manual": pp_manual, "ppermute_gspmd": pp_gspmd,
+            "allgather_shapes": ag_shapes}
+
+
+def predicted_efficiency3(report: CommReport3, t_compute_s: float,
+                          chip: str = "v5e",
+                          latency: float = ICI_LATENCY_S) -> dict:
+    """Weak/strong-scaling efficiency for the z-plane 3-D cycle on an
+    ``report.ndev``-chip ICI ring, given the per-device compute time of one
+    cycle. Returns the ppermute-barrier path and the RDMA-overlap bound
+    (wire hidden under interior compute — ops.pallas_rdma3 covers the
+    trigger loop today; the bound is what full RDMA coverage would give)."""
+    bw = ICI_BW.get(chip, ICI_BW["v5e"])
+    t_comm = report.t_comm(bw, latency)
+    t_lat = report.events * latency
+    return {
+        "ndev": report.ndev,
+        "n": report.n,
+        "t_compute_ms": t_compute_s * 1e3,
+        "t_comm_ms": t_comm * 1e3,
+        "efficiency_ppermute": t_compute_s / (t_compute_s + t_comm),
+        "efficiency_rdma_bound": t_compute_s / (t_compute_s + t_lat),
+    }
+
+
+def scaling_table3(base_n: int = 513, t1_s: float = 29.9e-3,
+                   ndevs=(2, 4, 8), chip: str = "v5e",
+                   pre: int = 3, post: int = 3,
+                   threshold_planes: int = 8,
+                   mode: str = "strong") -> list[dict]:
+    """Predicted efficiency table for the sharded 3-D cycle.
+
+    ``mode="strong"``: fixed ``base_n`` (the 513³ flagship), per-device
+    compute ``t1_s / ndev`` — the deployment question "does slicing MY
+    513³ across a ring pay?".
+    ``mode="weak"``: depth grows with the ring (n_c = (base_n−1)·c + 1 in
+    z only is not expressible on a cubic grid, so weak mode scales the
+    whole cube: per-device compute ≈ t1_s · c² — volume ×c³ over c
+    devices), the regime where plane halos are asymptotically free.
+
+    ``t1_s``: measured single-chip seconds/cycle at base_n (BASELINE
+    "3-D fused V-cycle": 29.9 ms at 513³ compiled3)."""
+    rows = []
+    for c in ndevs:
+        if mode == "strong":
+            n, t_comp = base_n, t1_s / c
+        else:
+            n, t_comp = (base_n - 1) * c + 1, t1_s * c * c
+        rep = comm_report3(n, c, pre=pre, post=post,
+                           threshold_planes=threshold_planes)
+        row = predicted_efficiency3(rep, t_comp, chip)
+        row["mode"] = mode
+        rows.append(row)
+    return rows
+
+
+def trigger_loop_model3(n: int, ndev: int, chip: str = "v5e",
+                        t1_sweep_s: float | None = None,
+                        dispatch_s: float = 2e-6,
+                        latency: float = ICI_LATENCY_S) -> dict:
+    """Predicted PER-SWEEP cost of a z-sharded 3-D ``|Δerr| > trigger``
+    loop: the per-pass engine (dispatch + plane ppermutes + psum each
+    sweep) vs the whole-loop RDMA kernel
+    (parallel.pallas_shard3.rdma_fused_trigger3 — one remote plane DMA
+    each way + the per-sender-semaphore scalar all-to-all, in-kernel).
+
+    Structure identical to scaling_model.trigger_loop_model with the halo
+    a full (rp, cp) PLANE instead of 8 rows; ``dispatch_s``/``latency``
+    default to the shared planning constants (pass measured values — see
+    examples/exp_rdma_calibrate.py)."""
+    zp = -(-n // ndev) * ndev
+    nl = max(zp // ndev, 1)
+    _, rp, cp = padded_shape3(n)
+    if t1_sweep_s is None:
+        t1_sweep_s = 3 * nl * rp * cp * DTYPE_BYTES / HBM_BW[chip]
+    halo_bytes = 2 * _plane_bytes(n)              # one plane each way
+    bw = ICI_BW[chip]
+    t_pp = t1_sweep_s + dispatch_s + halo_bytes / bw + 3 * latency
+    t_rdma = t1_sweep_s + halo_bytes / bw + 2 * latency
+    t_rdma_overlap = t1_sweep_s + 2 * latency
+    return {"n": n, "ndev": ndev, "planes_per_device": nl,
+            "t_sweep_per_pass_us": t_pp * 1e6,
+            "t_sweep_rdma_us": t_rdma * 1e6,
+            "t_sweep_rdma_overlap_us": t_rdma_overlap * 1e6,
+            "predicted_gain": t_pp / t_rdma,
+            "predicted_gain_overlap": t_pp / t_rdma_overlap}
