@@ -62,6 +62,30 @@ HBM_BW = {"v5e": 819e9, "v5p": 2765e9}
 DCN_BW_HOST = {"v5e": 25e9, "v5p": 25e9}
 DCN_LATENCY_S = 25e-6
 
+# MEASURED on hardware (TPU v5e, 2026-08-20, examples/exp_rdma_calibrate.py,
+# chained ≥100 ms negative-trigger protocol — three consistent runs):
+#
+# * RDMA protocol overhead per sweep, loopback ring of 4 vs the ndev=1
+#   build (READY handshake + edge DMAs + per-sender-semaphore all-to-all,
+#   WITHOUT the ICI wire hop — unmeasurable on one chip, still charged at
+#   the public ICI_LATENCY_S figure): 2-D 8-row halos 0.77/0.84/0.81
+#   µs/sweep; 3-D 1-plane halos 0.64/0.63 µs/sweep.
+# * Per-pass fixed overhead of a fused k=1 pass inside a jit chain
+#   (cost(k=1) − marginal in-kernel sweep): 0.83 µs at 257² (~0.4 MB
+#   arrays — near-pure launch cost) and 5.78 µs at 1025² (~4.9 MB — DMA
+#   ramp grows with the array), i.e. ≈ 0.7 µs + 1.1 µs/MB of array.
+MEASURED_RDMA_PROTOCOL_2D_S = 0.81e-6
+MEASURED_RDMA_PROTOCOL_3D_S = 0.64e-6
+MEASURED_PASS_OVERHEAD_BASE_S = 0.7e-6
+MEASURED_PASS_OVERHEAD_PER_MB_S = 1.1e-6
+
+
+def pass_overhead_s(array_bytes: int) -> float:
+    """Fixed per-pass cost of one fused kernel pass over an ``array_bytes``
+    array inside a jit chain (measured law above)."""
+    return (MEASURED_PASS_OVERHEAD_BASE_S
+            + MEASURED_PASS_OVERHEAD_PER_MB_S * array_bytes / 1e6)
+
 
 @dataclasses.dataclass
 class LevelComm:
@@ -443,7 +467,7 @@ def multihost_scaling_table(n: int = 16385, t1_s: float = 46.9e-3,
 
 def trigger_loop_model(n: int, ndev: int, chip: str = "v5e",
                        t1_sweep_s: float | None = None,
-                       dispatch_s: float = 2e-6) -> dict:
+                       dispatch_s: float | None = None) -> dict:
     """Predicted PER-SWEEP cost of a sharded ``|Δerr| > trigger`` loop:
     the per-pass engine vs the whole-loop RDMA kernel
     (parallel.pallas_shard.rdma_fused_trigger / pallas_shard3 twin).
@@ -461,21 +485,29 @@ def trigger_loop_model(n: int, ndev: int, chip: str = "v5e",
     single-chip in-VMEM trigger A/Bs measured (BASELINE "In-VMEM trigger
     loop").
 
-    ``dispatch_s`` is an ESTIMATE (~2 µs XLA launch; the single-chip A/Bs
-    bound it below the HBM terms) — pass a measured value when one
-    exists. ``t1_sweep_s`` defaults to the HBM roofline of one fused
-    k=1 sweep on the shard (3 array transits)."""
+    ``dispatch_s`` defaults to the MEASURED per-pass fixed-overhead law
+    (``pass_overhead_s`` at the per-shard array size —
+    exp_rdma_calibrate.py); the RDMA side charges the MEASURED loopback
+    protocol cost (handshake + edge DMAs + all-to-all,
+    MEASURED_RDMA_PROTOCOL_2D_S) plus the public ICI hop latency for the
+    wire part one chip cannot see. ``t1_sweep_s`` defaults to the HBM
+    roofline of one fused k=1 sweep on the shard (3 array transits)."""
     rp, cp = padded_shape(n)
     rows = max(rp // ndev, 1)
+    shard_bytes = rows * cp * DTYPE_BYTES
     if t1_sweep_s is None:
-        t1_sweep_s = 3 * rows * cp * DTYPE_BYTES / HBM_BW[chip]
+        t1_sweep_s = 3 * shard_bytes / HBM_BW[chip]
+    if dispatch_s is None:
+        dispatch_s = pass_overhead_s(shard_bytes)
     halo_bytes = 2 * HALO * cp * DTYPE_BYTES          # 8 rows each way
     bw = ICI_BW[chip]
     # per-pass: exchange (2 directed ppermutes, serialized) + psum + launch
     t_pp = (t1_sweep_s + dispatch_s + halo_bytes / bw + 3 * ICI_LATENCY_S)
-    # whole-loop RDMA: handshaked edge-DMA round trip + all-to-all barrier
-    t_rdma = t1_sweep_s + halo_bytes / bw + 2 * ICI_LATENCY_S
-    t_rdma_overlap = t1_sweep_s + 2 * ICI_LATENCY_S   # wire under compute
+    # whole-loop RDMA: measured protocol cost + the unmeasured ICI hop pair
+    t_rdma = (t1_sweep_s + halo_bytes / bw + MEASURED_RDMA_PROTOCOL_2D_S
+              + 2 * ICI_LATENCY_S)
+    t_rdma_overlap = (t1_sweep_s + MEASURED_RDMA_PROTOCOL_2D_S
+                      + 2 * ICI_LATENCY_S)            # wire under compute
     return {"n": n, "ndev": ndev, "rows_per_device": rows,
             "t_sweep_per_pass_us": t_pp * 1e6,
             "t_sweep_rdma_us": t_rdma * 1e6,

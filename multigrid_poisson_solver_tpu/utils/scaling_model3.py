@@ -359,7 +359,7 @@ def scaling_table3(base_n: int = 513, t1_s: float = 29.9e-3,
 
 def trigger_loop_model3(n: int, ndev: int, chip: str = "v5e",
                         t1_sweep_s: float | None = None,
-                        dispatch_s: float = 2e-6,
+                        dispatch_s: float | None = None,
                         latency: float = ICI_LATENCY_S) -> dict:
     """Predicted PER-SWEEP cost of a z-sharded 3-D ``|Δerr| > trigger``
     loop: the per-pass engine (dispatch + plane ppermutes + psum each
@@ -368,19 +368,29 @@ def trigger_loop_model3(n: int, ndev: int, chip: str = "v5e",
     each way + the per-sender-semaphore scalar all-to-all, in-kernel).
 
     Structure identical to scaling_model.trigger_loop_model with the halo
-    a full (rp, cp) PLANE instead of 8 rows; ``dispatch_s``/``latency``
-    default to the shared planning constants (pass measured values — see
-    examples/exp_rdma_calibrate.py)."""
+    a full (rp, cp) PLANE instead of 8 rows; ``dispatch_s`` defaults to
+    the MEASURED per-pass overhead law and the RDMA side charges the
+    MEASURED 3-D loopback protocol cost (exp_rdma_calibrate.py) plus the
+    public ICI hop latency for the wire part one chip cannot see."""
+    from .scaling_model import (
+        MEASURED_RDMA_PROTOCOL_3D_S,
+        pass_overhead_s,
+    )
+
     zp = -(-n // ndev) * ndev
     nl = max(zp // ndev, 1)
     _, rp, cp = padded_shape3(n)
+    shard_bytes = nl * rp * cp * DTYPE_BYTES
     if t1_sweep_s is None:
-        t1_sweep_s = 3 * nl * rp * cp * DTYPE_BYTES / HBM_BW[chip]
+        t1_sweep_s = 3 * shard_bytes / HBM_BW[chip]
+    if dispatch_s is None:
+        dispatch_s = pass_overhead_s(shard_bytes)
     halo_bytes = 2 * _plane_bytes(n)              # one plane each way
     bw = ICI_BW[chip]
     t_pp = t1_sweep_s + dispatch_s + halo_bytes / bw + 3 * latency
-    t_rdma = t1_sweep_s + halo_bytes / bw + 2 * latency
-    t_rdma_overlap = t1_sweep_s + 2 * latency
+    t_rdma = (t1_sweep_s + halo_bytes / bw + MEASURED_RDMA_PROTOCOL_3D_S
+              + 2 * latency)
+    t_rdma_overlap = t1_sweep_s + MEASURED_RDMA_PROTOCOL_3D_S + 2 * latency
     return {"n": n, "ndev": ndev, "planes_per_device": nl,
             "t_sweep_per_pass_us": t_pp * 1e6,
             "t_sweep_rdma_us": t_rdma * 1e6,

@@ -148,18 +148,22 @@ def test_hlo_counter_ignores_noise():
 
 
 def test_trigger_loop_model_structure():
-    """The whole-loop RDMA trigger prediction: gain > 1 everywhere (it
-    deletes dispatch + one collective latency per sweep, never adds
-    cost), decays toward 1 as the per-shard sweep grows HBM-bound, and
-    the overlap bound always dominates the serialized form."""
+    """The whole-loop RDMA trigger prediction with the MEASURED constants
+    (exp_rdma_calibrate.py): gain > 1 everywhere (it deletes the per-pass
+    fixed overhead + one collective latency per sweep, never adds cost).
+    Since calibration the per-pass overhead grows with the shard size
+    (~1.1 µs/MB DMA ramp), so the serialized gain is roughly FLAT in n —
+    only the overlap bound (which additionally hides the wire term)
+    decays toward 1 as sweeps grow HBM-bound."""
     rows = [sm.trigger_loop_model(n, 8) for n in (1025, 4097, 8193)]
     for r in rows:
-        assert r["predicted_gain"] > 1.0
+        assert 1.0 < r["predicted_gain"] < 1.5
         assert r["predicted_gain_overlap"] > r["predicted_gain"]
         assert r["t_sweep_rdma_overlap_us"] < r["t_sweep_rdma_us"] \
             < r["t_sweep_per_pass_us"]
-    gains = [r["predicted_gain"] for r in rows]
-    assert gains[0] > gains[1] > gains[2]
-    # a measured per-sweep time overrides the HBM-roofline default
+    og = [r["predicted_gain_overlap"] for r in rows]
+    assert og[0] > og[1] > og[2]
+    # a measured per-sweep time overrides the HBM-roofline default:
+    # overlap = t1 + measured protocol (0.81 us) + 2 ICI hops (3.0 us)
     m = sm.trigger_loop_model(4097, 8, t1_sweep_s=100e-6)
-    assert abs(m["t_sweep_rdma_overlap_us"] - 103.0) < 0.5
+    assert abs(m["t_sweep_rdma_overlap_us"] - 103.81) < 0.1

@@ -109,14 +109,16 @@ def test_predicted_tables():
 
 
 def test_trigger_loop_model3_structure():
-    """3-D whole-loop RDMA trigger prediction mirrors the 2-D structure:
-    gain > 1, decaying as the per-shard sweep grows HBM-bound; overlap
-    bound dominates."""
+    """3-D whole-loop RDMA trigger prediction mirrors the calibrated 2-D
+    structure: gain > 1 and roughly flat in n (the measured per-pass
+    overhead grows with shard size); the overlap bound dominates and
+    decays toward 1 as sweeps grow HBM-bound."""
     rows = [sm3.trigger_loop_model3(n, 8) for n in (129, 257, 513)]
     for r in rows:
-        assert r["predicted_gain"] > 1.0
+        assert 1.0 < r["predicted_gain"] < 1.5
         assert r["predicted_gain_overlap"] > r["predicted_gain"]
-    gains = [r["predicted_gain"] for r in rows]
-    assert gains[0] > gains[1] > gains[2]
+    og = [r["predicted_gain_overlap"] for r in rows]
+    assert og[0] > og[1] > og[2]
+    # overlap = t1 + measured 3-D protocol (0.64 us) + 2 ICI hops (3.0 us)
     m = sm3.trigger_loop_model3(257, 8, t1_sweep_s=100e-6)
-    assert abs(m["t_sweep_rdma_overlap_us"] - 103.0) < 0.5
+    assert abs(m["t_sweep_rdma_overlap_us"] - 103.64) < 0.1
