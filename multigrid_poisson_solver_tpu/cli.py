@@ -56,9 +56,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Jacobi damping factor (reference: 1.0; 0.8 converges deeper)")
     p.add_argument("--repeat", type=int, default=1,
                    help="run the schedule this many times (warm restart chaining)")
-    p.add_argument("--trigger-batch", type=int, default=1,
-                   help="trigger sweeps fused per HBM pass (>1 overshoots "
-                        "the stop point by up to batch-1 sweeps; see "
+    p.add_argument("--trigger-batch", default="auto",
+                   type=lambda s: s if s == "auto" else int(s),
+                   help="trigger sweeps fused per HBM pass: 'auto' "
+                        "(default; exact per-sweep warmup, then batched "
+                        "only in the many-sweep regime), 1 (always exact), "
+                        "or >1 (always batched — overshoots the stop point "
+                        "by up to batch-1 sweeps; see "
                         "SolverConfig.trigger_batch)")
     p.add_argument("--kernels", default="auto",
                    choices=["auto", "pallas", "xla"],

@@ -355,7 +355,8 @@ def _trigger_smooth_traced(u, f, h, n: int, cfg: SolverConfig, policy=None):
                                         cfg.compat_error, max_sweeps,
                                         interpret=_pallas_interpret())
 
-    if fuse_err and cfg.trigger_batch > 1 and cfg.smoother == "jacobi":
+    if (fuse_err and isinstance(cfg.trigger_batch, int)
+            and cfg.trigger_batch > 1 and cfg.smoother == "jacobi"):
         from .ops.pallas_kernels import (errs_sweep_cap,
                                          fused_jacobi_errs_padded)
         from .parallel.pallas_shard import sharded_fused_jacobi_errs
@@ -459,8 +460,65 @@ def _trigger_smooth_traced(u, f, h, n: int, cfg: SolverConfig, policy=None):
 
     init = (u, err0, jnp.asarray(cfg.trigger + 1.0, err0.dtype),
             jnp.asarray(1, jnp.int32))
-    u, err, _, _ = lax.while_loop(cond, body, init)
-    return u, err
+
+    auto = (cfg.trigger_batch == "auto" and fuse_err
+            and cfg.smoother == "jacobi")
+    if not auto:
+        u, err, _, _ = lax.while_loop(cond, body, init)
+        return u, err
+
+    # AUTO two-phase (VERDICT r4 weak 2): the first 2·B sweeps run the
+    # EXACT per-sweep loop — an early-stopping level (the measured
+    # batch-loses regime) never overshoots and reproduces trigger_batch=1
+    # bit-for-bit. A loop still running after the warmup is in the
+    # many-sweep regime where batch=B measured ~1.4× (BASELINE "3-D fused
+    # error" / exp_trigger_batch.py) — switch to B-sweep batched passes
+    # with the per-iterate error replay of the explicit-batch path.
+    from .ops.pallas_kernels import errs_sweep_cap, fused_jacobi_errs_padded
+    from .parallel.pallas_shard import sharded_fused_jacobi_errs
+    B = errs_sweep_cap(cfg.compat_error)
+    warm = min(2 * B, max_sweeps)
+
+    def cond1(state):
+        _, _, slope, k = state
+        return jnp.logical_and(slope > cfg.trigger, k < warm)
+
+    u1, err1, slope1, k1 = lax.while_loop(cond1, body, init)
+    done = jnp.logical_or(slope1 <= cfg.trigger, k1 >= max_sweeps)
+
+    def batch_step(v, prev):
+        if sharded:
+            v, errs = sharded_fused_jacobi_errs(
+                v, f, n, h, B, cfg.omega, cfg.compat_error, policy,
+                interpret=_pallas_interpret())
+        else:
+            v, errs = fused_jacobi_errs_padded(
+                v, f, n, h, B, omega=cfg.omega, compat=cfg.compat_error,
+                interpret=_pallas_interpret())
+        prevs = jnp.concatenate([prev[None], errs[:-1]])
+        stop = jnp.abs(errs - prevs) <= cfg.trigger
+        found = jnp.any(stop)
+        err = jnp.where(found, errs[jnp.argmax(stop)], errs[-1])
+        return v, errs[-1], found, err
+
+    def phase2(args):
+        v, e1, k = args
+
+        def cond2(state):
+            _, _, found, _, kk = state
+            return jnp.logical_and(jnp.logical_not(found), kk < max_sweeps)
+
+        def body2(state):
+            v, last, _, _, kk = state
+            v, last, found, err = batch_step(v, last)
+            return v, last, found, err, kk + B
+
+        v, last, found, err = batch_step(v, e1)
+        v, _, _, err, _ = lax.while_loop(
+            cond2, body2, (v, last, found, err, k + B))
+        return v, err
+
+    return lax.cond(done, lambda a: (a[0], a[1]), phase2, (u1, err1, k1))
 
 
 def _smooth_traced(u, f, h, n: int, steps: int, cfg: SolverConfig,

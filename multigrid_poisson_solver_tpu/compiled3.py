@@ -250,7 +250,7 @@ def _trace_program3(u, f, *, program: CycleProgram, problem: Problem3D,
                 lu, lf, n, h, cfg.trigger, cfg.omega, compat,
                 max_sweeps, interpret=interp)
 
-        if cfg.trigger_batch > 1:
+        if isinstance(cfg.trigger_batch, int) and cfg.trigger_batch > 1:
             B = min(cfg.trigger_batch, p3k.errs3_sweep_cap(compat))
 
             def batch_step(v, prev):
@@ -302,8 +302,56 @@ def _trace_program3(u, f, *, program: CycleProgram, problem: Problem3D,
 
         init = (u1, err0, jnp.asarray(cfg.trigger + 1.0, err0.dtype),
                 jnp.asarray(1, jnp.int32))
-        u, err, _, _ = jax.lax.while_loop(cond, body, init)
-        return u, err
+
+        if cfg.trigger_batch != "auto":
+            u, err, _, _ = jax.lax.while_loop(cond, body, init)
+            return u, err
+
+        # AUTO two-phase (VERDICT r4 weak 2; the 2-D engine's twin): the
+        # first 2·B sweeps run the exact per-sweep loop — early-stop
+        # levels reproduce trigger_batch=1 bit-for-bit — then a loop
+        # still running switches to B-sweep batched passes (the measured
+        # 1.42× many-sweep win at 513³, BASELINE "3-D fused error").
+        B = p3k.errs3_sweep_cap(compat)
+        warm = min(2 * B, max_sweeps)
+
+        def cond1(state):
+            _, _, slope, k = state
+            return jnp.logical_and(slope > cfg.trigger, k < warm)
+
+        u2, err2, slope2, k2 = jax.lax.while_loop(cond1, body, init)
+        done = jnp.logical_or(slope2 <= cfg.trigger, k2 >= max_sweeps)
+
+        def batch_step(v, prev):
+            v, errs = p3k.fused_jacobi3_errs_padded(
+                v, lf, n, h, B, omega=cfg.omega, compat=compat,
+                interpret=interp)
+            prevs = jnp.concatenate([prev[None], errs[:-1]])
+            stop = jnp.abs(errs - prevs) <= cfg.trigger
+            found = jnp.any(stop)
+            err = jnp.where(found, errs[jnp.argmax(stop)], errs[-1])
+            return v, errs[-1], found, err
+
+        def phase2(args):
+            v, e1, k = args
+
+            def cond2(state):
+                _, _, found, _, kk = state
+                return jnp.logical_and(jnp.logical_not(found),
+                                       kk < max_sweeps)
+
+            def body2(state):
+                v, last, _, _, kk = state
+                v, last, found, err = batch_step(v, last)
+                return v, last, found, err, kk + B
+
+            v, last, found, err = batch_step(v, e1)
+            v, _, _, err, _ = jax.lax.while_loop(
+                cond2, body2, (v, last, found, err, k + B))
+            return v, err
+
+        return jax.lax.cond(done, lambda a: (a[0], a[1]), phase2,
+                            (u2, err2, k2))
 
     def zeros_level(n):
         if use_pallas:

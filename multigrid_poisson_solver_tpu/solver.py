@@ -64,12 +64,21 @@ class SolverConfig:
                                       # sweep, MG_solver_GPU.cu:633)
     trigger: float = TRIGGER_DEFAULT  # |Δerr| threshold for step == -1
     max_trigger_sweeps: int = 100_000
-    trigger_batch: int = 1            # trigger sweeps fused per HBM pass
-                                      # (compiled Pallas path only). > 1 cuts
-                                      # passes ~batch×, but overshoots the
-                                      # reference's stop point by up to
-                                      # batch−1 sweeps — an intentional
-                                      # semantics trade, off by default
+    trigger_batch: Any = "auto"       # trigger sweeps fused per HBM pass
+                                      # (compiled Pallas path only). int > 1:
+                                      # always batch (cuts passes ~batch× but
+                                      # overshoots the reference's stop point
+                                      # by up to batch−1 sweeps). int 1:
+                                      # always exact per-sweep. "auto"
+                                      # (default, round 5): the first
+                                      # 2·batch-cap sweeps run EXACTLY, then
+                                      # a still-running loop switches to
+                                      # batched passes — early-stop levels
+                                      # keep reference semantics bit-exactly,
+                                      # many-sweep regimes get the measured
+                                      # ~1.4× (BASELINE "3-D fused error");
+                                      # engages only where no whole-loop
+                                      # kernel tier supersedes it
     coarse_gs_norm: str = "interior"  # "interior" (CPU ref) | "full" (GPU ref)
     collect_node_stats: bool = True   # pull per-node scalars to host (off for benches)
     kernels: str = "auto"             # "auto" | "pallas" | "xla" — hot-path kernel

@@ -183,3 +183,45 @@ def test_trigger_watchdog_cap():
     # the guard is a TPU-watchdog workaround: non-TPU backends never clamp
     # a user-configured cap (ADVICE r3)
     assert effective_trigger_cap(100_000, 8193, platform="cpu") == 100_000
+
+
+def test_trigger_auto_batch(monkeypatch):
+    """trigger_batch="auto" (round 5 default), 2-D: with the whole-loop
+    kernel tiers masked off so the per-sweep tail runs, early-stop
+    triggers reproduce trigger_batch=1 exactly and long-running triggers
+    converge like the unbatched loop with only extra smoothing."""
+    import numpy as np
+
+    from multigrid_poisson_solver_tpu.ops import pallas_chain as chain
+
+    monkeypatch.setattr(chain, "trigger_fits", lambda *a, **k: False)
+    monkeypatch.setattr(chain, "trigger_stream_fits", lambda *a, **k: False)
+    program = mg.v_cycle(65, n_min=9, steps=-1, coarse_option=0)
+
+    def run(cfg):
+        eng = mg.compile_program(program, mg.REFERENCE_PROBLEM, cfg,
+                                 donate=False)
+        u, f = eng.init()
+        u1, err = eng(u, f)
+        return np.asarray(eng.unpad(u1)), float(err), eng
+
+    # early-stop: must match batch=1 bit-for-bit (phase 1 IS that loop)
+    cfg = dict(omega=0.8, kernels="pallas", collect_node_stats=False)
+    u_auto, e_auto, _ = run(mg.SolverConfig(trigger=3e-2,
+                                            trigger_batch="auto", **cfg))
+    u_one, e_one, _ = run(mg.SolverConfig(trigger=3e-2, trigger_batch=1,
+                                          **cfg))
+    np.testing.assert_array_equal(u_auto, u_one)
+    assert e_auto == e_one
+
+    # many-sweep: phase 2 batches; same quality, never less smoothing
+    u_auto, e_auto, eng = run(mg.SolverConfig(trigger=1e-5,
+                                              trigger_batch="auto", **cfg))
+    u_one, e_one, _ = run(mg.SolverConfig(trigger=1e-5, trigger_batch=1,
+                                          **cfg))
+    spec = eng.finest_spec
+    ana = mg.REFERENCE_PROBLEM.analytic_grid(spec, jnp.float32)
+    q_auto = float(jnp.mean(jnp.abs(jnp.asarray(u_auto) - ana)))
+    q_one = float(jnp.mean(jnp.abs(jnp.asarray(u_one) - ana)))
+    assert q_auto == pytest.approx(q_one, rel=0.05)
+    assert e_auto <= e_one * 1.05

@@ -193,3 +193,43 @@ def test_trigger_batch3_gpu_metric():
     e4, q4 = results[4]
     assert q4 == pytest.approx(q1, rel=0.05)
     assert e4 <= e1 * 1.05
+
+
+def test_trigger_auto_batch3(monkeypatch):
+    """trigger_batch="auto" (round 5 default): with the whole-loop kernel
+    tiers masked off (so the per-sweep tail actually runs), an
+    early-stopping trigger reproduces trigger_batch=1 EXACTLY (phase 1 is
+    the same loop), and a long-running trigger converges like the
+    unbatched loop with only extra smoothing (the batched phase 2)."""
+    from multigrid_poisson_solver_tpu.ops import pallas3d as p3k
+
+    monkeypatch.setattr(p3k, "trigger3_fits", lambda *a, **k: False)
+    monkeypatch.setattr(p3k, "trigger3_stream_fits",
+                        lambda *a, **k: False)
+    program = mg.v_cycle(65, n_min=5, steps=-1, coarse_target=1e-8,
+                         coarsen=3)
+
+    def run(cfg):
+        cc = compile_program3(program, p3.REFERENCE_PROBLEM_3D, cfg)
+        u, f = cc.init()
+        u1, err = cc(u, f)
+        return np.asarray(u1), float(err)
+
+    # early-stop regime: loose trigger stops within the 2B warmup -> the
+    # auto path never enters phase 2 and must match batch=1 bit-for-bit
+    # (3e-2 still outlives the warmup at this 65-cubed config — 0.5 stops
+    # every level at the first tested slope)
+    u_auto, e_auto = run(_cfg_pallas(trigger=0.5, trigger_batch="auto"))
+    u_one, e_one = run(_cfg_pallas(trigger=0.5, trigger_batch=1))
+    np.testing.assert_array_equal(u_auto, u_one)
+    assert e_auto == e_one
+
+    # many-sweep regime: tight trigger outlives the warmup -> phase 2
+    # batches; same solution quality, never less smoothing
+    u_auto, e_auto = run(_cfg_pallas(trigger=1e-4, trigger_batch="auto"))
+    u_one, e_one = run(_cfg_pallas(trigger=1e-4, trigger_batch=1))
+    ana = p3.REFERENCE_PROBLEM_3D.analytic_grid(65, jnp.float32)
+    q_auto = float(jnp.mean(jnp.abs(jnp.asarray(u_auto) - ana)))
+    q_one = float(jnp.mean(jnp.abs(jnp.asarray(u_one) - ana)))
+    assert q_auto == pytest.approx(q_one, rel=0.05)
+    assert e_auto <= e_one * 1.05
