@@ -27,6 +27,20 @@ simulated, data races detected); Mosaic lowering compile-checked on real
 hardware with a 1-device mesh (tests/test_rdma.py, examples/exp_rdma_tpu.py).
 Multi-chip wall-clock gains need real multi-chip hardware (ROADMAP item 6).
 
+Scope (round 5): ``halo="rdma"`` covers the 1-D ROW policy (2-D smoother +
+whole-loop trigger) and the 3-D z-plane trigger. The 2-D BLOCK policy's
+128-lane column halos stay on the ppermute path — a DELIBERATE deferral,
+not a hardware limit: the lane-direction DMA granularity law was probed on
+hardware (examples/exp_lane_dma_probe.py, 2026-08-20) and (rows, 128)
+lane slabs at ×128 offsets DMA fine (sub-128 widths and misaligned
+offsets are rejected at lowering — the ×128 twin of the 8-row row law).
+What a block-policy RDMA would additionally need is a 2-D ring protocol
+(row + column neighbors) with a two-phase exchange so corner cells of the
+k-sweep halo region arrive transitively (the ppermute path gets this by
+exchanging the already-row-extended block). Modeled value is ~1.5% of a
+cycle at 8 chips (ROADMAP) — below the complexity bar while real
+multi-chip wall-clock remains unmeasurable; revisit with hardware.
+
 Protocol notes:
   * a neighbor BARRIER (``get_barrier_semaphore`` + gated signal/wait) opens
     the kernel: nobody writes into a neighbor's halo buffers until that
