@@ -100,6 +100,18 @@ _SWEEP3_FORM = os.environ.get("MG_SWEEP3_FORM", "oct")
 # known compiler-killer past ~30 planes.
 
 
+def _sweep_blk() -> int:
+    """Output-plane block size of the current _SWEEP3_FORM (1 = no
+    blocking: reread/carry)."""
+    if _SWEEP3_FORM in ("reread", "carry"):
+        return 1
+    b = {"pair": 2, "quad": 4, "oct": 8}.get(_SWEEP3_FORM, None)
+    if b is None:
+        assert _SWEEP3_FORM.startswith("blk"), _SWEEP3_FORM
+        b = int(_SWEEP3_FORM[3:])
+    return b
+
+
 def _plane_sweep(rd, wr_, ab, fc, zs: int, rs: int, cp: int):
     """One Jacobi sweep over the brick interior: u' = u + A·(Σnb − 6u) − C.
 
@@ -1846,57 +1858,112 @@ def _trigger3_vmem_kernel(u_hbm, f_hbm, out_hbm, stat_smem, A, B, FC, sem, *,
         v = jnp.abs(val).astype(jnp.float32)
         return gate * jnp.sum(jnp.where(ok2d, v, jnp.zeros_like(v)))
 
-    def step():
-        """One sweep A → B (+ metric), then copy back B → A; returns the
-        new iterate's metric."""
-        B[0] = A[0]
-        B[_i32(nz - 1)] = A[_i32(nz - 1)]
+    blk = _sweep_blk()
+    nblk = (nz - 2) // blk if blk > 1 else 0
 
-        def plane(t, acc):
-            u = A[t]
-            nb = _nb_sum(u, rp, cp) + A[t - 1] + A[t + 1] - 6.0 * u
+    def step(S, D):
+        """One sweep S → D (+ metric of the new iterate in D); returns the
+        metric. No copy-back: the caller alternates (A,B)/(B,A) by sweep
+        PARITY — removing the per-sweep nz-plane copy is FP-neutral, so
+        iterates/metrics stay bit-identical to the copy-back form.
+        Interior loops use the multi-output-plane blocking of _plane_sweep
+        (same per-plane expressions and the same ascending accumulation
+        order — bit-identical to the plain loop)."""
+        D[0] = S[0]
+        D[_i32(nz - 1)] = S[_i32(nz - 1)]
+
+        def upd_one(t, acc, um, u, up):
+            nb = _nb_sum(u, rp, cp) + um + up - 6.0 * u
             unew = u + ap(t) * nb - FC[t]
-            B[t] = unew
+            D[t] = unew
             if compat == "gpu":
                 acc = acc + masked_plane_sum(t, unew - u)
             return acc
 
-        raw = jax.lax.fori_loop(_i32(1), _i32(nz - 1), plane,
-                                jnp.zeros((), jnp.float32), unroll=False)
+        if blk > 1:
+            def plane_blk(i, acc):
+                t = _i32(1) + _i32(blk) * _i32(i)
+                us = [S[t + _i32(d)] for d in range(-1, blk + 1)]
+                for d in range(blk):
+                    acc = upd_one(t + _i32(d), acc, us[d], us[d + 1],
+                                  us[d + 2])
+                return acc
+
+            raw = jax.lax.fori_loop(_i32(0), _i32(nblk), plane_blk,
+                                    jnp.zeros((), jnp.float32),
+                                    unroll=False)
+            for t_ in range(1 + nblk * blk, nz - 1):        # static tail
+                t = _i32(t_)
+                raw = upd_one(t, raw, S[t - 1], S[t], S[t + 1])
+        else:
+            def plane(t, acc):
+                return upd_one(t, acc, S[t - 1], S[t], S[t + 1])
+
+            raw = jax.lax.fori_loop(_i32(1), _i32(nz - 1), plane,
+                                    jnp.zeros((), jnp.float32),
+                                    unroll=False)
 
         if compat != "gpu":
             # clean metric of the NEW iterate: extra in-VMEM sweep Δ
-            def rplane(t, acc):
-                u = B[t]
-                nb = _nb_sum(u, rp, cp) + B[t - 1] + B[t + 1] - 6.0 * u
+            def racc_one(t, acc, um, u, up):
+                nb = _nb_sum(u, rp, cp) + um + up - 6.0 * u
                 return acc + masked_plane_sum(t, ap(t) * nb - FC[t])
 
-            raw = jax.lax.fori_loop(_i32(1), _i32(nz - 1), rplane,
-                                    jnp.zeros((), jnp.float32), unroll=False)
+            if blk > 1:
+                def rplane_blk(i, acc):
+                    t = _i32(1) + _i32(blk) * _i32(i)
+                    us = [D[t + _i32(d)] for d in range(-1, blk + 1)]
+                    for d in range(blk):
+                        acc = racc_one(t + _i32(d), acc, us[d], us[d + 1],
+                                       us[d + 2])
+                    return acc
 
+                raw = jax.lax.fori_loop(_i32(0), _i32(nblk), rplane_blk,
+                                        jnp.zeros((), jnp.float32),
+                                        unroll=False)
+                for t_ in range(1 + nblk * blk, nz - 1):
+                    t = _i32(t_)
+                    raw = racc_one(t, raw, D[t - 1], D[t], D[t + 1])
+            else:
+                def rplane(t, acc):
+                    return racc_one(t, acc, D[t - 1], D[t], D[t + 1])
+
+                raw = jax.lax.fori_loop(_i32(1), _i32(nz - 1), rplane,
+                                        jnp.zeros((), jnp.float32),
+                                        unroll=False)
+
+        return raw * jnp.float32(scale)
+
+    err0 = step(A, B)                    # iterate 1 lands in B (parity 1)
+
+    def cond(carry):
+        _, slope, k, _ = carry
+        return jnp.logical_and(slope > trigger, k < max_sweeps)
+
+    def body(carry):
+        prev, _, k, par = carry
+        # parity selects the sweep direction; both branches write disjoint
+        # destinations, so the cond is side-effect-safe
+        err = jax.lax.cond(par == 1, lambda: step(B, A),
+                           lambda: step(A, B))
+        return err, jnp.abs(err - prev), k + 1, 1 - par
+
+    err, _, k, par = jax.lax.while_loop(
+        cond, body,
+        (err0, jnp.float32(trigger + 1.0), jnp.int32(1), jnp.int32(1)))
+    stat_smem[0, 0] = err
+    stat_smem[0, 1] = k.astype(jnp.float32)
+
+    # final iterate is in B when parity is odd — normalize once at exit
+    # (the copy-back form paid this every sweep)
+    @pl.when(par == 1)
+    def _():
         def copy_back(t, c):
             A[t] = B[t]
             return c
 
         jax.lax.fori_loop(_i32(0), _i32(nz), copy_back, _i32(0),
                           unroll=False)
-        return raw * jnp.float32(scale)
-
-    err0 = step()
-
-    def cond(carry):
-        _, slope, k = carry
-        return jnp.logical_and(slope > trigger, k < max_sweeps)
-
-    def body(carry):
-        prev, _, k = carry
-        err = step()
-        return err, jnp.abs(err - prev), k + 1
-
-    err, _, k = jax.lax.while_loop(
-        cond, body, (err0, jnp.float32(trigger + 1.0), jnp.int32(1)))
-    stat_smem[0, 0] = err
-    stat_smem[0, 1] = k.astype(jnp.float32)
 
     cp_out = pltpu.make_async_copy(A, out_hbm, sem)
     cp_out.start()
