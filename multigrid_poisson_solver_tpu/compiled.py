@@ -463,6 +463,13 @@ def _trigger_smooth_traced(u, f, h, n: int, cfg: SolverConfig, policy=None):
 
     auto = (cfg.trigger_batch == "auto" and fuse_err
             and cfg.smoother == "jacobi")
+    if auto and sharded:
+        # a sharded level auto-batches only where its single-chip twin
+        # would too (above the whole-loop kernel tiers) — the sharded run
+        # must not silently trade the exact stop semantics the unsharded
+        # engine keeps (cross-policy bit-match contract)
+        from .ops.pallas_chain import trigger_fits, trigger_stream_fits
+        auto = not (trigger_fits(n) or trigger_stream_fits(n))
     if not auto:
         u, err, _, _ = lax.while_loop(cond, body, init)
         return u, err

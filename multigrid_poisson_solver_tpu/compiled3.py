@@ -227,10 +227,77 @@ def _trace_program3(u, f, *, program: CycleProgram, problem: Problem3D,
                 v2, err = one_sharded(v)
                 return v2, err, jnp.abs(err - prev), k + 1
 
-            u_out, err, _, _ = jax.lax.while_loop(
-                scond, sbody, (u1, err0,
-                               jnp.asarray(cfg.trigger + 1.0, err0.dtype),
-                               jnp.asarray(1, jnp.int32)))
+            init_s = (u1, err0, jnp.asarray(cfg.trigger + 1.0, err0.dtype),
+                      jnp.asarray(1, jnp.int32))
+
+            # batched sharded passes (round 5): per-iterate metric partials
+            # from sharded_fused_jacobi3_errs; the batch's steps(+1 clean)
+            # halo ring must fit the planes/device ppermute bound. AUTO
+            # additionally engages only at sizes where the UNSHARDED
+            # engine would also auto-batch (above the whole-loop kernel
+            # tiers) — a sharded run must not silently trade the exact
+            # stop semantics its single-chip twin keeps (the cross-policy
+            # bit-match contract, tests/test_compiled3_policy.py)
+            nl_ = policy.padded_depth(n) // policy.n_devices
+            B = min(cfg.trigger_batch
+                    if isinstance(cfg.trigger_batch, int)
+                    else p3k.errs3_sweep_cap(compat),
+                    p3k.errs3_sweep_cap(compat))
+            while B > 1 and (B if compat == "gpu" else B + 1) > nl_:
+                B -= 1
+            auto_ok = not (p3k.trigger3_fits(n)
+                           or p3k.trigger3_stream_fits(n))
+
+            def sbatch_step(v, prev):
+                v, errs = ps3.sharded_fused_jacobi3_errs(
+                    v, lf, n, h, B, cfg.omega, compat, policy.mesh,
+                    policy.axis_name, interpret=interp)
+                v = cz(v, n)
+                prevs = jnp.concatenate([prev[None], errs[:-1]])
+                stop = jnp.abs(errs - prevs) <= cfg.trigger
+                found = jnp.any(stop)
+                err = jnp.where(found, errs[jnp.argmax(stop)], errs[-1])
+                return v, errs[-1], found, err
+
+            def sbatched_from(v, e1, k):
+                def cond2(state):
+                    _, _, found, _, kk = state
+                    return jnp.logical_and(jnp.logical_not(found),
+                                           kk < max_sweeps)
+
+                def body2(state):
+                    v, last, _, _, kk = state
+                    v, last, found, err = sbatch_step(v, last)
+                    return v, last, found, err, kk + B
+
+                v, last, found, err = sbatch_step(v, e1)
+                v, _, _, err, _ = jax.lax.while_loop(
+                    cond2, body2, (v, last, found, err, k + B))
+                return v, err
+
+            if (isinstance(cfg.trigger_batch, int)
+                    and cfg.trigger_batch > 1 and B > 1):
+                # explicit batch: always-batched (overshoot semantics)
+                return sbatched_from(u1, err0, jnp.asarray(1, jnp.int32))
+
+            if cfg.trigger_batch == "auto" and B > 1 and auto_ok:
+                # auto two-phase: exact per-sweep warmup, batch only a
+                # loop that outlives it (the unsharded tail's twin)
+                warm = min(2 * B, max_sweeps)
+
+                def cond1(state):
+                    _, _, slope, k = state
+                    return jnp.logical_and(slope > cfg.trigger, k < warm)
+
+                u2, err2, slope2, k2 = jax.lax.while_loop(
+                    cond1, sbody, init_s)
+                done = jnp.logical_or(slope2 <= cfg.trigger,
+                                      k2 >= max_sweeps)
+                return jax.lax.cond(
+                    done, lambda a: (a[0], a[1]),
+                    lambda a: sbatched_from(*a), (u2, err2, k2))
+
+            u_out, err, _, _ = jax.lax.while_loop(scond, sbody, init_s)
             return u_out, err
 
         if p3k.trigger3_fits(n):

@@ -286,6 +286,48 @@ def sharded_fused_jacobi3_err(u, f, n: int, h: float, steps: int,
                      out_specs=(spec, P()), check_vma=False)(u, f)
 
 
+@partial(jax.jit, static_argnames=("n", "h", "steps", "omega", "compat",
+                                   "mesh", "axis_name", "interpret"))
+def sharded_fused_jacobi3_errs(u, f, n: int, h: float, steps: int,
+                               omega: float, compat, mesh: Mesh,
+                               axis_name: str = Z_AXIS,
+                               interpret: bool = False):
+    """Sharded twin of ops.pallas3d.fused_jacobi3_errs_padded: ONE fused
+    per-shard pass emitting the metric of EVERY iterate u_1..u_steps
+    (trigger batching), partials psum-reduced over the z axis — the 3-D
+    member of parallel.pallas_shard.sharded_fused_jacobi_errs. The clean
+    metric's extra in-VMEM residual sweep needs a steps+1 halo ring, so
+    shards must carry at least that many planes."""
+    from ..ops.pallas3d import errs3_sweep_cap
+
+    _check_shape(u, n, mesh, axis_name)
+    err_mode = "gpu" if compat == "gpu" else "clean"
+    assert 1 <= steps <= errs3_sweep_cap(compat)
+    ndev = mesh.shape[axis_name]
+    nl = u.shape[0] // ndev
+    ext = steps if err_mode == "gpu" else steps + 1
+    assert ext <= nl, (
+        f"batched sharded trigger needs {ext} halo planes <= {nl} "
+        f"planes/device (shrink the batch or the ring)")
+
+    def body(u_loc, f_loc):
+        nz_loc = u_loc.shape[0]
+        zi = lax.axis_index(axis_name)
+        zoff = (zi * nz_loc - ext).astype(jnp.int32).reshape(1)
+        u_e = _extend_planes(u_loc, axis_name, ext)
+        f_e = _extend_planes(f_loc, axis_name, ext)
+        out, raws = _fused_jacobi3_shard_call(
+            zoff, u_e, f_e, n, h, steps, omega, ext_z=ext,
+            from_zero=False, interpret=interpret, err_mode=err_mode,
+            per_sweep=True)
+        return out, lax.psum(raws, axis_name)
+
+    spec = P(axis_name, None, None)
+    u_new, raws = shard_map(body, mesh=mesh, in_specs=(spec, spec),
+                            out_specs=(spec, P()), check_vma=False)(u, f)
+    return u_new, (raws / jnp.float32(n) ** 3).astype(u.dtype)
+
+
 @partial(jax.jit, static_argnames=("n", "h", "steps", "omega", "mesh",
                                    "axis_name", "from_zero", "negate",
                                    "interpret"))
@@ -612,7 +654,7 @@ def v_cycle3_sharded(u, f, n: int, h: float, mesh: Mesh,
 
 __all__ = ["make_mesh_z", "z_sharding", "padded_depth3", "sharded_shape3",
            "pad_planes3", "ZShardingPolicy3", "sharded_fused_jacobi3",
-           "sharded_fused_jacobi3_err",
+           "sharded_fused_jacobi3_err", "sharded_fused_jacobi3_errs",
            "sharded_fused_ascend3", "sharded_fused_descend3",
            "sharded_residual3_pallas", "sharded_smooth_residual3",
            "rdma_fused_trigger3", "v_cycle3_sharded", "Z_AXIS"]

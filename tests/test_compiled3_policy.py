@@ -195,3 +195,51 @@ def test_sharded_fused_ascend3_err(mesh):
             interpret=True)
     np.testing.assert_array_equal(np.asarray(got)[:n], np.asarray(want))
     assert float(graw) == pytest.approx(float(wraw), rel=5e-6)
+
+
+@pytest.mark.parametrize("steps,compat", [(3, "clean"), (4, "gpu")])
+def test_sharded_fused_jacobi3_errs(mesh, steps, compat):
+    """Round 5: the batched-trigger sharded kernel — per-iterate metric
+    partials from ONE per-shard pass. u bit-matches the unsharded batched
+    kernel (same chunking); the psum'd errs vector to fp32 reassociation."""
+    n = 33
+    h = 1.0 / (n - 1)
+    prob = p3.REFERENCE_PROBLEM_3D
+    f = (prob.source_grid(n) + prob.boundary_grid(n)).astype(jnp.float32)
+    u = (prob.boundary_grid(n) + 0.01 * f).astype(jnp.float32)
+    up, fp = pk3.pad_grid3(u), pk3.pad_grid3(f)
+    want, werrs = pk3.fused_jacobi3_errs_padded(up, fp, n, h, steps,
+                                                compat=compat,
+                                                interpret=True)
+    us = jax.device_put(ps3.pad_planes3(up, NDEV), ps3.z_sharding(mesh))
+    fs = jax.device_put(ps3.pad_planes3(fp, NDEV), ps3.z_sharding(mesh))
+    with mesh:
+        got, gerrs = ps3.sharded_fused_jacobi3_errs(
+            us, fs, n, h, steps, 6.0 / 7.0, compat, mesh, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got)[:n], np.asarray(want))
+    assert not np.asarray(got)[n:].any()
+    np.testing.assert_allclose(np.asarray(gerrs), np.asarray(werrs),
+                               rtol=5e-6)
+
+
+@pytest.mark.parametrize("batch", [1, 4, "auto"])
+def test_sharded_trigger_batch3(mesh, policy, batch, monkeypatch):
+    """Engine-level: z-sharded trigger schedule under trigger_batch in
+    {1, 4, auto} — same solution quality. The whole-loop tiers are masked
+    so "auto" actually reaches its two-phase branch (by default sharded
+    auto engages only where the unsharded engine would also batch —
+    test_policy_trigger pins that cross-policy exactness)."""
+    monkeypatch.setattr(pk3, "trigger3_fits", lambda *a, **k: False)
+    monkeypatch.setattr(pk3, "trigger3_stream_fits", lambda *a, **k: False)
+    n = 65
+    program = mg.v_cycle(n, n_min=5, steps=-1, coarse_target=1e-8,
+                         coarsen=3)
+    prob = p3.REFERENCE_PROBLEM_3D
+    cfg = _cfg(trigger=1e-3, trigger_batch=batch, max_trigger_sweeps=40)
+    with mesh:
+        cc = compile_program3(program, prob, cfg, policy=policy)
+        u, f = cc.init()
+        u1, err = cc(u, f)
+    q = float(jnp.mean(jnp.abs(u1 - prob.analytic_grid(n))))
+    assert q < 2e-3                      # C·h² at n=65
+    assert float(err) >= 0.0
