@@ -66,8 +66,35 @@ def worker(pid: int, nproc: int, port: int, out: str, local_devs: int):
     rep = jax.jit(lambda x: x[:N, :N],
                   out_shardings=NamedSharding(mesh, P()))(u)
     sol = np.asarray(jax.device_get(rep.addressable_data(0)))
+
+    # --- 3-D: the z-plane-sharded cycle over ALL devices (a 1-D ring that
+    # --- CROSSES the process boundary — each process owns half the z
+    # --- planes; GSPMD kernels, real inter-process collectives)
+    from multigrid_poisson_solver_tpu.compiled3 import compile_program3
+    from multigrid_poisson_solver_tpu.models import poisson3d as p3
+    from multigrid_poisson_solver_tpu.parallel import pallas_shard3 as ps3
+    from multigrid_poisson_solver_tpu.solver import SolverConfig
+
+    n3 = 65
+    mesh_z = ps3.make_mesh_z(jax.devices())
+    zpol = ps3.ZShardingPolicy3(mesh_z, threshold_planes=8)
+    assert zpol.is_sharded(n3)
+    prog3 = mg.v_cycle(n3, n_min=5, steps=3, coarse_target=1e-8, coarsen=3)
+    with mesh_z:
+        cc3 = compile_program3(prog3, p3.REFERENCE_PROBLEM_3D,
+                               SolverConfig(omega=6.0 / 7.0,
+                                            kernels="xla",
+                                            collect_node_stats=False),
+                               policy=zpol)
+        u3, f3 = cc3.init()
+        o3, err3 = cc3(u3, f3)
+    rep3 = jax.jit(lambda x: x,
+                   out_shardings=NamedSharding(mesh_z, P()))(o3)
+    sol3 = np.asarray(jax.device_get(rep3.addressable_data(0)))
+
     if pid == 0:
-        np.savez(out, sol=sol, err=float(err))
+        np.savez(out, sol=sol, err=float(err), sol3=sol3,
+                 err3=float(err3))
     # rendezvous so the coordinator does not tear down before savez
     from jax.experimental import multihost_utils
     multihost_utils.sync_global_devices("exp_multihost_cpu_done")
@@ -117,9 +144,14 @@ def main():
         r, m = np.load(ref), np.load(multi)
         md = float(np.max(np.abs(r["sol"] - m["sol"])))
         de = abs(float(r["err"]) - float(m["err"]))
+        md3 = float(np.max(np.abs(r["sol3"] - m["sol3"])))
+        de3 = abs(float(r["err3"]) - float(m["err3"]))
         print(json.dumps({"maxdiff_sol": md, "diff_err": de,
-                          "err": float(m["err"])}), flush=True)
+                          "err": float(m["err"]),
+                          "maxdiff_sol3": md3, "diff_err3": de3,
+                          "err3": float(m["err3"])}), flush=True)
         assert md == 0.0 and de == 0.0, (md, de)
+        assert md3 == 0.0 and de3 == 0.0, (md3, de3)
         print("[launcher] MULTI-PROCESS RUN BIT-MATCHES SINGLE-PROCESS",
               flush=True)
 
