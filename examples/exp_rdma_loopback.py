@@ -55,7 +55,7 @@ def _run(interpret: bool):
     from multigrid_poisson_solver_tpu.ops.pallas_rdma import (
         HALO, _rdma_jacobi_shard_call, _rdma_trigger_shard_call)
     from multigrid_poisson_solver_tpu.ops.pallas_rdma3 import (
-        _rdma_trigger3_shard_call)
+        _rdma_jacobi3_shard_call, _rdma_trigger3_shard_call)
 
     (meta, u2, f2, n2), (u3, f3, n3) = _cases()
     NDEV = 4                       # phantom ring size (emits a >=3 all-to-all)
@@ -99,8 +99,21 @@ def _run(interpret: bool):
                                out_specs=(P(), P()),
                                check_vma=False)(u3, f3)
 
+    # the round-5 halo-overlap 3-D SMOOTHER (err-fused pass): interior
+    # bricks smooth while the plane halo DMAs ride the wires
+    def body3s(u_loc, f_loc):
+        return _rdma_jacobi3_shard_call(
+            u_loc, f_loc, n3, 1.0 / (n3 - 1), 3, 0.8, ndev=NDEV,
+            interpret=interpret, axis_name="z", err_mode="clean",
+            loopback=True)
+
+    with mesh3:
+        out3s, err3s = shard_map(body3s, mesh=mesh3, in_specs=(P(), P()),
+                                 out_specs=(P(), P()),
+                                 check_vma=False)(u3, f3)
+
     return (np.asarray(out2), float(err2), np.asarray(out3), float(err3),
-            np.asarray(out2s))
+            np.asarray(out2s), np.asarray(out3s), float(err3s))
 
 
 def main():
@@ -108,37 +121,44 @@ def main():
     import jax
     if phase == "cpu":
         jax.config.update("jax_platforms", "cpu")
-    out2, err2, out3, err3, out2s = _run(interpret=(phase == "cpu"))
+    (out2, err2, out3, err3, out2s, out3s,
+     err3s) = _run(interpret=(phase == "cpu"))
     import numpy as np
     if phase == "cpu":
         np.savez(REF, out2=out2, err2=err2, out3=out3, err3=err3,
-                 out2s=out2s)
+                 out2s=out2s, out3s=out3s, err3s=err3s)
         print(f"[cpu] interpreter loopback reference saved: "
-              f"err2={err2:.7e} err3={err3:.7e}")
+              f"err2={err2:.7e} err3={err3:.7e} err3s={err3s:.7e}")
         return
     ref = np.load(REF)
     d2 = np.abs(out2 - ref["out2"]).max()
     d3 = np.abs(out3 - ref["out3"]).max()
     d2s = np.abs(out2s - ref["out2s"]).max()
+    d3s = np.abs(out3s - ref["out3s"]).max()
     print(f"[tpu] 2-D loopback: maxdiff {d2:.3e}  err {err2:.7e} "
           f"vs {float(ref['err2']):.7e}")
     print(f"[tpu] 3-D loopback: maxdiff {d3:.3e}  err {err3:.7e} "
           f"vs {float(ref['err3']):.7e}")
     print(f"[tpu] smoother loopback: maxdiff {d2s:.3e}")
+    print(f"[tpu] 3-D smoother loopback: maxdiff {d3s:.3e}  "
+          f"err {err3s:.7e} vs {float(ref['err3s']):.7e}")
     # cross-PLATFORM comparison: XLA:CPU (interpreter) makes graph-
     # dependent FMA-contraction choices, so hardware agrees to ~1 ulp/op,
     # not bitwise (the repo's documented law: pin bit-identity on TPU,
     # tolerances on CPU). Measured 1.2e-7 on O(1) data.
-    tol_ok = (d2 <= 1e-5 and d3 <= 1e-5 and d2s <= 1e-5
+    tol_ok = (d2 <= 1e-5 and d3 <= 1e-5 and d2s <= 1e-5 and d3s <= 1e-5
               and abs(err2 - float(ref["err2"])) <= 1e-4 * abs(err2)
-              and abs(err3 - float(ref["err3"])) <= 1e-4 * abs(err3))
+              and abs(err3 - float(ref["err3"])) <= 1e-4 * abs(err3)
+              and abs(err3s - float(ref["err3s"])) <= 1e-4 * abs(err3s))
     # hardware-internal determinism: the full protocol re-run must be
     # BIT-identical (a halo/all-to-all race would show as run-to-run
     # nondeterminism here)
-    out2b, err2b, out3b, err3b, out2sb = _run(interpret=False)
+    (out2b, err2b, out3b, err3b, out2sb, out3sb,
+     err3sb) = _run(interpret=False)
     det_ok = (np.array_equal(out2, out2b) and np.array_equal(out3, out3b)
               and np.array_equal(out2s, out2sb)
-              and err2 == err2b and err3 == err3b)
+              and np.array_equal(out3s, out3sb)
+              and err2 == err2b and err3 == err3b and err3s == err3sb)
     print(f"[tpu] re-run determinism: "
           f"{'BIT-IDENTICAL' if det_ok else 'NONDETERMINISTIC'}")
     print("PASS" if (tol_ok and det_ok) else "FAIL")

@@ -137,6 +137,21 @@ def _trace_program3(u, f, *, program: CycleProgram, problem: Problem3D,
         if sharded(n):
             if steps == -1:
                 return trigger_p(lu, lf, n, h)
+            if cfg.halo == "rdma" and cfg.smoother == "jacobi":
+                from .ops.pallas_rdma3 import rdma_jacobi3_fits
+                nl = policy.padded_depth(n) // policy.n_devices
+                _, rp_, cp_ = p3k.padded_shape3(n)
+                k1 = min(steps, p3k.MAX_FUSED_SWEEPS_3D, nl)
+                if rdma_jacobi3_fits(nl, rp_, cp_, min(k1, 7),
+                                     jnp.dtype(cfg.dtype).itemsize,
+                                     err=compat != "gpu"):
+                    # in-kernel remote-DMA plane halos: interior bricks
+                    # smooth while the wires are busy (replaces the
+                    # ppermute barrier; iterates bit-match it)
+                    u2, raw = ps3.rdma_fused_jacobi3_err(
+                        lu, lf, n, h, steps, cfg.omega, compat,
+                        policy.mesh, policy.axis_name, interpret=interp)
+                    return cz(u2, n), (raw / (n ** 3)).astype(cfg.dtype)
             u2, raw = ps3.sharded_fused_jacobi3_err(
                 lu, lf, n, h, steps, cfg.omega, compat, policy.mesh,
                 policy.axis_name, interpret=interp)

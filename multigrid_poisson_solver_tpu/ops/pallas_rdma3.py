@@ -325,3 +325,447 @@ def _rdma_trigger3_shard_call(u, f, n: int, h: float, trigger: float,
         interpret=interpret,
     )(u, f)
     return out, stat[0, 0].astype(u.dtype)
+
+
+# --- RDMA halo-overlap SMOOTHER (round 5) -------------------------------------
+#
+# The 3-D member of ops.pallas_rdma._rdma_jacobi_kernel: one fused ≤8-sweep
+# pass on a bare (nl, rp, cp) z-plane shard, exchanging ext-plane u/f halos
+# with the ring neighbors by in-kernel remote DMA and smoothing INTERIOR
+# (z,row) bricks while the wires are busy — only the (at most two) z-edge
+# brick groups wait on the receive semaphores. Replaces the per-pass
+# lax.ppermute BARRIER of parallel.pallas_shard3.sharded_fused_jacobi3:
+# same trapezoid-staleness semantics, bit-matching iterates (per-point
+# expression trees are identical; brick geometry does not reassociate).
+# The predicted 30% wire share of the 8-chip 513³ cycle
+# (utils.scaling_model3, BASELINE "Predicted 3-D z-plane scaling") is
+# exactly this traffic.
+
+RDMA3_BRICK_BUDGET = 40 * 1024 * 1024
+MAX_RDMA3_BRICKS = 32
+
+
+def _rdma_jacobi3_geometry(nl: int, rp: int, cp: int, ext: int,
+                           itemsize: int = 4):
+    from .pallas3d import _brick_geometry
+    import math
+
+    nz_e = nl + 2 * ext
+    zs, rs, oz, orow = _brick_geometry(nz_e, rp, cp, itemsize, z_halo=ext,
+                                       num_bufs=6.0,
+                                       budget=RDMA3_BRICK_BUDGET)
+    oz = nl if zs >= nz_e else min(oz, nl)
+    num_zb = math.ceil(nl / oz) if zs < nz_e else 1
+    num_rb = math.ceil(rp / orow) if rs < rp else 1
+    return zs, rs, oz, orow, num_zb, num_rb
+
+
+def rdma_jacobi3_fits(nl: int, rp: int, cp: int, steps: int,
+                      itemsize: int = 4, err: bool = False) -> bool:
+    """Admission: the ext-plane halo buffers (u+f, both sides) plus the
+    brick working set inside the VMEM part, and the static brick schedule
+    inside the unroll cap. ``err`` (clean metric) burns one extra ring."""
+    ext = steps + (1 if err else 0)
+    if ext > min(nl, 8) or steps < 1:
+        return False
+    plane = rp * cp * itemsize
+    try:
+        zs, rs, _, _, num_zb, num_rb = _rdma_jacobi3_geometry(
+            nl, rp, cp, ext, itemsize)
+    except ValueError:
+        return False
+    total = 4 * ext * plane + 6 * zs * rs * cp * itemsize
+    return (num_zb * num_rb <= MAX_RDMA3_BRICKS
+            and total + 16 * 1024 * 1024 <= 126 * 1024 * 1024)
+
+
+def _rdma_jacobi3_kernel(u_hbm, f_hbm, *rest,
+                         n: int, nl: int, rp: int, cp: int, steps: int,
+                         ext: int, zs: int, rs: int, oz: int, orow: int,
+                         num_zb: int, num_rb: int, h2: float, omega: float,
+                         from_zero: bool, ndev: int, axis_name: str,
+                         err_mode=None, loopback: bool = False):
+    """See the section comment. hu/hf hold [0] = top halo (extended planes
+    [0, ext) — the UP neighbor's last owned planes) and [1] = bottom halo;
+    the owned block spans extended planes [ext, ext + nl). The brick
+    schedule is STATIC (python-unrolled, ≤ MAX_RDMA3_BRICKS) with interior
+    z-bricks first, so every halo splice is a static slice and boundary
+    bricks are the only ones gated on the receive semaphores.
+
+    ``err_mode`` ("clean"/"gpu") fuses the smoothing-error partial of the
+    final iterate over OWNED interior cells into the pass (the fused
+    kernel's own-masked reduction); clean's extra in-VMEM residual sweep
+    consumes one halo ring, so ext = steps + 1 there. The raw
+    metric-scaled partial lands in a (1, 1) SMEM output — the wrapper
+    psums it across the ring."""
+    from .pallas3d import _plane_sweep
+
+    if err_mode is not None:
+        out_hbm, err_smem = rest[:2]
+        rest = rest[2:]
+    else:
+        out_hbm = rest[0]
+        rest = rest[1:]
+    (hu, hf, u_slots, fc_slots, work, a_buf,
+     load_sems, out_sems, usend, urecv, fsend, frecv) = rest
+
+    my = jax.lax.axis_index(axis_name).astype(jnp.int32)
+    nz_e = nl + 2 * ext
+    zoff = my * nl - ext               # global z of extended plane 0
+    dtype = u_hbm.dtype
+
+    has_up, has_dn, up, dn = _ring_neighbors(my, ndev, loopback)
+
+    if ndev > 1:
+        bsem = pltpu.get_barrier_semaphore()
+
+        @pl.when(has_up)
+        def _():
+            pltpu.semaphore_signal(bsem, 1, device_id=(up,),
+                                   device_id_type=pltpu.DeviceIdType.MESH)
+
+        @pl.when(has_dn)
+        def _():
+            pltpu.semaphore_signal(bsem, 1, device_id=(dn,),
+                                   device_id_type=pltpu.DeviceIdType.MESH)
+
+        cnt = has_up.astype(jnp.int32) + has_dn.astype(jnp.int32)
+        pltpu.semaphore_wait(bsem, cnt)
+
+    remote = _remote_copy
+    # channel convention (the 2-D kernel's, one dimension up): my FIRST ext
+    # owned planes are the up neighbor's BOTTOM halo (its hu[1], channel 0);
+    # my LAST ext planes are the down neighbor's TOP halo (its hu[0],
+    # channel 1) — so MY hu[1] arrives on urecv[0], MY hu[0] on urecv[1]
+    su = remote(u_hbm.at[pl.ds(0, ext)], hu.at[1], usend.at[0],
+                urecv.at[0], up)
+    sd = remote(u_hbm.at[pl.ds(nl - ext, ext)], hu.at[0], usend.at[1],
+                urecv.at[1], dn)
+    fu = remote(f_hbm.at[pl.ds(0, ext)], hf.at[1], fsend.at[0],
+                frecv.at[0], up)
+    fd = remote(f_hbm.at[pl.ds(nl - ext, ext)], hf.at[0], fsend.at[1],
+                frecv.at[1], dn)
+
+    @pl.when(has_up)
+    def _():
+        fu.start()
+        if not from_zero:
+            su.start()
+
+    @pl.when(has_dn)
+    def _():
+        fd.start()
+        if not from_zero:
+            sd.start()
+
+    @pl.when(jnp.logical_not(has_up))
+    def _():
+        hf[0] = jnp.zeros((ext, rp, cp), dtype)
+        if not from_zero:
+            hu[0] = jnp.zeros((ext, rp, cp), dtype)
+
+    @pl.when(jnp.logical_not(has_dn))
+    def _():
+        hf[1] = jnp.zeros((ext, rp, cp), dtype)
+        if not from_zero:
+            hu[1] = jnp.zeros((ext, rp, cp), dtype)
+
+    # --- static brick schedule, interior-z bricks first -------------------
+    def zwin(i: int):
+        wz = min(i * oz, nl - oz) if num_zb > 1 else 0
+        z0 = min(max(wz, 0), nz_e - zs)
+        top_ov = max(0, ext - z0)
+        bot_ov = max(0, z0 + zs - (ext + nl))
+        return wz, z0, top_ov, bot_ov
+
+    def rwin(j: int):
+        r0 = min(max(j * orow - 16, 0), rp - rs) if num_rb > 1 else 0
+        r0 = (r0 // 8) * 8
+        wr = min(j * orow, rp - orow) if num_rb > 1 else 0
+        return r0, wr
+
+    bricks = [(i, j) for i in range(num_zb) for j in range(num_rb)]
+    interior = [b for b in bricks
+                if zwin(b[0])[2] == 0 and zwin(b[0])[3] == 0]
+    boundary = [b for b in bricks if b not in interior]
+    order = interior + boundary
+    assert len(order) <= MAX_RDMA3_BRICKS
+
+    def load_copies(i: int, j: int, slot):
+        _, z0, top_ov, bot_ov = zwin(i)
+        r0, _ = rwin(j)
+        body = zs - top_ov - bot_ov
+        copies = (pltpu.make_async_copy(
+            f_hbm.at[pl.ds(z0 + top_ov - ext, body), pl.ds(r0, rs), :],
+            fc_slots.at[slot, pl.ds(top_ov, body)],
+            load_sems.at[slot, _i32(1)]),)
+        if not from_zero:
+            copies += (pltpu.make_async_copy(
+                u_hbm.at[pl.ds(z0 + top_ov - ext, body), pl.ds(r0, rs), :],
+                u_slots.at[slot, pl.ds(top_ov, body)],
+                load_sems.at[slot, _i32(0)]),)
+        return copies
+
+    def out_copy(i: int, j: int, slot):
+        wz, z0, _, _ = zwin(i)
+        r0, wr = rwin(j)
+        return pltpu.make_async_copy(
+            u_slots.at[slot, pl.ds(wz + ext - z0, oz),
+                       pl.ds(wr - r0, orow), :],
+            out_hbm.at[pl.ds(wz, oz), pl.ds(wr, orow), :],
+            out_sems.at[slot])
+
+    waited = {"top": False, "bot": False}
+
+    def splice_halos(i: int, j: int, slot):
+        _, z0, top_ov, bot_ov = zwin(i)
+        r0, _ = rwin(j)
+        if top_ov:
+            if not waited["top"]:
+                waited["top"] = True
+
+                @pl.when(has_up)
+                def _():
+                    fd_in = remote(f_hbm.at[pl.ds(nl - ext, ext)], hf.at[0],
+                                   fsend.at[1], frecv.at[1], dn)
+                    fd_in.wait_recv()
+                    if not from_zero:
+                        sd_in = remote(u_hbm.at[pl.ds(nl - ext, ext)],
+                                       hu.at[0], usend.at[1], urecv.at[1],
+                                       dn)
+                        sd_in.wait_recv()
+            for t in range(top_ov):
+                hfp = hf[0, z0 + t]
+                fc_slots[slot, t] = hfp[r0:r0 + rs, :]
+                if not from_zero:
+                    hup = hu[0, z0 + t]
+                    u_slots[slot, t] = hup[r0:r0 + rs, :]
+        if bot_ov:
+            if not waited["bot"]:
+                waited["bot"] = True
+
+                @pl.when(has_dn)
+                def _():
+                    fu_in = remote(f_hbm.at[pl.ds(0, ext)], hf.at[1],
+                                   fsend.at[0], frecv.at[0], up)
+                    fu_in.wait_recv()
+                    if not from_zero:
+                        su_in = remote(u_hbm.at[pl.ds(0, ext)], hu.at[1],
+                                       usend.at[0], urecv.at[0], up)
+                        su_in.wait_recv()
+            for t in range(bot_ov):
+                te = zs - bot_ov + t             # brick-local plane
+                ze = z0 + te - (ext + nl)        # bottom-halo plane index
+                hfp = hf[1, ze]
+                fc_slots[slot, te] = hfp[r0:r0 + rs, :]
+                if not from_zero:
+                    hup = hu[1, ze]
+                    u_slots[slot, te] = hup[r0:r0 + rs, :]
+
+    for cp_ in load_copies(*order[0], _i32(0)):
+        cp_.start()
+
+    w = jnp.asarray(omega / 6.0, dtype)
+    h2c = jnp.asarray(h2, dtype)
+    n_sweeps = steps - 1 if from_zero else steps
+    total = jnp.zeros((), jnp.float32)
+    s_clean = abs(6.0 / (omega * h2))
+    s_gpu = abs(6.0 / h2)
+
+    for p, (i, j) in enumerate(order):
+        slot = _i32(p % 2)
+        nxt = _i32((p + 1) % 2)
+
+        if p + 1 < len(order):
+            if p >= 1:
+                out_copy(*order[p - 1], nxt).wait()
+            for cp_ in load_copies(*order[p + 1], nxt):
+                cp_.start()
+
+        for cp_ in load_copies(i, j, slot):
+            cp_.wait()
+        splice_halos(i, j, slot)
+
+        _, z0, _, _ = zwin(i)
+        r0, _ = rwin(j)
+
+        rows_i = jax.lax.broadcasted_iota(jnp.int32, (rs, cp), 0)
+        cols_i = jax.lax.broadcasted_iota(jnp.int32, (rs, cp), 1)
+        g = rows_i + r0
+        ok = ((g >= 1) & (g <= n - 2) & (cols_i >= 1) & (cols_i <= n - 2)
+              & (rows_i >= 1) & (rows_i <= rs - 2))
+        a_plane = jnp.where(ok, w, jnp.zeros_like(w)).astype(dtype)
+
+        def build_plane(t, c, z0=z0, g=g, cols_i=cols_i,
+                        a_plane=a_plane, slot=slot):
+            gz = zoff + _i32(z0) + t
+            gate = (gz >= 1) & (gz <= n - 2) & (t > 0) & (t < zs - 1)
+            ap = jnp.where(gate, a_plane, jnp.zeros_like(a_plane))
+            a_buf[t] = ap
+            raw_f = fc_slots[slot, t]
+            fc_slots[slot, t] = ap * (h2c * raw_f)
+            if from_zero:
+                okg = ((g >= 1) & (g <= n - 2)
+                       & (cols_i >= 1) & (cols_i <= n - 2)
+                       & (gz >= 1) & (gz <= n - 2))
+                u_slots[slot, t] = jnp.where(
+                    okg, -(w * (h2c * raw_f)), jnp.zeros((rs, cp), dtype))
+            return c
+
+        jax.lax.fori_loop(_i32(0), _i32(zs), build_plane, _i32(0),
+                          unroll=False)
+
+        def read_u(t, slot=slot):
+            return u_slots[slot, t]
+
+        def write_u(t, v, slot=slot):
+            u_slots[slot, t] = v
+
+        def read_w(t):
+            return work[t]
+
+        def write_w(t, v):
+            work[t] = v
+
+        accessors = [(read_u, write_u), (read_w, write_w)]
+
+        def sweep(rd, wr_, slot=slot):
+            _plane_sweep(rd, wr_, lambda t: a_buf[t],
+                         lambda t: fc_slots[slot, t], zs, rs, cp)
+
+        for s in range(n_sweeps):
+            sweep(accessors[s % 2][0], accessors[(s + 1) % 2][1])
+
+        if err_mode is not None:
+            # exact (non-overlapping) ownership for the reduction — the
+            # fused kernel's own_mask with STATIC brick windows
+            own_r = ((g >= j * orow) & (g < min((j + 1) * orow, rp))
+                     & (g >= 1) & (g <= n - 2)
+                     & (cols_i >= 1) & (cols_i <= n - 2))
+            olo, ohi = i * oz, min((i + 1) * oz, nl)
+
+            def own_mask(t, z0=z0, own_r=own_r):
+                gz = zoff + _i32(z0) + t
+                o = z0 + t - ext
+                return (own_r & (gz >= 1) & (gz <= n - 2)
+                        & (o >= olo) & (o < ohi))
+
+            def own_sum(val_fn):
+                def plane_(t, a2):
+                    val = val_fn(t).astype(jnp.float32)
+                    return a2 + jnp.sum(jnp.where(own_mask(t), val,
+                                                  jnp.zeros_like(val)))
+
+                return jax.lax.fori_loop(_i32(1), _i32(zs - 1), plane_,
+                                         jnp.zeros((), jnp.float32),
+                                         unroll=False)
+
+            rd_fin = accessors[n_sweeps % 2][0]
+            if err_mode == "clean":
+                def val(t, slot=slot, rd_fin=rd_fin):
+                    u = rd_fin(t)
+                    nb = (_nb_sum(u, rs, cp) + rd_fin(t - 1)
+                          + rd_fin(t + 1) - 6.0 * u)
+                    return jnp.abs(a_buf[t] * nb - fc_slots[slot, t])
+
+                total = total + own_sum(val) * s_clean
+            else:
+                rd_prev = accessors[(n_sweeps - 1) % 2][0]
+                if from_zero and n_sweeps == 0:
+                    def dval(t, rd_fin=rd_fin):
+                        return jnp.abs(rd_fin(t))
+                else:
+                    def dval(t, rd_fin=rd_fin, rd_prev=rd_prev):
+                        return jnp.abs(rd_fin(t) - rd_prev(t))
+
+                total = total + own_sum(dval) * s_gpu
+
+        if n_sweeps % 2 == 1:
+            def copy_back(t, c, slot=slot):
+                u_slots[slot, t] = work[t]
+                return c
+
+            jax.lax.fori_loop(_i32(0), _i32(zs), copy_back, _i32(0),
+                              unroll=False)
+
+        out_copy(i, j, slot).start()
+
+    if err_mode is not None:
+        err_smem[0, 0] = total
+
+    if len(order) >= 2:
+        out_copy(*order[-2], _i32((len(order) - 2) % 2)).wait()
+    out_copy(*order[-1], _i32((len(order) - 1) % 2)).wait()
+
+    @pl.when(has_up)
+    def _():
+        fu.wait_send()
+        if not from_zero:
+            su.wait_send()
+
+    @pl.when(has_dn)
+    def _():
+        fd.wait_send()
+        if not from_zero:
+            sd.wait_send()
+
+
+def _rdma_jacobi3_shard_call(u, f, n: int, h: float, steps: int,
+                             omega: float, ndev: int, interpret,
+                             from_zero: bool = False,
+                             axis_name: str = "z",
+                             err_mode=None,
+                             loopback: bool = False):
+    """One RDMA-overlap fused pass on a LOCAL (nl, rp, cp) z-shard block
+    (see _rdma_jacobi3_kernel); returns the smoothed owned block, plus the
+    raw metric-scaled error partial when ``err_mode`` is set."""
+    nl, rp, cp = u.shape
+    itemsize = jnp.dtype(u.dtype).itemsize
+    assert rdma_jacobi3_fits(nl, rp, cp, steps, itemsize,
+                             err=err_mode == "clean")
+    ext = steps + (1 if err_mode == "clean" else 0)
+    zs, rs, oz, orow, num_zb, num_rb = _rdma_jacobi3_geometry(
+        nl, rp, cp, ext, itemsize)
+
+    kernel = partial(_rdma_jacobi3_kernel, n=n, nl=nl, rp=rp, cp=cp,
+                     steps=steps, ext=ext, zs=zs, rs=rs, oz=oz, orow=orow,
+                     num_zb=num_zb, num_rb=num_rb, h2=h * h, omega=omega,
+                     from_zero=from_zero, ndev=ndev, axis_name=axis_name,
+                     err_mode=err_mode, loopback=loopback)
+
+    if interpret is True:
+        interpret = pltpu.InterpretParams(detect_races=True)
+
+    out_shape = jax.ShapeDtypeStruct((nl, rp, cp), u.dtype)
+    out_spec = pl.BlockSpec(memory_space=pl.ANY)
+    if err_mode is not None:
+        out_shape = (out_shape, jax.ShapeDtypeStruct((1, 1), jnp.float32))
+        out_spec = (out_spec, pl.BlockSpec(memory_space=pltpu.SMEM))
+
+    result = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_specs=out_spec,
+        scratch_shapes=[
+            pltpu.VMEM((2, ext, rp, cp), u.dtype),    # hu halo planes
+            pltpu.VMEM((2, ext, rp, cp), u.dtype),    # hf halo planes
+            pltpu.VMEM((2, zs, rs, cp), u.dtype),     # u slots
+            pltpu.VMEM((2, zs, rs, cp), u.dtype),     # f slots -> C
+            pltpu.VMEM((zs, rs, cp), u.dtype),        # ping-pong work
+            pltpu.VMEM((zs, rs, cp), u.dtype),        # A coefficient brick
+            pltpu.SemaphoreType.DMA((2, 2)),          # load sems
+            pltpu.SemaphoreType.DMA((2,)),            # out sems
+            pltpu.SemaphoreType.DMA((2,)),            # u send up/down
+            pltpu.SemaphoreType.DMA((2,)),            # u recv up/down
+            pltpu.SemaphoreType.DMA((2,)),            # f send up/down
+            pltpu.SemaphoreType.DMA((2,)),            # f recv up/down
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=126 * 1024 * 1024,
+            collective_id=12 if ndev > 1 else None),
+        interpret=interpret,
+    )(u, f)
+    if err_mode is not None:
+        return result[0], result[1][0, 0]
+    return result

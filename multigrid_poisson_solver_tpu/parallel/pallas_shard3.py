@@ -540,6 +540,106 @@ def rdma_fused_trigger3(u, f, n: int, h: float, trigger: float,
     return u_new, err
 
 
+@partial(jax.jit, static_argnames=("n", "h", "steps", "omega", "mesh",
+                                   "axis_name", "from_zero", "interpret"))
+def rdma_fused_jacobi3(u, f, n: int, h: float, steps: int, omega: float,
+                       mesh: Mesh, axis_name: str = Z_AXIS,
+                       from_zero: bool = False, interpret: bool = False):
+    """``steps`` fused 3-D sweeps with IN-KERNEL remote-DMA plane halos
+    (ops.pallas_rdma3._rdma_jacobi3_kernel): interior (z,row) bricks
+    smooth while the ext-plane halo DMAs ride the wires — replacing the
+    per-pass ``lax.ppermute`` barrier of :func:`sharded_fused_jacobi3`
+    with compute/communication overlap. Iterates bit-match the ppermute
+    path (identical per-point expression trees at the same pass
+    chunking). Passes are split ≤8 sweeps like the barrier path; select
+    with ``SolverConfig(halo="rdma")``. Validation mirrors the RDMA
+    trigger: bit-match + race detection on the interpreter mesh
+    (tests/test_rdma.py), loopback execution on hardware."""
+    from ..ops.pallas_rdma3 import (
+        _rdma_jacobi3_shard_call,
+        rdma_jacobi3_fits,
+    )
+
+    _check_shape(u, n, mesh, axis_name)
+    ndev = mesh.shape[axis_name]
+    nl = u.shape[0] // ndev
+
+    def body(u_loc, f_loc):
+        # chunk exactly like the ppermute path (min(8, planes/device) per
+        # pass) so iterates stay bit-comparable; shrink a chunk only when
+        # its halo/brick working set cannot be admitted
+        kmax = min(MAX_FUSED_SWEEPS_3D, nl)
+        out, remaining, first = u_loc, steps, True
+        while remaining > 0:
+            k = min(remaining, kmax)
+            while k > 1 and not rdma_jacobi3_fits(nl, *u_loc.shape[1:], k):
+                k -= 1
+            out = _rdma_jacobi3_shard_call(
+                out, f_loc, n, h, k, omega, ndev=ndev,
+                interpret=interpret, from_zero=from_zero and first,
+                axis_name=axis_name)
+            remaining -= k
+            first = False
+        return out
+
+    spec = P(axis_name, None, None)
+    return shard_map(body, mesh=mesh, in_specs=(spec, spec),
+                     out_specs=spec, check_vma=False)(u, f)
+
+
+@partial(jax.jit, static_argnames=("n", "h", "steps", "omega", "compat",
+                                   "mesh", "axis_name", "interpret"))
+def rdma_fused_jacobi3_err(u, f, n: int, h: float, steps: int,
+                           omega: float, compat, mesh: Mesh,
+                           axis_name: str = Z_AXIS,
+                           interpret: bool = False):
+    """:func:`rdma_fused_jacobi3` WITH the smoothing-error metric fused
+    into the final pass — the RDMA twin of
+    :func:`sharded_fused_jacobi3_err` (same pass chunking, so iterates
+    stay bit-comparable; the raw metric-scaled partial is psum-reduced
+    over the ring, divide by n³ for the mean)."""
+    from ..ops.pallas_rdma3 import (
+        _rdma_jacobi3_shard_call,
+        rdma_jacobi3_fits,
+    )
+
+    _check_shape(u, n, mesh, axis_name)
+    err_mode = "gpu" if compat == "gpu" else "clean"
+    ndev = mesh.shape[axis_name]
+    nl = u.shape[0] // ndev
+    assert steps >= 1
+
+    def body(u_loc, f_loc):
+        nz_loc = u_loc.shape[0]
+        shape2 = u_loc.shape[1:]
+        kmax = min(MAX_FUSED_SWEEPS_3D, nz_loc)
+        if err_mode == "gpu":
+            last_cap = kmax
+        else:
+            last_cap = min(7, nz_loc - 1)
+        last = min(steps, last_cap)
+        while last > 1 and not rdma_jacobi3_fits(
+                nl, *shape2, last, err=err_mode == "clean"):
+            last -= 1
+        out, remaining = u_loc, steps - last
+        while remaining > 0:
+            k = min(remaining, kmax)
+            while k > 1 and not rdma_jacobi3_fits(nl, *shape2, k):
+                k -= 1
+            out = _rdma_jacobi3_shard_call(
+                out, f_loc, n, h, k, omega, ndev=ndev,
+                interpret=interpret, axis_name=axis_name)
+            remaining -= k
+        out, raw = _rdma_jacobi3_shard_call(
+            out, f_loc, n, h, last, omega, ndev=ndev, interpret=interpret,
+            axis_name=axis_name, err_mode=err_mode)
+        return out, lax.psum(raw, axis_name)
+
+    spec = P(axis_name, None, None)
+    return shard_map(body, mesh=mesh, in_specs=(spec, spec),
+                     out_specs=(spec, P()), check_vma=False)(u, f)
+
+
 @partial(jax.jit, static_argnames=("n", "h", "mesh", "axis_name", "n_min",
                                    "pre", "post", "coarse_sweeps", "omega",
                                    "threshold_planes", "interpret"))
@@ -657,4 +757,5 @@ __all__ = ["make_mesh_z", "z_sharding", "padded_depth3", "sharded_shape3",
            "sharded_fused_jacobi3_err", "sharded_fused_jacobi3_errs",
            "sharded_fused_ascend3", "sharded_fused_descend3",
            "sharded_residual3_pallas", "sharded_smooth_residual3",
-           "rdma_fused_trigger3", "v_cycle3_sharded", "Z_AXIS"]
+           "rdma_fused_trigger3", "rdma_fused_jacobi3",
+           "rdma_fused_jacobi3_err", "v_cycle3_sharded", "Z_AXIS"]

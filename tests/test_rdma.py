@@ -362,3 +362,86 @@ def test_loopback_mode_runs_and_is_deterministic():
         o3a, e3a = shard_map(body3, mesh=mesh3, in_specs=(P(), P()),
                              out_specs=(P(), P()), check_vma=False)(u3, f3)
     assert np.isfinite(np.asarray(o3a)).all() and np.isfinite(float(e3a))
+
+
+@pytest.mark.parametrize("steps,compat", [(3, "clean"), (11, "clean"),
+                                          (5, "gpu")])
+def test_rdma_smoother3_bitmatches_ppermute(steps, compat):
+    """Round 5: the 3-D RDMA halo-overlap SMOOTHER (in-kernel remote-DMA
+    plane halos, interior bricks smooth while the wires are busy)
+    BIT-matches the ppermute-barrier path at the same pass chunking —
+    plain, multi-pass, and err-fused forms — on the race-detecting
+    interpreter mesh."""
+    from multigrid_poisson_solver_tpu.parallel import pallas_shard3 as ps3
+
+    n, h = 65, 1.0 / 64
+    mesh, up, fp = _fields3(n)
+
+    want = ps3.sharded_fused_jacobi3(up, fp, n, h, steps, 0.8, mesh,
+                                     interpret=True)
+    got = ps3.rdma_fused_jacobi3(up, fp, n, h, steps, 0.8, mesh,
+                                 interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    want_e, wraw = ps3.sharded_fused_jacobi3_err(
+        up, fp, n, h, steps, 0.8, compat, mesh, interpret=True)
+    got_e, graw = ps3.rdma_fused_jacobi3_err(
+        up, fp, n, h, steps, 0.8, compat, mesh, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_e), np.asarray(want_e))
+    assert float(graw) == pytest.approx(float(wraw), rel=5e-6)
+
+
+def test_rdma_smoother3_from_zero():
+    """from_zero passes skip the u exchange entirely (closed-form first
+    sweep) and still bit-match the ppermute path."""
+    from multigrid_poisson_solver_tpu.parallel import pallas_shard3 as ps3
+
+    n, h = 65, 1.0 / 64
+    mesh, up, fp = _fields3(n)
+    want = ps3.sharded_fused_jacobi3(jnp.zeros_like(up), fp, n, h, 3, 0.8,
+                                     mesh, from_zero=True, interpret=True)
+    got = ps3.rdma_fused_jacobi3(jnp.zeros_like(up), fp, n, h, 3, 0.8,
+                                 mesh, from_zero=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_compiled3_engine_rdma_smoother_routes():
+    """SolverConfig(halo='rdma') routes sharded 3-D SMOOTHING levels
+    through the RDMA-overlap kernel and matches the ppermute engine."""
+    import unittest.mock as mock
+
+    from multigrid_poisson_solver_tpu.compiled3 import compile_program3
+    from multigrid_poisson_solver_tpu.models import poisson3d as p3
+    from multigrid_poisson_solver_tpu.parallel import pallas_shard3 as ps3
+
+    mesh = ps3.make_mesh_z(jax.devices()[:4])
+    policy = ps3.ZShardingPolicy3(mesh)
+    program = mg.v_cycle(65, n_min=5, steps=3, coarse_target=1e-8,
+                         coarsen=3)
+
+    def run(halo):
+        # the gpu metric keeps the fused legs out (clean-only), so the
+        # sharded levels route through smooth() — the RDMA smoother's slot
+        cfg = mg.SolverConfig(omega=6.0 / 7.0, kernels="pallas", halo=halo,
+                              compat_error="gpu",
+                              collect_node_stats=False)
+        with mesh:
+            cc = compile_program3(program, p3.REFERENCE_PROBLEM_3D, cfg,
+                                  policy=policy)
+            u, f = cc.init()
+            u1, err = cc(u, f)
+        return np.asarray(u1), float(err)
+
+    calls = []
+    orig = ps3.rdma_fused_jacobi3_err
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    with mock.patch.object(ps3, "rdma_fused_jacobi3_err", spy):
+        u_rdma, err_rdma = run("rdma")
+    assert calls, "3-D RDMA smoother kernel was not routed"
+    u_pp, err_pp = run("ppermute")
+    np.testing.assert_array_equal(u_rdma, u_pp)
+    assert err_rdma == pytest.approx(err_pp, rel=1e-5)
