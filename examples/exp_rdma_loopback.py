@@ -55,6 +55,7 @@ def _run(interpret: bool):
     from multigrid_poisson_solver_tpu.ops.pallas_rdma import (
         HALO, _rdma_jacobi_shard_call, _rdma_trigger_shard_call)
     from multigrid_poisson_solver_tpu.ops.pallas_rdma3 import (
+        _rdma_ascend3_shard_call, _rdma_descend3_shard_call,
         _rdma_jacobi3_shard_call, _rdma_trigger3_shard_call)
 
     (meta, u2, f2, n2), (u3, f3, n3) = _cases()
@@ -112,8 +113,39 @@ def _run(interpret: bool):
                                  out_specs=(P(), P()),
                                  check_vma=False)(u3, f3)
 
+    # the round-5 RDMA LEGS: whole descend (sweeps+residual+restriction)
+    # and ascend (prolong+add+sweeps) with in-kernel halo DMAs
+    def body3d(u_loc, f_loc):
+        return _rdma_descend3_shard_call(
+            u_loc, f_loc, n3, 1.0 / (n3 - 1), 3, 0.8, ndev=NDEV,
+            interpret=interpret, from_zero=False, axis_name="z",
+            loopback=True)
+
+    with mesh3:
+        out3d, dw3d, err3d = shard_map(
+            body3d, mesh=mesh3, in_specs=(P(), P()),
+            out_specs=(P(), P(), P()), check_vma=False)(u3, f3)
+
+    nl3, rp3_, cp3_ = u3.shape          # 16 planes, 80 rows, 128 lanes
+    rng = np.random.default_rng(43)
+    cw3 = jnp.asarray(rng.random((nl3 // 2, rp3_ // 2 + 8, cp3_)),
+                      jnp.float32)
+
+    def body3a(u_loc, f_loc, cw_loc):
+        return _rdma_ascend3_shard_call(
+            u_loc, f_loc, cw_loc, n3, 1.0 / (n3 - 1), 3, 0.8, ndev=NDEV,
+            interpret=interpret, err_mode="clean", axis_name="z",
+            loopback=True)
+
+    with mesh3:
+        out3a, err3a = shard_map(
+            body3a, mesh=mesh3, in_specs=(P(), P(), P()),
+            out_specs=(P(), P()), check_vma=False)(u3, f3, cw3)
+
     return (np.asarray(out2), float(err2), np.asarray(out3), float(err3),
-            np.asarray(out2s), np.asarray(out3s), float(err3s))
+            np.asarray(out2s), np.asarray(out3s), float(err3s),
+            np.asarray(out3d), np.asarray(dw3d), float(err3d),
+            np.asarray(out3a), float(err3a))
 
 
 def main():
@@ -121,12 +153,14 @@ def main():
     import jax
     if phase == "cpu":
         jax.config.update("jax_platforms", "cpu")
-    (out2, err2, out3, err3, out2s, out3s,
-     err3s) = _run(interpret=(phase == "cpu"))
+    (out2, err2, out3, err3, out2s, out3s, err3s,
+     out3d, dw3d, err3d, out3a, err3a) = _run(interpret=(phase == "cpu"))
     import numpy as np
     if phase == "cpu":
         np.savez(REF, out2=out2, err2=err2, out3=out3, err3=err3,
-                 out2s=out2s, out3s=out3s, err3s=err3s)
+                 out2s=out2s, out3s=out3s, err3s=err3s,
+                 out3d=out3d, dw3d=dw3d, err3d=err3d,
+                 out3a=out3a, err3a=err3a)
         print(f"[cpu] interpreter loopback reference saved: "
               f"err2={err2:.7e} err3={err3:.7e} err3s={err3s:.7e}")
         return
@@ -142,23 +176,40 @@ def main():
     print(f"[tpu] smoother loopback: maxdiff {d2s:.3e}")
     print(f"[tpu] 3-D smoother loopback: maxdiff {d3s:.3e}  "
           f"err {err3s:.7e} vs {float(ref['err3s']):.7e}")
+    # dw carries residual-scaled values (x6/omega*h^2, O(100) here) — the
+    # cross-platform FMA tolerance is RELATIVE, so normalize by the scale
+    d3d = max(np.abs(out3d - ref["out3d"]).max(),
+              np.abs(dw3d - ref["dw3d"]).max()
+              / max(1.0, float(np.abs(ref["dw3d"]).max())))
+    d3a = np.abs(out3a - ref["out3a"]).max()
+    print(f"[tpu] 3-D descend-leg loopback: maxdiff {d3d:.3e}  "
+          f"err {err3d:.7e} vs {float(ref['err3d']):.7e}")
+    print(f"[tpu] 3-D ascend-leg loopback: maxdiff {d3a:.3e}  "
+          f"err {err3a:.7e} vs {float(ref['err3a']):.7e}")
     # cross-PLATFORM comparison: XLA:CPU (interpreter) makes graph-
     # dependent FMA-contraction choices, so hardware agrees to ~1 ulp/op,
     # not bitwise (the repo's documented law: pin bit-identity on TPU,
     # tolerances on CPU). Measured 1.2e-7 on O(1) data.
     tol_ok = (d2 <= 1e-5 and d3 <= 1e-5 and d2s <= 1e-5 and d3s <= 1e-5
+              and d3d <= 1e-5 and d3a <= 1e-5
               and abs(err2 - float(ref["err2"])) <= 1e-4 * abs(err2)
               and abs(err3 - float(ref["err3"])) <= 1e-4 * abs(err3)
-              and abs(err3s - float(ref["err3s"])) <= 1e-4 * abs(err3s))
+              and abs(err3s - float(ref["err3s"])) <= 1e-4 * abs(err3s)
+              and abs(err3d - float(ref["err3d"])) <= 1e-4 * abs(err3d)
+              and abs(err3a - float(ref["err3a"])) <= 1e-4 * abs(err3a))
     # hardware-internal determinism: the full protocol re-run must be
     # BIT-identical (a halo/all-to-all race would show as run-to-run
     # nondeterminism here)
-    (out2b, err2b, out3b, err3b, out2sb, out3sb,
-     err3sb) = _run(interpret=False)
+    (out2b, err2b, out3b, err3b, out2sb, out3sb, err3sb,
+     out3db, dw3db, err3db, out3ab, err3ab) = _run(interpret=False)
     det_ok = (np.array_equal(out2, out2b) and np.array_equal(out3, out3b)
               and np.array_equal(out2s, out2sb)
               and np.array_equal(out3s, out3sb)
-              and err2 == err2b and err3 == err3b and err3s == err3sb)
+              and np.array_equal(out3d, out3db)
+              and np.array_equal(dw3d, dw3db)
+              and np.array_equal(out3a, out3ab)
+              and err2 == err2b and err3 == err3b and err3s == err3sb
+              and err3d == err3db and err3a == err3ab)
     print(f"[tpu] re-run determinism: "
           f"{'BIT-IDENTICAL' if det_ok else 'NONDETERMINISTIC'}")
     print("PASS" if (tol_ok and det_ok) else "FAIL")

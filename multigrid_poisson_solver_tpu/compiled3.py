@@ -508,10 +508,26 @@ def _trace_program3(u, f, *, program: CycleProgram, problem: Problem3D,
                 z_halo = k_nb + (2 if fw else 1)
                 if (aligned and ins.steps >= 1 and compat == "clean"
                         and 0 <= k_nb <= cap and z_halo <= nl):
-                    lu, dw, err_raw = ps3.sharded_fused_descend3(
-                        lu, lf, n, h, ins.steps, cfg.omega, policy.mesh,
-                        policy.axis_name, from_zero=fz_s,
-                        restriction=cfg.restriction, interpret=interp)
+                    use_rdma_leg = False
+                    if cfg.halo == "rdma":
+                        from .ops.pallas_rdma3 import rdma_descend3_fits
+                        _, rp_, cp_ = p3k.padded_shape3(n)
+                        use_rdma_leg = rdma_descend3_fits(
+                            nl, rp_, cp_, ins.steps, fz_s,
+                            jnp.dtype(cfg.dtype).itemsize, fw)
+                    if use_rdma_leg:
+                        # whole leg with IN-KERNEL remote-DMA plane halos:
+                        # interior bricks sweep+restrict while the wires
+                        # are busy (bit-matches the ppermute leg)
+                        lu, dw, err_raw = ps3.rdma_fused_descend3(
+                            lu, lf, n, h, ins.steps, cfg.omega,
+                            policy.mesh, policy.axis_name, from_zero=fz_s,
+                            restriction=cfg.restriction, interpret=interp)
+                    else:
+                        lu, dw, err_raw = ps3.sharded_fused_descend3(
+                            lu, lf, n, h, ins.steps, cfg.omega, policy.mesh,
+                            policy.axis_name, from_zero=fz_s,
+                            restriction=cfg.restriction, interpret=interp)
                     f_c = cz(conform_z(pd3.restrict3_lanes_p(dw, n, m),
                                        zp_of(m)), m)
                     last_err = (err_raw / (n ** 3)).astype(cfg.dtype)
@@ -622,15 +638,25 @@ def _trace_program3(u, f, *, program: CycleProgram, problem: Problem3D,
                     want_err = (ins is program.instructions[-1]
                                 and ins.steps <= 7 and ze <= nl
                                 and ze // 2 + 1 <= nl // 2)
+                    up_fn = ps3.sharded_fused_ascend3
+                    if cfg.halo == "rdma":
+                        from .ops.pallas_rdma3 import rdma_ascend3_fits
+                        _, rp_, cp_ = p3k.padded_shape3(n)
+                        if rdma_ascend3_fits(nl, rp_, cp_, ins.steps,
+                                             want_err,
+                                             jnp.dtype(cfg.dtype).itemsize):
+                            # whole leg with in-kernel remote-DMA u/f/cw
+                            # halos (bit-matches the ppermute leg)
+                            up_fn = ps3.rdma_fused_ascend3
                     if want_err:
-                        lu, raw = ps3.sharded_fused_ascend3(
+                        lu, raw = up_fn(
                             lu, lf, cw, n, h, ins.steps, cfg.omega,
                             policy.mesh, policy.axis_name,
                             err_mode="clean", interpret=interp)
                         lu = cz(lu, n)
                         last_err = (raw / (n ** 3)).astype(cfg.dtype)
                     else:
-                        lu = cz(ps3.sharded_fused_ascend3(
+                        lu = cz(up_fn(
                             lu, lf, cw, n, h, ins.steps, cfg.omega,
                             policy.mesh, policy.axis_name,
                             interpret=interp), n)

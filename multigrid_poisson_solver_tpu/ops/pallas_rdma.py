@@ -28,10 +28,13 @@ hardware with a 1-device mesh (tests/test_rdma.py, examples/exp_rdma_tpu.py).
 Multi-chip wall-clock gains need real multi-chip hardware (ROADMAP item 6).
 
 Scope (round 5): ``halo="rdma"`` covers the 1-D ROW policy (2-D smoother +
-whole-loop trigger) and the 3-D z-plane TRIGGER + SMOOTHER
-(ops.pallas_rdma3._rdma_jacobi3_kernel — plane-halo remote DMAs overlapped
-with interior brick smoothing, err-fused; routed by compiled3's sharded
-smooth where the fused legs don't engage). The 2-D BLOCK policy's
+whole-loop trigger) and, under the 3-D z-plane policy, the TRIGGER,
+SMOOTHER, and BOTH FUSED LEGS (ops.pallas_rdma3: _rdma_jacobi3_kernel,
+_rdma_descend3_kernel, _rdma_ascend3_kernel — plane-halo remote DMAs
+overlapped with interior brick compute, err-fused, bit-matching the
+ppermute paths; all engine-routed by compiled3). Remaining ppermute-only
+3-D path: the odd-planes/device FALLBACK descend (sharded_smooth_residual3
++ einsum restriction) — aligned even-shard schedules never take it. The 2-D BLOCK policy's
 128-lane column halos stay on the ppermute path — a DELIBERATE deferral,
 not a hardware limit: the lane-direction DMA granularity law was probed on
 hardware (examples/exp_lane_dma_probe.py, 2026-08-20) and (rows, 128)

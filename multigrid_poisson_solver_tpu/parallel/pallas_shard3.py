@@ -587,6 +587,78 @@ def rdma_fused_jacobi3(u, f, n: int, h: float, steps: int, omega: float,
                      out_specs=spec, check_vma=False)(u, f)
 
 
+@partial(jax.jit, static_argnames=("n", "h", "steps", "omega", "mesh",
+                                   "axis_name", "from_zero", "restriction",
+                                   "interpret"))
+def rdma_fused_descend3(u, f, n: int, h: float, steps: int, omega: float,
+                        mesh: Mesh, axis_name: str = Z_AXIS,
+                        from_zero: bool = False,
+                        restriction: str = "full_weighting",
+                        interpret: bool = False):
+    """The WHOLE per-shard descend leg with IN-KERNEL remote-DMA plane
+    halos (ops.pallas_rdma3._rdma_descend3_kernel): the RDMA twin of
+    :func:`sharded_fused_descend3` — interior bricks run k sweeps +
+    residual + restriction while the (k_nb+2)-plane u/f halo exchange
+    rides the wires. Same parity contract (EVEN planes/device), same
+    outputs (u z-sharded, dwide at half depth, err psum-replicated);
+    iterates/dw bit-match the ppermute leg."""
+    from ..ops.pallas_rdma3 import _rdma_descend3_shard_call
+
+    _check_shape(u, n, mesh, axis_name)
+    ndev = mesh.shape[axis_name]
+    nl = u.shape[0] // ndev
+    assert nl % 2 == 0, (
+        f"sharded descend needs an even plane count per device, got {nl}")
+
+    def body(u_loc, f_loc):
+        out, dw, raw = _rdma_descend3_shard_call(
+            u_loc, f_loc, n, h, steps, omega, ndev=ndev,
+            interpret=interpret, from_zero=from_zero,
+            restriction=restriction, axis_name=axis_name)
+        return out, dw, lax.psum(raw, axis_name)
+
+    spec = P(axis_name, None, None)
+    return shard_map(body, mesh=mesh, in_specs=(spec, spec),
+                     out_specs=(spec, spec, P()), check_vma=False)(u, f)
+
+
+@partial(jax.jit, static_argnames=("n", "h", "steps", "omega", "mesh",
+                                   "axis_name", "err_mode", "interpret"))
+def rdma_fused_ascend3(u, f, cwide, n: int, h: float, steps: int,
+                       omega: float, mesh: Mesh,
+                       axis_name: str = Z_AXIS, err_mode=None,
+                       interpret: bool = False):
+    """The WHOLE per-shard ascend leg with IN-KERNEL remote-DMA halos —
+    the RDMA twin of :func:`sharded_fused_ascend3`: u/f exchange ext_z
+    planes and the half-depth lane-expanded coarse correction its
+    ext_c/ext_c+1 planes, all overlapped with interior brick compute.
+    Same contract (EVEN planes/device, cwide at EXACTLY half the fine
+    depth); iterates bit-match the ppermute leg."""
+    from ..ops.pallas_rdma3 import _rdma_ascend3_shard_call
+
+    _check_shape(u, n, mesh, axis_name)
+    ndev = mesh.shape[axis_name]
+    nl = u.shape[0] // ndev
+    assert nl % 2 == 0 and cwide.shape[0] * 2 == u.shape[0]
+
+    def body(u_loc, f_loc, cw_loc):
+        out = _rdma_ascend3_shard_call(
+            u_loc, f_loc, cw_loc, n, h, steps, omega, ndev=ndev,
+            interpret=interpret, err_mode=err_mode, axis_name=axis_name)
+        if err_mode is not None:
+            u_new, raw = out
+            return u_new, lax.psum(raw, axis_name)
+        return out
+
+    spec = P(axis_name, None, None)
+    if err_mode is not None:
+        return shard_map(body, mesh=mesh, in_specs=(spec, spec, spec),
+                         out_specs=(spec, P()), check_vma=False)(u, f,
+                                                                 cwide)
+    return shard_map(body, mesh=mesh, in_specs=(spec, spec, spec),
+                     out_specs=spec, check_vma=False)(u, f, cwide)
+
+
 @partial(jax.jit, static_argnames=("n", "h", "steps", "omega", "compat",
                                    "mesh", "axis_name", "interpret"))
 def rdma_fused_jacobi3_err(u, f, n: int, h: float, steps: int,
@@ -758,4 +830,5 @@ __all__ = ["make_mesh_z", "z_sharding", "padded_depth3", "sharded_shape3",
            "sharded_fused_ascend3", "sharded_fused_descend3",
            "sharded_residual3_pallas", "sharded_smooth_residual3",
            "rdma_fused_trigger3", "rdma_fused_jacobi3",
+           "rdma_fused_descend3", "rdma_fused_ascend3",
            "rdma_fused_jacobi3_err", "v_cycle3_sharded", "Z_AXIS"]

@@ -445,3 +445,112 @@ def test_compiled3_engine_rdma_smoother_routes():
     u_pp, err_pp = run("ppermute")
     np.testing.assert_array_equal(u_rdma, u_pp)
     assert err_rdma == pytest.approx(err_pp, rel=1e-5)
+
+
+@pytest.mark.parametrize("fz", [False, True])
+def test_rdma_descend3_bitmatches_ppermute(fz):
+    """Round 5: the RDMA descend LEG (sweeps + residual + restriction +
+    err with in-kernel plane-halo DMAs) bit-matches the ppermute leg on
+    the race-detecting interpreter mesh — u, dwide, and the psum'd err."""
+    from multigrid_poisson_solver_tpu.ops import pallas3d as pk3
+    from multigrid_poisson_solver_tpu.parallel import pallas_shard3 as ps3
+
+    n, h = 65, 1.0 / 64
+    rng = np.random.default_rng(5)
+    u = jnp.asarray(rng.random((n, n, n)), jnp.float32)
+    f = jnp.asarray(10 * rng.random((n, n, n)), jnp.float32)
+    mesh = ps3.make_mesh_z(jax.devices()[:4])
+    sh = ps3.z_sharding(mesh)
+    # the legs' parity contract: pad to 2*ndev so planes/device is even
+    up = jax.device_put(ps3.pad_planes3(pk3.pad_grid3(u), 8), sh)
+    fp = jax.device_put(ps3.pad_planes3(pk3.pad_grid3(f), 8), sh)
+    uu = jnp.zeros_like(up) if fz else up
+    with mesh:
+        wu, wdw, werr = ps3.sharded_fused_descend3(
+            uu, fp, n, h, 3, 0.8, mesh, from_zero=fz, interpret=True)
+        gu, gdw, gerr = ps3.rdma_fused_descend3(
+            uu, fp, n, h, 3, 0.8, mesh, from_zero=fz, interpret=True)
+    np.testing.assert_array_equal(np.asarray(gu), np.asarray(wu))
+    np.testing.assert_array_equal(np.asarray(gdw), np.asarray(wdw))
+    assert float(gerr) == pytest.approx(float(werr), rel=5e-6)
+
+
+@pytest.mark.parametrize("em", [None, "clean"])
+def test_rdma_ascend3_bitmatches_ppermute(em):
+    """The RDMA ascend LEG (prolong + add + post-sweeps, u/f/cw halos by
+    remote DMA) bit-matches the ppermute leg, with and without the fused
+    last-node error."""
+    from multigrid_poisson_solver_tpu.ops import padded3 as pd3
+    from multigrid_poisson_solver_tpu.ops import pallas3d as pk3
+    from multigrid_poisson_solver_tpu.parallel import pallas_shard3 as ps3
+
+    n, h, m = 65, 1.0 / 64, 33
+    rng = np.random.default_rng(6)
+    u = jnp.asarray(rng.random((n, n, n)), jnp.float32)
+    f = jnp.asarray(10 * rng.random((n, n, n)), jnp.float32)
+    mesh = ps3.make_mesh_z(jax.devices()[:4])
+    sh = ps3.z_sharding(mesh)
+    up = jax.device_put(ps3.pad_planes3(pk3.pad_grid3(u), 8), sh)
+    fp = jax.device_put(ps3.pad_planes3(pk3.pad_grid3(f), 8), sh)
+    ec = jnp.asarray(rng.random(pk3.padded_shape3(m)), jnp.float32)
+    zp = up.shape[0]
+    ecc = jnp.concatenate(
+        [ec, jnp.zeros((zp // 2 - ec.shape[0],) + ec.shape[1:],
+                       ec.dtype)], 0)
+    cw = jax.device_put(pd3.prolong3_lanes_p(ecc, n, m), sh)
+    with mesh:
+        wout = ps3.sharded_fused_ascend3(up, fp, cw, n, h, 3, 0.8, mesh,
+                                         err_mode=em, interpret=True)
+        gout = ps3.rdma_fused_ascend3(up, fp, cw, n, h, 3, 0.8, mesh,
+                                      err_mode=em, interpret=True)
+    if em is None:
+        np.testing.assert_array_equal(np.asarray(gout), np.asarray(wout))
+    else:
+        np.testing.assert_array_equal(np.asarray(gout[0]),
+                                      np.asarray(wout[0]))
+        assert float(gout[1]) == pytest.approx(float(wout[1]), rel=5e-6)
+
+
+def test_compiled3_engine_rdma_legs_route():
+    """halo='rdma' under a clean-metric ALIGNED schedule routes the fused
+    descend AND ascend legs through the RDMA kernels and the whole cycle
+    bit-matches the ppermute engine."""
+    import unittest.mock as mock
+
+    from multigrid_poisson_solver_tpu.compiled3 import compile_program3
+    from multigrid_poisson_solver_tpu.models import poisson3d as p3
+    from multigrid_poisson_solver_tpu.parallel import pallas_shard3 as ps3
+
+    mesh = ps3.make_mesh_z(jax.devices()[:4])
+    policy = ps3.ZShardingPolicy3(mesh)
+    program = mg.v_cycle(65, n_min=5, steps=3, coarse_target=1e-8,
+                         coarsen=3)
+
+    def run(halo):
+        cfg = mg.SolverConfig(omega=6.0 / 7.0, kernels="pallas", halo=halo,
+                              collect_node_stats=False)
+        with mesh:
+            cc = compile_program3(program, p3.REFERENCE_PROBLEM_3D, cfg,
+                                  policy=policy)
+            u, f = cc.init()
+            u1, err = cc(u, f)
+        return np.asarray(u1), float(err)
+
+    calls = {"down": 0, "up": 0}
+    od, oa = ps3.rdma_fused_descend3, ps3.rdma_fused_ascend3
+
+    def spy_d(*a, **kw):
+        calls["down"] += 1
+        return od(*a, **kw)
+
+    def spy_a(*a, **kw):
+        calls["up"] += 1
+        return oa(*a, **kw)
+
+    with mock.patch.object(ps3, "rdma_fused_descend3", spy_d), \
+            mock.patch.object(ps3, "rdma_fused_ascend3", spy_a):
+        u_rdma, err_rdma = run("rdma")
+    assert calls["down"] and calls["up"], calls
+    u_pp, err_pp = run("ppermute")
+    np.testing.assert_array_equal(u_rdma, u_pp)
+    assert err_rdma == pytest.approx(err_pp, rel=1e-5)
