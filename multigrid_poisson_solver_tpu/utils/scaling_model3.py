@@ -311,8 +311,10 @@ def predicted_efficiency3(report: CommReport3, t_compute_s: float,
     """Weak/strong-scaling efficiency for the z-plane 3-D cycle on an
     ``report.ndev``-chip ICI ring, given the per-device compute time of one
     cycle. Returns the ppermute-barrier path and the RDMA-overlap bound
-    (wire hidden under interior compute — ops.pallas_rdma3 covers the
-    trigger loop today; the bound is what full RDMA coverage would give)."""
+    (wire hidden under interior compute). Since round 5 the bound is
+    IMPLEMENTED, not hypothetical: ``halo="rdma"`` routes the smoother,
+    both fused legs, and the trigger loop through in-kernel remote DMAs
+    (ops.pallas_rdma3; BASELINE "Round-5 RDMA coverage")."""
     bw = ICI_BW.get(chip, ICI_BW["v5e"])
     t_comm = report.t_comm(bw, latency)
     t_lat = report.events * latency
