@@ -138,10 +138,7 @@ def _plane_sweep(rd, wr_, ab, fc, zs: int, rs: int, cp: int):
         jax.lax.fori_loop(_i32(1), _i32(zs - 1), plane,
                           (rd(_i32(0)), rd(_i32(1))), unroll=False)
     elif _SWEEP3_FORM != "reread":
-        blk = {"pair": 2, "quad": 4, "oct": 8}.get(_SWEEP3_FORM, None)
-        if blk is None:
-            assert _SWEEP3_FORM.startswith("blk"), _SWEEP3_FORM
-            blk = int(_SWEEP3_FORM[3:])
+        blk = _sweep_blk()
         nblk = (zs - 2) // blk
 
         def plane_blk(i, c):

@@ -379,6 +379,46 @@ def rdma_jacobi3_fits(nl: int, rp: int, cp: int, steps: int,
             and total + 16 * 1024 * 1024 <= 126 * 1024 * 1024)
 
 
+
+def _static_brick_schedule(nl: int, ext: int, zs: int, oz: int, orow: int,
+                           rp: int, rs: int, num_zb: int, num_rb: int,
+                           r_halo: int, extra_interior=None):
+    """The SHARED static window/schedule math of the RDMA brick kernels
+    (smoother r_halo=8, descend r_halo=8, ascend r_halo=16 — the review
+    found the one hand-copied offset that drifted). Returns
+    (zwin, rwin, order): zwin(i) -> (wz, z0, top_ov, bot_ov) over the
+    virtual extended depth nl + 2·ext; rwin(j) -> (r0, wr) with the
+    geometry's row-halo load offset; order = interior-z-first brick list
+    (``extra_interior(i)`` may veto interior status, e.g. for coarse
+    windows that touch their own halos)."""
+    nz_e = nl + 2 * ext
+
+    def zwin(i: int):
+        wz = min(i * oz, nl - oz) if num_zb > 1 else 0
+        z0 = min(max(wz, 0), nz_e - zs)
+        top_ov = max(0, ext - z0)
+        bot_ov = max(0, z0 + zs - (ext + nl))
+        return wz, z0, top_ov, bot_ov
+
+    def rwin(j: int):
+        r0 = min(max(j * orow - r_halo, 0), rp - rs) if num_rb > 1 else 0
+        r0 = (r0 // 8) * 8
+        wr = min(j * orow, rp - orow) if num_rb > 1 else 0
+        return r0, wr
+
+    bricks = [(i, j) for i in range(num_zb) for j in range(num_rb)]
+
+    def is_interior(b):
+        if zwin(b[0])[2] or zwin(b[0])[3]:
+            return False
+        return extra_interior(b[0]) if extra_interior else True
+
+    interior = [b for b in bricks if is_interior(b)]
+    order = interior + [b for b in bricks if b not in interior]
+    assert len(order) <= MAX_RDMA3_BRICKS
+    return zwin, rwin, order
+
+
 def _rdma_jacobi3_kernel(u_hbm, f_hbm, *rest,
                          n: int, nl: int, rp: int, cp: int, steps: int,
                          ext: int, zs: int, rs: int, oz: int, orow: int,
@@ -474,25 +514,8 @@ def _rdma_jacobi3_kernel(u_hbm, f_hbm, *rest,
             hu[1] = jnp.zeros((ext, rp, cp), dtype)
 
     # --- static brick schedule, interior-z bricks first -------------------
-    def zwin(i: int):
-        wz = min(i * oz, nl - oz) if num_zb > 1 else 0
-        z0 = min(max(wz, 0), nz_e - zs)
-        top_ov = max(0, ext - z0)
-        bot_ov = max(0, z0 + zs - (ext + nl))
-        return wz, z0, top_ov, bot_ov
-
-    def rwin(j: int):
-        r0 = min(max(j * orow - 16, 0), rp - rs) if num_rb > 1 else 0
-        r0 = (r0 // 8) * 8
-        wr = min(j * orow, rp - orow) if num_rb > 1 else 0
-        return r0, wr
-
-    bricks = [(i, j) for i in range(num_zb) for j in range(num_rb)]
-    interior = [b for b in bricks
-                if zwin(b[0])[2] == 0 and zwin(b[0])[3] == 0]
-    boundary = [b for b in bricks if b not in interior]
-    order = interior + boundary
-    assert len(order) <= MAX_RDMA3_BRICKS
+    zwin, rwin, order = _static_brick_schedule(
+        nl, ext, zs, oz, orow, rp, rs, num_zb, num_rb, r_halo=8)
 
     def load_copies(i: int, j: int, slot):
         _, z0, top_ov, bot_ov = zwin(i)
@@ -912,25 +935,8 @@ def _rdma_descend3_kernel(u_hbm, f_hbm, out_hbm, dw_hbm, err_smem,
         if not from_zero:
             hu[1] = jnp.zeros((ext, rp, cp), dtype)
 
-    def zwin(i: int):
-        wz = min(i * oz, nl - oz) if num_zb > 1 else 0
-        z0 = min(max(wz, 0), nz_e - zs)
-        top_ov = max(0, ext - z0)
-        bot_ov = max(0, z0 + zs - (ext + nl))
-        return wz, z0, top_ov, bot_ov
-
-    def rwin(j: int):
-        r0 = min(max(j * orow - 8, 0), rp - rs) if num_rb > 1 else 0
-        r0 = (r0 // 8) * 8
-        wr = min(j * orow, rp - orow) if num_rb > 1 else 0
-        return r0, wr
-
-    bricks = [(i, j) for i in range(num_zb) for j in range(num_rb)]
-    interior = [b for b in bricks
-                if zwin(b[0])[2] == 0 and zwin(b[0])[3] == 0]
-    boundary = [b for b in bricks if b not in interior]
-    order = interior + boundary
-    assert len(order) <= MAX_RDMA3_BRICKS
+    zwin, rwin, order = _static_brick_schedule(
+        nl, ext, zs, oz, orow, rp, rs, num_zb, num_rb, r_halo=8)
 
     def load_copies(i: int, j: int, slot):
         _, z0, top_ov, bot_ov = zwin(i)
@@ -1369,33 +1375,21 @@ def _rdma_ascend3_kernel(u_hbm, f_hbm, cw_hbm, *rest,
         hu[1] = jnp.zeros((ext_z, rp, cp), dtype)
         hcw[1] = jnp.zeros((ext_c + 1, crp, cp), dtype)
 
-    def zwin(i: int):
-        wz = min(i * oz, nl - oz) if num_zb > 1 else 0
-        z0 = min(max(wz, 0), nz_e - zs)
-        top_ov = max(0, ext_z - z0)
-        bot_ov = max(0, z0 + zs - (ext_z + nl))
-        return wz, z0, top_ov, bot_ov
+    def cwin_of(zwin_fn):
+        def cwin(i: int):
+            _, z0, _, _ = zwin_fn(i)
+            cz0 = z0 // 2
+            top_cov = max(0, ext_c - cz0)
+            bot_cov = max(0, cz0 + czs - (ext_c + nlc))
+            return cz0, top_cov, bot_cov
+        return cwin
 
-    def cwin(i: int):
-        _, z0, _, _ = zwin(i)
-        cz0 = z0 // 2
-        top_cov = max(0, ext_c - cz0)
-        bot_cov = max(0, cz0 + czs - (ext_c + nlc))
-        return cz0, top_cov, bot_cov
-
-    def rwin(j: int):
-        r0 = min(max(j * orow - 16, 0), rp - rs) if num_rb > 1 else 0
-        r0 = (r0 // 8) * 8
-        wr = min(j * orow, rp - orow) if num_rb > 1 else 0
-        return r0, wr
-
-    bricks = [(i, j) for i in range(num_zb) for j in range(num_rb)]
-    interior = [b for b in bricks
-                if (zwin(b[0])[2] == 0 and zwin(b[0])[3] == 0
-                    and cwin(b[0])[1] == 0 and cwin(b[0])[2] == 0)]
-    boundary = [b for b in bricks if b not in interior]
-    order = interior + boundary
-    assert len(order) <= MAX_RDMA3_BRICKS
+    _zwin_tmp, rwin, _ = _static_brick_schedule(
+        nl, ext_z, zs, oz, orow, rp, rs, num_zb, num_rb, r_halo=16)
+    cwin = cwin_of(_zwin_tmp)
+    zwin, rwin, order = _static_brick_schedule(
+        nl, ext_z, zs, oz, orow, rp, rs, num_zb, num_rb, r_halo=16,
+        extra_interior=lambda i: (cwin(i)[1] == 0 and cwin(i)[2] == 0))
 
     def load_copies(i: int, j: int, slot):
         _, z0, top_ov, bot_ov = zwin(i)

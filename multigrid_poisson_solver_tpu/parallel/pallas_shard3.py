@@ -569,10 +569,12 @@ def rdma_fused_jacobi3(u, f, n: int, h: float, steps: int, omega: float,
         # pass) so iterates stay bit-comparable; shrink a chunk only when
         # its halo/brick working set cannot be admitted
         kmax = min(MAX_FUSED_SWEEPS_3D, nl)
+        isz = jnp.dtype(u_loc.dtype).itemsize
         out, remaining, first = u_loc, steps, True
         while remaining > 0:
             k = min(remaining, kmax)
-            while k > 1 and not rdma_jacobi3_fits(nl, *u_loc.shape[1:], k):
+            while k > 1 and not rdma_jacobi3_fits(nl, *u_loc.shape[1:], k,
+                                                  isz):
                 k -= 1
             out = _rdma_jacobi3_shard_call(
                 out, f_loc, n, h, k, omega, ndev=ndev,
@@ -689,14 +691,15 @@ def rdma_fused_jacobi3_err(u, f, n: int, h: float, steps: int,
             last_cap = kmax
         else:
             last_cap = min(7, nz_loc - 1)
+        isz = jnp.dtype(u_loc.dtype).itemsize
         last = min(steps, last_cap)
         while last > 1 and not rdma_jacobi3_fits(
-                nl, *shape2, last, err=err_mode == "clean"):
+                nl, *shape2, last, isz, err=err_mode == "clean"):
             last -= 1
         out, remaining = u_loc, steps - last
         while remaining > 0:
             k = min(remaining, kmax)
-            while k > 1 and not rdma_jacobi3_fits(nl, *shape2, k):
+            while k > 1 and not rdma_jacobi3_fits(nl, *shape2, k, isz):
                 k -= 1
             out = _rdma_jacobi3_shard_call(
                 out, f_loc, n, h, k, omega, ndev=ndev,

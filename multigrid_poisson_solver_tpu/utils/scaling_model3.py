@@ -56,6 +56,14 @@ def _plane_bytes(n: int) -> int:
     return rp * cp * DTYPE_BYTES
 
 
+def _cplane_bytes(n: int) -> int:
+    """Bytes of one lane-expanded coarse-correction plane at fine level n:
+    (rp//2 + 8) rows × fine lanes (ops.padded3.prolong3_lanes_p's shape —
+    the array the fused ascend leg actually ppermutes)."""
+    _, rp, cp = padded_shape3(n)
+    return (rp // 2 + 8) * cp * DTYPE_BYTES
+
+
 def _sizes3(n: int, n_min: int) -> list[int]:
     from ..models.poisson3d import _sizes
 
@@ -254,8 +262,10 @@ def comm_report3(n: int, ndev: int, pre: int = 3, post: int = 3,
         ext_d = (k_nb + 2) if fused_d else (k_nb + 1)
         if fused_a:
             exchange(nn, ext_z, 2)                        # u and f
-            # coarse wide: ext_c planes fwd + ext_c+1 bwd (half-depth level)
-            acc(nn, pp_b=(2 * ext_c + 1) * _plane_bytes(nn), ev_pp=2,
+            # coarse wide: ext_c planes fwd + ext_c+1 bwd — HALF-height
+            # (rp//2+8) planes, the shape the leg actually ppermutes
+            # (charging full fine planes overstated this term ~2×)
+            acc(nn, pp_b=(2 * ext_c + 1) * _cplane_bytes(nn), ev_pp=2,
                 fa=True)
             ext_a = ext_z
         else:

@@ -554,3 +554,25 @@ def test_compiled3_engine_rdma_legs_route():
     u_pp, err_pp = run("ppermute")
     np.testing.assert_array_equal(u_rdma, u_pp)
     assert err_rdma == pytest.approx(err_pp, rel=1e-5)
+
+
+def test_rdma_smoother3_multi_row_bricks(monkeypatch):
+    """Regression (round-5 review finding): middle row-bricks' load offset
+    must match the smoother geometry's 8-row halo — a -16 offset left
+    their top owned rows frozen (returned unsmoothed) while every
+    existing test ran single-brick geometries. Force a 5x5 brick schedule
+    via a tiny brick budget and assert the bit-match still holds."""
+    import multigrid_poisson_solver_tpu.ops.pallas_rdma3 as rd
+    from multigrid_poisson_solver_tpu.ops import pallas3d as pk3
+    from multigrid_poisson_solver_tpu.parallel import pallas_shard3 as ps3
+
+    monkeypatch.setattr(rd, "RDMA3_BRICK_BUDGET", 1024 * 1024)
+    n, h = 65, 1.0 / 64
+    mesh, up, fp = _fields3(n)
+    zs, rs, oz, orow, nzb, nrb = rd._rdma_jacobi3_geometry(18, 80, 128, 3)
+    assert nzb > 1 and nrb > 1, (nzb, nrb)    # the schedule must tile
+    want = ps3.sharded_fused_jacobi3(up, fp, n, h, 3, 0.8, mesh,
+                                     interpret=True)
+    got = ps3.rdma_fused_jacobi3(up, fp, n, h, 3, 0.8, mesh,
+                                 interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

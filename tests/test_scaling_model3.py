@@ -83,8 +83,10 @@ def test_volume_accounting():
     rep = sm3.comm_report3(129, 2, threshold_planes=34)
     lv = {l.n: l for l in rep.levels}
     pb = sm3._plane_bytes(129)
+    cpb = sm3._cplane_bytes(129)     # (rp//2+8)-row lane-expanded planes
     # descend: 2 arrays × 2 dirs × 5 planes; ascend: u,f × 2 × 4 + cw 5
-    expect = (2 * 2 * 5 * pb) + (2 * 2 * 4 * pb + 5 * pb)
+    # half-height coarse planes (the shape the leg really ppermutes)
+    expect = (2 * 2 * 5 * pb) + (2 * 2 * 4 * pb + 5 * cpb)
     assert lv[129].ppermute_bytes == expect
     # agglomeration: (D−1)/D of the fused-path coarse RHS — 66 planes ×
     # (rp_fine/2 = 72) rows × padded coarse lanes (the kernel row-decimates
