@@ -556,6 +556,7 @@ def test_compiled3_engine_rdma_legs_route():
     assert err_rdma == pytest.approx(err_pp, rel=1e-5)
 
 
+@pytest.mark.slow
 def test_rdma_smoother3_multi_row_bricks(monkeypatch):
     """Regression (round-5 review finding): middle row-bricks' load offset
     must match the smoother geometry's 8-row halo — a -16 offset left
@@ -576,3 +577,53 @@ def test_rdma_smoother3_multi_row_bricks(monkeypatch):
     got = ps3.rdma_fused_jacobi3(up, fp, n, h, 3, 0.8, mesh,
                                  interpret=True)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.slow
+def test_rdma_legs3_multi_row_bricks(monkeypatch):
+    """Forced-tiling twin of test_rdma_smoother3_multi_row_bricks for the
+    LEGS: shrink the legs' brick budget so the static schedule actually
+    tiles in z AND rows, and assert both legs still bit-match the
+    ppermute path (the shared _static_brick_schedule keeps the halo
+    offsets consistent by construction now — this pins it)."""
+    import multigrid_poisson_solver_tpu.ops.pallas_rdma3 as rd
+    from multigrid_poisson_solver_tpu.ops import padded3 as pd3
+    from multigrid_poisson_solver_tpu.ops import pallas3d as pk3
+    from multigrid_poisson_solver_tpu.parallel import pallas_shard3 as ps3
+
+    monkeypatch.setattr(rd, "RDMA3_DESCEND_BRICK_BUDGET", 2 * 1024 * 1024)
+    n, h, m = 65, 1.0 / 64, 33
+    rng = np.random.default_rng(9)
+    u = jnp.asarray(rng.random((n, n, n)), jnp.float32)
+    f = jnp.asarray(10 * rng.random((n, n, n)), jnp.float32)
+    mesh = ps3.make_mesh_z(jax.devices()[:4])
+    sh = ps3.z_sharding(mesh)
+    up = jax.device_put(ps3.pad_planes3(pk3.pad_grid3(u), 8), sh)
+    fp = jax.device_put(ps3.pad_planes3(pk3.pad_grid3(f), 8), sh)
+    nl = up.shape[0] // 4
+    g = rd._rdma_descend3_geometry(nl, 80, 128, 5)
+    assert g[4] > 1 and g[5] > 1, g          # schedule must tile both axes
+
+    with mesh:
+        wu, wdw, werr = ps3.sharded_fused_descend3(
+            up, fp, n, h, 3, 0.8, mesh, interpret=True)
+        gu, gdw, gerr = ps3.rdma_fused_descend3(
+            up, fp, n, h, 3, 0.8, mesh, interpret=True)
+    np.testing.assert_array_equal(np.asarray(gu), np.asarray(wu))
+    np.testing.assert_array_equal(np.asarray(gdw), np.asarray(wdw))
+    assert float(gerr) == pytest.approx(float(werr), rel=5e-6)
+
+    ec = jnp.asarray(rng.random(pk3.padded_shape3(m)), jnp.float32)
+    zp = up.shape[0]
+    ecc = jnp.concatenate(
+        [ec, jnp.zeros((zp // 2 - ec.shape[0],) + ec.shape[1:],
+                       ec.dtype)], 0)
+    cw = jax.device_put(pd3.prolong3_lanes_p(ecc, n, m), sh)
+    ga = rd._rdma_ascend3_geometry(nl, 80, 128, 4)
+    assert ga[4] > 1 or ga[5] > 1, ga
+    with mesh:
+        wo = ps3.sharded_fused_ascend3(up, fp, cw, n, h, 3, 0.8, mesh,
+                                       interpret=True)
+        go = ps3.rdma_fused_ascend3(up, fp, cw, n, h, 3, 0.8, mesh,
+                                    interpret=True)
+    np.testing.assert_array_equal(np.asarray(go), np.asarray(wo))
