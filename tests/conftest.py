@@ -49,6 +49,12 @@ _SLOW_FUNCS = frozenset({
     "test_pallas_chain.py::test_compiled_engine_chain_err_semantics",
     "test_pallas_shard.py::test_sharded_trigger_batch_matches_unbatched",
     "test_rdma.py::test_compiled3_engine_rdma_trigger_routes",
+    # round-5 additions (durations from the -n 4 loop, 2026-08-20):
+    # the 2-D auto test (18.8 s) is the family's fast representative
+    "test_compiled3.py::test_trigger_auto_batch3",              # 130.8 s
+    # legs_route (23 s) stays: it covers both legs + whole-cycle bit-match
+    "test_rdma.py::test_compiled3_engine_rdma_smoother_routes",  # 25.7 s
+    "test_scaling_model3.py::test_model_matches_lowered_collectives_deep",
 })
 
 # single parametrizations (their siblings are fast and stay default)
@@ -72,6 +78,11 @@ _SLOW_IDS = frozenset({
     "test_padded3.py::test_prolong3_add_p_matches_oracle[9]",
     # [gpu] stays: the 3-D whole-loop RDMA family's fast bit-match rep
     "test_rdma.py::test_rdma_trigger3_bitmatches_per_pass[clean]",
+    # round 5: [3-clean] (23 s) stays as the RDMA-smoother3 bit-match rep
+    "test_rdma.py::test_rdma_smoother3_bitmatches_ppermute[11-clean]",
+    "test_rdma.py::test_rdma_smoother3_bitmatches_ppermute[5-gpu]",
+    # [4] (17 s) stays as the sharded-batch rep; auto is covered unsharded
+    "test_compiled3_policy.py::test_sharded_trigger_batch3[auto]",
 })
 
 
