@@ -92,10 +92,12 @@ def cycle_time3(n: int, devices, iters: int = 4, reps: int = 3) -> float:
         return prob.boundary_grid(n).astype(jnp.float32), f
 
     u, f = build()
+    halo = os.environ.get("SCALING_HALO", "ppermute")
     with mesh:
         run = jax.jit(lambda u, f: jax.lax.fori_loop(
             0, iters, lambda i, v: v_cycle3_sharded(
-                v, f, n, h, mesh, threshold_planes=8, interpret=interp), u))
+                v, f, n, h, mesh, threshold_planes=8, halo=halo,
+                interpret=interp), u))
         per_call = DeviceTimer().measure_differential(run, u, f, reps=reps)
     return per_call / iters
 

@@ -717,12 +717,12 @@ def rdma_fused_jacobi3_err(u, f, n: int, h: float, steps: int,
 
 @partial(jax.jit, static_argnames=("n", "h", "mesh", "axis_name", "n_min",
                                    "pre", "post", "coarse_sweeps", "omega",
-                                   "threshold_planes", "interpret"))
+                                   "threshold_planes", "halo", "interpret"))
 def v_cycle3_sharded(u, f, n: int, h: float, mesh: Mesh,
                      axis_name: str = Z_AXIS, n_min: int = 5, pre: int = 3,
                      post: int = 3, coarse_sweeps: int = 50,
                      omega: float = 6.0 / 7.0, threshold_planes: int = 8,
-                     interpret: bool = False):
+                     halo: str = "ppermute", interpret: bool = False):
     """One recursive 3-D V-cycle, multi-chip: per-shard fused brick kernels
     on every level deep enough to shard, replicated below (coarse-level
     agglomeration).
@@ -741,6 +741,9 @@ def v_cycle3_sharded(u, f, n: int, h: float, mesh: Mesh,
         sub-cycle is the single-device padded-resident v_cycle3_p.
 
     ``u``/``f`` are cubic (n, n, n) global arrays; returns the cycled u.
+    ``halo="rdma"`` routes the fused legs and the post-smoothing through
+    the in-kernel remote-DMA kernels where admissible (bit-matching the
+    ppermute paths); the odd-planes fallback descend stays on ppermute.
     """
     from ..models.poisson3d import _sizes, v_cycle3_p
     from ..ops import padded3 as pd3
@@ -788,7 +791,13 @@ def v_cycle3_sharded(u, f, n: int, h: float, mesh: Mesh,
         # einsums; only the quarter-volume lane take stays XLA
         if (nl % 2 == 0 and 1 <= k_nb <= MAX_DESCEND3_SWEEPS_FW
                 and k_nb + 2 <= nl):
-            up, dw, _ = sharded_fused_descend3(
+            down_fn = sharded_fused_descend3
+            if halo == "rdma":
+                from ..ops.pallas_rdma3 import rdma_descend3_fits
+                if rdma_descend3_fits(nl, *up.shape[1:], pre, from_zero,
+                                      jnp.dtype(up.dtype).itemsize, True):
+                    down_fn = rdma_fused_descend3
+            up, dw, _ = down_fn(
                 up, fp, nn, hh, pre, omega, mesh, axis_name,
                 from_zero=from_zero, restriction="full_weighting",
                 interpret=interpret)
@@ -811,12 +820,24 @@ def v_cycle3_sharded(u, f, n: int, h: float, mesh: Mesh,
                 and post + (post % 2) <= nl
                 and (post + (post % 2)) // 2 + 1 <= nl // 2):
             cw = wsc(pd3.prolong3_lanes_p(ec, nn, m), zsh)
-            return sharded_fused_ascend3(up, fp, cw, nn, hh, post, omega,
-                                         mesh, axis_name,
-                                         interpret=interpret)
+            up_fn = sharded_fused_ascend3
+            if halo == "rdma":
+                from ..ops.pallas_rdma3 import rdma_ascend3_fits
+                if rdma_ascend3_fits(nl, *up.shape[1:], post, False,
+                                     jnp.dtype(up.dtype).itemsize):
+                    up_fn = rdma_fused_ascend3
+            return up_fn(up, fp, cw, nn, hh, post, omega,
+                         mesh, axis_name, interpret=interpret)
         up = wsc(pd3.prolong3_add_p(up, ec, nn, m), zsh)
-        return sharded_fused_jacobi3(up, fp, nn, hh, post, omega, mesh,
-                                     axis_name, interpret=interpret)
+        sm_fn = sharded_fused_jacobi3
+        if halo == "rdma":
+            from ..ops.pallas_rdma3 import rdma_jacobi3_fits
+            if rdma_jacobi3_fits(nl, *up.shape[1:],
+                                 min(post, MAX_FUSED_SWEEPS_3D, nl),
+                                 jnp.dtype(up.dtype).itemsize):
+                sm_fn = rdma_fused_jacobi3
+        return sm_fn(up, fp, nn, hh, post, omega, mesh,
+                     axis_name, interpret=interpret)
 
     # pad the top depth to a multiple of 2·ndev: EVEN planes/device, the
     # per-shard descend leg's parity requirement (child levels inherit

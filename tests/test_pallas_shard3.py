@@ -300,3 +300,24 @@ def test_sharded_legs_multi_brick_clipped(monkeypatch, mesh, steps):
     scale = float(jnp.abs(want_fc).max()) + 1e-30
     np.testing.assert_allclose(np.asarray(got_fc)[:m], np.asarray(want_fc),
                                rtol=0, atol=3e-6 * scale)
+
+
+def test_v_cycle3_sharded_rdma_halo_matches():
+    """halo='rdma' on the models-level sharded cycle (fused legs +
+    post-smoothing through the remote-DMA kernels) bit-matches the
+    ppermute default — the harness bench_scaling's dim-3 mode will drive
+    on a real ring."""
+    import numpy as np
+
+    n = 65
+    h = 1.0 / (n - 1)
+    prob = p3.REFERENCE_PROBLEM_3D
+    f = (prob.source_grid(n) + prob.boundary_grid(n)).astype(jnp.float32)
+    u = prob.boundary_grid(n).astype(jnp.float32)
+    mesh = ps3.make_mesh_z(jax.devices()[:4])
+    with mesh:
+        want = ps3.v_cycle3_sharded(u, f, n, h, mesh, threshold_planes=8,
+                                    interpret=True)
+        got = ps3.v_cycle3_sharded(u, f, n, h, mesh, threshold_planes=8,
+                                   halo="rdma", interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
